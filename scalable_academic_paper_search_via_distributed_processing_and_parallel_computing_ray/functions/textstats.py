@@ -1,0 +1,166 @@
+"""Text-analysis primitives for the training-data toolkit: language ID,
+quality scoring, token counting, fingerprinting, SimHash, MinHash.
+
+All pure / numpy-vectorizable; Ray stages in ``stages/text.py`` and
+``stages/dedup.py`` wrap these in ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+from .tokenize import STOPWORDS, tokenize
+
+# ------------------------------------------------------------ language id ---
+
+# tiny frozen marker sets per language (deterministic heuristic, not a model)
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is that it for with as was on are this".split()),
+    "de": frozenset("der die das und ist nicht ein eine mit von zu für auf den".split()),
+    "fr": frozenset("le la les et est une des dans pour que qui sur pas avec".split()),
+    "es": frozenset("el la los las y es una del en por que con para más como".split()),
+}
+_CJK_RE = re.compile(r"[一-鿿㐀-䶿]")
+
+
+def lang_id(text: str) -> str:
+    """Deterministic n-gram/stop-word language guess.
+
+    CJK characters dominate -> "zh"; otherwise argmax of marker-word hits
+    (ties broken by fixed language order); no hits -> "und".
+    """
+    if len(_CJK_RE.findall(text)) * 4 >= max(1, len(text)):
+        return "zh"
+    toks = tokenize(text)
+    if not toks:
+        return "und"
+    best_lang, best_hits = "und", 0
+    for lang in ("en", "de", "fr", "es"):  # fixed order = deterministic ties
+        hits = sum(1 for t in toks if t in _LANG_MARKERS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang
+
+
+# ---------------------------------------------------------- quality score ---
+
+_WS_RE = re.compile(r"\s+")
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def quality_features(text: str) -> dict:
+    """Length / punctuation / stop-word ratio features (floats rounded by the
+    caller when SQL parity is needed)."""
+    toks = tokenize(text)
+    n_tok = len(toks)
+    n_stop = sum(1 for t in toks if t in STOPWORDS)
+    n_chars = len(text)
+    n_punct = len(_PUNCT_RE.findall(text))
+    mean_len = (sum(len(t) for t in toks) / n_tok) if n_tok else 0.0
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "stop_ratio": (n_stop / n_tok) if n_tok else 0.0,
+        "punct_ratio": (n_punct / n_chars) if n_chars else 0.0,
+        "mean_token_len": mean_len,
+    }
+
+
+def ws_token_count(text: str) -> int:
+    """Whitespace token count (``len(text.split())``)."""
+    return len(text.split())
+
+
+# BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
+_BPE_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+
+def bpe_token_count(text: str) -> int:
+    return len(_BPE_RE.findall(text))
+
+
+# ----------------------------------------------------------- fingerprints ---
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def hash64(s: str | bytes) -> int:
+    """Stable 64-bit content hash (first 8 bytes of blake2b)."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "big")
+
+
+def token_hashes(tokens: list[str]) -> np.ndarray:
+    """Stable per-token 64-bit hashes (uint64)."""
+    return np.array([hash64(t) for t in tokens], dtype=np.uint64)
+
+
+def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
+    """Hashes of word k-shingles (rolling window joined by '\\x1f')."""
+    if len(tokens) < k:
+        return (np.array([hash64("\x1f".join(tokens))], dtype=np.uint64)
+                if tokens else np.zeros(0, dtype=np.uint64))
+    return np.array(
+        [hash64("\x1f".join(tokens[i:i + k])) for i in range(len(tokens) - k + 1)],
+        dtype=np.uint64,
+    )
+
+
+def rolling_fingerprint(tokens: list[str], window: int = 4, keep: int = 8) -> list[int]:
+    """Winnowing-style document fingerprint: min shingle-hash per window,
+    deduplicated, ``keep`` smallest kept (sorted).  Deterministic."""
+    h = shingle_hashes(tokens, k=window)
+    if h.size == 0:
+        return []
+    return sorted({int(x) for x in np.sort(h)[:keep]})
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token hashes (unweighted)."""
+    if not tokens:
+        return 0
+    h = token_hashes(tokens)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+    counts = bits.sum(axis=0)
+    sig = (counts * 2 > len(tokens)).astype(np.uint64)
+    return int((sig << np.arange(64, dtype=np.uint64)).sum())
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------- minhash ---
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) for universal hashing h_i(x) = (a_i*x + b_i) mod p.
+
+    a, b < 2^31 and x is folded to 32 bits so a*x + b fits in uint64 with no
+    overflow (vectorized, no bigint fallback)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 31) - 1, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 31) - 1, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a set of shingle hashes."""
+    if shingles.size == 0:
+        return np.full(a.shape, _MASK64, dtype=np.uint64)
+    # fold 64-bit shingle hashes to 32 bits (xor-fold keeps determinism)
+    x = ((shingles >> np.uint64(32)) ^ (shingles & np.uint64(0xFFFFFFFF))).astype(np.uint64)
+    vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
+    return np.min(vals, axis=1)
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)

@@ -1,0 +1,155 @@
+"""Deterministic Common-Crawl-style ``pages`` table (FIXTURES.md F1).
+
+Schema per ``BASELINE.json`` input_hint:
+``(url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string)``.
+
+The page body text is seeded from the driver's synthetic
+``documents.parquet`` (``/root/testdata/sf*/documents.parquet`` —
+``doc_id,text,lang,source,n_chars``); no external data, no wall clock.  The
+``html`` column wraps the text in a deterministic template with title,
+paragraphs, entity escapes, script/style noise and inline markup; the
+``text`` column is the *independently composed* expected extraction (title +
+paragraph blocks joined by "\\n" with whitespace collapsed) — the extractor
+(`functions/extract.py`) must reproduce it byte-identically, which is the
+per-row invariant tested in ``tests/test_extract.py``.
+
+``doc_id`` is carried through for test joins; the engine itself derives
+stable doc ids from ``url`` hashes (order-independent — SURVEY.md §4.3.2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import html as html_mod
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+PAGES_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+_BASE_EPOCH_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z, fixed
+_TS_STEP_US = 17_000_000  # 17 s per page
+
+
+def url_for(doc_id: int) -> str:
+    h = hashlib.sha1(str(doc_id).encode()).hexdigest()[:8]
+    return f"https://site{doc_id % 97}.example/{h}"
+
+
+def _collapse(s: str) -> str:
+    return " ".join(s.split())
+
+
+def make_page(doc_id: int, body_text: str) -> tuple[bytes, str]:
+    """Compose (html, expected_text) for one page, deterministically.
+
+    The expected text is built from the parts directly (NOT by running the
+    extractor), so the extractor is genuinely tested against this spec.
+    """
+    words = body_text.split()
+    title_words = words[:5] if words else ["untitled"]
+    title = " ".join(title_words)
+    # split body into paragraphs of ~40 words
+    paras = [" ".join(words[i:i + 40]) for i in range(0, len(words), 40)] or [""]
+
+    h = hashlib.sha1(f"page:{doc_id}".encode()).digest()
+    blocks: list[str] = []
+    out_parts: list[str] = [
+        "<html><head>",
+        f"<title>{html_mod.escape(title)}</title>",
+        "<style>body { color: #000; }</style>",
+        "</head>\n<body>",
+    ]
+    blocks.append(_collapse(title))
+    if h[0] % 3 == 0:
+        out_parts.append("<script>var x = 1 < 2 && 3 > 2;</script>")
+    if h[1] % 4 == 0:
+        out_parts.append("<!-- crawler comment &amp; noise -->")
+    for pi, para in enumerate(paras):
+        esc = html_mod.escape(para)
+        hp = h[(2 + pi) % 20]
+        if hp % 5 == 0 and para:
+            # wrap first word in inline markup (must not split the block)
+            first, _, rest = esc.partition(" ")
+            esc = f"<b>{first}</b> {rest}" if rest else f"<b>{first}</b>"
+        if hp % 7 == 0:
+            # entity-reference flourish appended as extra visible token
+            esc = esc + " caf&#233;" if esc else "caf&#233;"
+            para = (para + " café").strip()
+        out_parts.append(f"<p>\n  {esc}\n</p>")
+        if _collapse(para):
+            blocks.append(_collapse(para))
+    if h[2] % 2 == 0:
+        out_parts.append("<div><span>footer &amp; links</span></div>")
+        blocks.append("footer & links")
+    out_parts.append("</body></html>")
+    html_doc = "\n".join(out_parts)
+    return html_doc.encode("utf-8"), "\n".join(b for b in blocks if b)
+
+
+def pages_table_from_documents(documents_path: str) -> pa.Table:
+    """Build the full pages Arrow table from a documents.parquet file."""
+    tbl = pq.read_table(documents_path, columns=["doc_id", "text", "lang"])
+    doc_ids = tbl["doc_id"].to_numpy()
+    texts = tbl["text"].to_pylist()
+    langs = tbl["lang"].to_pylist()
+    htmls: list[bytes] = []
+    exp_texts: list[str] = []
+    for did, txt in zip(doc_ids, texts):
+        h, t = make_page(int(did), txt)
+        htmls.append(h)
+        exp_texts.append(t)
+    ts = (_BASE_EPOCH_US + doc_ids.astype(np.int64) * _TS_STEP_US)
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "url": pa.array([url_for(int(d)) for d in doc_ids], pa.string()),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(exp_texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    }, schema=PAGES_SCHEMA)
+
+
+def ensure_pages_parquet(sf_dir: str, out_root: str = "/tmp/graft_pages",
+                         num_files: int = 8) -> str:
+    """Materialize the pages table for ``sf_dir`` once under /tmp (split into
+    ``num_files`` row-aligned parquet files so reads parallelize); reuse on
+    subsequent calls.  Returns the directory path."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = os.path.join(out_root, f"{tag}-{num_files}")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    table = pages_table_from_documents(os.path.join(sf_dir, "documents.parquet"))
+    n = table.num_rows
+    per = max(1, -(-n // num_files))
+    for i, lo in enumerate(range(0, n, per)):
+        pq.write_table(table.slice(lo, per), os.path.join(out_dir, f"part-{i:05d}.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+# Fixed query set (FIXTURES.md F2) — mirrors the reference's query shapes
+# (multi-term phrase `bm25_searcher.py:22`, single rare term, head terms,
+# OOV, stop-words-only, Unicode).
+QUERY_SET: list[dict] = [
+    {"query_id": 0, "query_text": "spark data join", "mode": "or", "k": 10},
+    {"query_id": 1, "query_text": "window merge sort batch", "mode": "or", "k": 10},
+    {"query_id": 2, "query_text": "vector hash", "mode": "and", "k": 10},
+    {"query_id": 3, "query_text": "café", "mode": "or", "k": 10},
+    {"query_id": 4, "query_text": "zzz_out_of_vocab", "mode": "or", "k": 10},
+    {"query_id": 5, "query_text": "the a and of", "mode": "or", "k": 10},
+    {"query_id": 6, "query_text": "query plan scan filter table", "mode": "or", "k": 10},
+    {"query_id": 7, "query_text": "customer order line", "mode": "and", "k": 10},
+]

@@ -1,0 +1,133 @@
+"""SPIMI-style posting construction stages (the engine's core map stages).
+
+Two ``map_batches`` stages:
+
+* :class:`ExtractDocs` — pages batch -> cleaned-docs batch
+  ``(doc_id, url, text, doc_len)``.  HTML parsing is inherently per-document
+  string work (stdlib parser), so this is the one stage with a per-row loop;
+  it runs in a CPU-bound actor pool.  Replaces the reference's cleaning job
+  (``dataset_cleaning/CoreDataCleaner.scala:23-37``) + the tokenize/doc_length
+  part of ``bm25_precompute.py:30-36``.
+
+* :class:`PartialPostingsBuilder` — docs batch -> partial-posting rows
+  ``(term, salt, doc_ids:list<int64>, tfs:list<int32>, dls:list<int32>)``,
+  one row per term per batch, doc_ids sorted ascending.  Fully vectorized
+  (Arrow group_by + numpy lexsort + zero-copy ListArray assembly).  Head
+  terms (partial df >= threshold within the batch) get a content-derived
+  salt so the downstream ``groupby(term, salt)`` shuffle spreads Zipfian
+  skew over ``num_salts`` reducers (north_rule: "term-frequency skew via
+  salted repartitioning of head terms"; the reference has no skew handling
+  at all — SURVEY.md §4.3.1).
+
+Carrying ``dls`` (per-posting doc length) through the shuffle costs 4 bytes
+per posting but lets the merge stage compute block-max tf_norm bounds
+without a doc-length join (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.extract import html_to_text
+from ..functions.textstats import hash64
+from ..functions.tokenize import tokenize_filtered
+from .text import term_counts
+
+DOC_ID_MASK = (1 << 62) - 1  # keep ids positive int64
+
+
+def stable_doc_id(url: str) -> int:
+    """Order-independent doc id: 62-bit content hash of the url
+    (SURVEY.md §4.3.2 — never depend on task completion order)."""
+    return hash64(url) & DOC_ID_MASK
+
+
+class ExtractDocs:
+    """pages ``(url, html[, doc_id])`` -> docs ``(doc_id, url, text, doc_len)``.
+
+    ``doc_id`` comes from the input column when present (test fixtures carry
+    the generator's ids so oracle joins line up), else from ``stable_doc_id``.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        texts = [html_to_text(h) for h in htmls]
+        if "doc_id" in batch.column_names:
+            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            doc_ids = np.fromiter((stable_doc_id(u) for u in urls),
+                                  dtype=np.int64, count=len(urls))
+        doc_lens = np.fromiter((len(tokenize_filtered(t)) for t in texts),
+                               dtype=np.int32, count=len(texts))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "url": batch["url"],
+            "text": pa.array(texts, pa.string()),
+            "doc_len": pa.array(doc_lens, pa.int32()),
+        })
+
+
+PARTIALS_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("salt", pa.int32()),
+    ("doc_ids", pa.list_(pa.int64())),
+    ("tfs", pa.list_(pa.int32())),
+    ("dls", pa.list_(pa.int32())),
+])
+
+
+class PartialPostingsBuilder:
+    """docs ``(doc_id, text, doc_len)`` -> partial postings (one row per term).
+
+    Stateful actor: the stop-word Arrow array and salt parameters live for
+    the actor's lifetime (loaded once in ``__init__`` — reference analog: the
+    per-partition scorer state in ``bm25_searcher.py:64-69``).
+    """
+
+    def __init__(self, num_salts: int = 16, head_df_frac: float = 0.05):
+        self.num_salts = int(num_salts)
+        self.head_df_frac = float(head_df_frac)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        if n_docs == 0:
+            return PARTIALS_SCHEMA.empty_table()
+        tc = term_counts(batch["text"])          # (pidx, term, tf) — C++ kernels
+        pidx = tc["pidx"].to_numpy()
+        term_dict = tc["term"].combine_chunks().dictionary_encode()
+        codes = term_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = term_dict.dictionary                  # StringArray of unique terms
+        tf = tc["tf"].to_numpy().astype(np.int32)
+        doc_ids_col = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dls_col = batch["doc_len"].to_numpy(zero_copy_only=False).astype(np.int32)
+        doc = doc_ids_col[pidx]
+        dl = dls_col[pidx]
+
+        order = np.lexsort((doc, codes))              # group by term, doc asc within
+        codes_s, doc_s, tf_s, dl_s = codes[order], doc[order], tf[order], dl[order]
+        # run boundaries per term
+        cut = np.flatnonzero(np.diff(codes_s)) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [codes_s.size]))
+        df_part = ends - starts
+        offsets = np.concatenate(([0], ends)).astype(np.int64)
+
+        run_codes = codes_s[starts]
+        terms = vocab.take(pa.array(run_codes))
+        salts = np.zeros(starts.size, dtype=np.int32)
+        head_thr = max(8.0, self.head_df_frac * n_docs)
+        head_runs = np.flatnonzero(df_part >= head_thr)
+        for ri in head_runs:
+            # content-derived spread: deterministic regardless of task order
+            salts[ri] = hash64(f"{terms[ri].as_py()}:{doc_s[starts[ri]]}") % self.num_salts
+
+        off = pa.array(offsets, pa.int64())
+        return pa.table({
+            "term": terms,
+            "salt": pa.array(salts, pa.int32()),
+            "doc_ids": pa.LargeListArray.from_arrays(off, pa.array(doc_s, pa.int64())).cast(pa.list_(pa.int64())),
+            "tfs": pa.LargeListArray.from_arrays(off, pa.array(tf_s, pa.int32())).cast(pa.list_(pa.int32())),
+            "dls": pa.LargeListArray.from_arrays(off, pa.array(dl_s, pa.int32())).cast(pa.list_(pa.int32())),
+        })
