@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship pipeline: build the inverted index over the
+  sf0.001 Common-Crawl-style pages table (deterministically derived from
+  the driver's ``documents`` table), then run the fixed query set through
+  block-max WAND; returns (query_id, rank, doc_id, score_m).
+* ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+  from SURVEY.md §2 (see ``pipelines/queries.py`` for the rounding and
+  tie-break conventions that make the DuckDB comparison exact).
 """
 
 from __future__ import annotations
@@ -18,27 +17,57 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines import (
+        build,
+        query,
+    )
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.queries import (
+        round_m,
+    )
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.sources import (
+        pages,
+    )
+
+    pdir = pages.ensure_pages_parquet("/root/testdata/sf0.001", num_files=8)
+    idx_dir = "/tmp/graft_entry_index"
+    build.build_index(pdir, idx_dir, build.BuildParams(num_shards=2))
+    reader = query.IndexReader(idx_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for q in pages.QUERY_SET:
+        hits = reader.search_wand(q["query_text"], q["k"], q["mode"])
+        for rank, h in enumerate(hits, 1):
+            qids.append(q["query_id"])
+            ranks.append(rank)
+            docs.append(h.doc_id)
+            scores.append(h.score)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score_m": pa.array(round_m(np.asarray(scores, dtype=np.float64)),
+                            pa.int64()),
+    })
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.queries import (
+        registry,
+    )
+    q, _ = registry()
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible entry in queries()."""
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.queries import (
+        registry,
+    )
+    _, o = registry()
+    return o

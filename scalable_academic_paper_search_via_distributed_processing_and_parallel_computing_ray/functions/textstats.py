@@ -136,17 +136,19 @@ def hamming64(a: int, b: int) -> int:
 
 # ---------------------------------------------------------------- minhash ---
 
-_MERSENNE = np.uint64((1 << 61) - 1)
+# p = 2^31 - 1: a*x < 2^62 fits uint64 AND wraps the modulus ~2^31 times,
+# which is what makes (a*x+b) mod p behave min-wise independent.  (A first
+# attempt with p = 2^61-1 wrapped < 4 times, so argmin(h) collapsed onto
+# argmin(x) for every permutation and Jaccard estimates were badly biased.)
+_MERSENNE31 = np.uint64((1 << 31) - 1)
 
 
 def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic (a, b) for universal hashing h_i(x) = (a_i*x + b_i) mod p.
-
-    a, b < 2^31 and x is folded to 32 bits so a*x + b fits in uint64 with no
-    overflow (vectorized, no bigint fallback)."""
+    """Deterministic (a, b) for universal hashing h_i(x) = (a_i*x + b_i) mod p."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, (1 << 31) - 1, size=num_perm).astype(np.uint64)
-    b = rng.randint(0, (1 << 31) - 1, size=num_perm).astype(np.uint64)
+    p = int(_MERSENNE31)
+    a = rng.randint(1, p, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, p, size=num_perm).astype(np.uint64)
     return a, b
 
 
@@ -154,9 +156,10 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     """MinHash signature (uint64[num_perm]) of a set of shingle hashes."""
     if shingles.size == 0:
         return np.full(a.shape, _MASK64, dtype=np.uint64)
-    # fold 64-bit shingle hashes to 32 bits (xor-fold keeps determinism)
-    x = ((shingles >> np.uint64(32)) ^ (shingles & np.uint64(0xFFFFFFFF))).astype(np.uint64)
-    vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
+    # fold 64-bit shingle hashes into [0, p) (xor-fold keeps determinism)
+    x = (((shingles >> np.uint64(32)) ^ (shingles & np.uint64(0xFFFFFFFF)))
+         % _MERSENNE31).astype(np.uint64)
+    vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE31
     return np.min(vals, axis=1)
 
 

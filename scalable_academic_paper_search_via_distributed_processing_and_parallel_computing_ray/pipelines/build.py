@@ -150,9 +150,10 @@ def build_index(pages_path: str | list[str], index_dir: str,
         if ckpt.is_done(docs_dir):
             continue
         t1 = time.time()
-        cols = None
         schema_names = pq.ParquetFile(files[0]).schema_arrow.names
         cols = [c for c in ("doc_id", "url", "html") if c in schema_names]
+        if "html" not in schema_names:  # pre-extracted corpus (text input)
+            cols.append("text")
         ds = rd.read_parquet(files, columns=cols)
         ds = ds.map_batches(ExtractDocs, batch_format="pyarrow",
                             batch_size=params.extract_batch_size,

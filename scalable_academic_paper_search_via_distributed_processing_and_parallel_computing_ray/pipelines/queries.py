@@ -1,0 +1,751 @@
+"""Driver-contract queries: one Ray-Data implementation + one DuckDB oracle
+SQL string per operator family from SURVEY.md §2.
+
+Conventions that make the driver's order-insensitive value-hash comparison
+exact (see repo README / __ray_entry__):
+
+* every float-valued output column is emitted as an int64 ``*_m`` (value
+  rounded half-away-from-zero to milli-units) or ``*_c`` (centi) — floats
+  never reach the hash;
+* the rounding expression is composed IDENTICALLY on both sides (same
+  operation order => bit-identical float64 => identical integers);
+* sums of decimal-valued business columns round per-row first, then sum
+  integers (order-independent, exact);
+* tie-breaks are total orders (score desc, id asc) on both sides.
+
+The SQL strings are built from the SAME Python constants (stop list, BM25
+parameters, thresholds) as the Ray pipelines — one source of truth.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from ..functions import bm25
+from ..functions.tokenize import STOPWORDS
+from ..stages.text import term_counts
+from . import build as build_mod
+from . import query as query_mod
+
+# ---------------------------------------------------------------- helpers --
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+_TOK_SQL = "[^a-z0-9_]+"  # ASCII twin of the Unicode tokenizer (docs are ASCII)
+
+# tok: one row per token occurrence; ts: token array per doc (stop-filtered)
+_CTE_TOKS = f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOK_SQL}'),
+                     x -> x <> '' AND x NOT IN ({_STOP_SQL})) AS ts
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+dl AS (SELECT doc_id, len(ts) AS doc_len FROM toks)
+"""
+
+
+def round_m(x: np.ndarray | float, scale: int = 1000) -> np.ndarray:
+    """Half-away-from-zero rounding to int64 — matches DuckDB ROUND."""
+    x = np.asarray(x, dtype=np.float64)
+    return (np.floor(np.abs(x) * scale + 0.5) * np.sign(x)).astype(np.int64)
+
+
+def _read(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns)
+
+
+# ====================================================================== #
+# 1. document/text operators (engine-side)                               #
+# ====================================================================== #
+
+def q_doc_stats(sf_dir: str) -> rd.Dataset:
+    """Per-doc stop-filtered token count (SURVEY §2.2 M5-M7)."""
+    from ..stages.text import doc_lengths
+
+    def f(b: pa.Table) -> pa.Table:
+        dl = doc_lengths(b["text"], b.num_rows)
+        return pa.table({"doc_id": b["doc_id"],
+                         "doc_len": pa.array(dl.astype(np.int64), pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(f, batch_format="pyarrow")
+
+
+SQL_DOC_STATS = f"WITH {_CTE_TOKS} SELECT doc_id, doc_len FROM dl"
+
+
+def q_avg_doc_len(sf_dir: str) -> pa.Table:
+    """Global mean doc length (reference A1, ``bm25_precompute.py:34-39``)."""
+    agg = q_doc_stats(sf_dir).aggregate(Sum("doc_len"), Count())
+    n = int(agg["count()"])
+    s = int(agg["sum(doc_len)"])
+    avg = float(s) / n
+    return pa.table({"n_docs": pa.array([n], pa.int64()),
+                     "avg_dl_m": pa.array([int(round_m(avg))], pa.int64())})
+
+
+SQL_AVG_DOC_LEN = f"""WITH {_CTE_TOKS}
+SELECT count(*) AS n_docs,
+       CAST(ROUND((CAST(sum(doc_len) AS DOUBLE) / count(*)) * 1000) AS BIGINT) AS avg_dl_m
+FROM dl"""
+
+
+def q_term_df(sf_dir: str) -> rd.Dataset:
+    """Per-term document frequency — partial df per batch, then a small
+    groupby-sum (pre-aggregation pattern; reference A3 IDF fit)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        tc = term_counts(b["text"])
+        g = tc.group_by("term").aggregate([("pidx", "count")])
+        return g.rename_columns(["term", "df_part"])
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(f, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df_part", alias_name="df"))
+
+
+SQL_TERM_DF = f"""WITH {_CTE_TOKS}
+SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term"""
+
+
+def q_vocab_top20(sf_dir: str) -> rd.Dataset:
+    """Top-20 terms by collection frequency (reference A2 vocabulary build,
+    ``bm25_precompute.py:42-47`` — uncapped dictionary, top-k only for the
+    report)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        tc = term_counts(b["text"])
+        g = tc.group_by("term").aggregate([("tf", "sum")])
+        return g.rename_columns(["term", "tf_part"])
+
+    agg = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(f, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("tf_part", alias_name="total_tf"))
+    return agg.sort(["total_tf", "term"], descending=[True, False]).limit(20)
+
+
+SQL_VOCAB_TOP20 = f"""WITH {_CTE_TOKS}
+SELECT term, count(*) AS total_tf FROM tok GROUP BY term
+ORDER BY total_tf DESC, term LIMIT 20"""
+
+
+# ---------------------------------------------------------------- BM25 ----
+
+BM25_QUERY = "spark data join"
+BM25_K = 10
+
+_IDX_CACHE: dict[str, query_mod.IndexReader] = {}
+
+
+def documents_index(sf_dir: str) -> query_mod.IndexReader:
+    """Build (once, cached under /tmp) the inverted index over the
+    ``documents`` table and return a reader."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    if tag not in _IDX_CACHE:
+        idx_dir = f"/tmp/graft_docidx/{tag}"
+        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+            build_mod.build_index(os.path.join(sf_dir, "documents.parquet"),
+                                  idx_dir,
+                                  build_mod.BuildParams(num_shards=2))
+        _IDX_CACHE[tag] = query_mod.IndexReader(idx_dir)
+    return _IDX_CACHE[tag]
+
+
+def q_bm25_top10(sf_dir: str) -> pa.Table:
+    """Full engine path: SPIMI index + block-max WAND top-k (north rule)."""
+    reader = documents_index(sf_dir)
+    hits = reader.search_wand(BM25_QUERY, BM25_K)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+        "doc_id": pa.array([h.doc_id for h in hits], pa.int64()),
+        "score_m": pa.array(round_m([h.score for h in hits]), pa.int64()),
+    })
+
+
+def _sql_bm25(query_text: str, k: int) -> str:
+    terms = ", ".join(
+        f"('{t}')" for t in dict.fromkeys(query_text.lower().split()))
+    return f"""WITH {_CTE_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT count(*) AS n, CAST(sum(doc_len) AS DOUBLE) / count(*) AS avg_dl FROM dl),
+q(term) AS (VALUES {terms}),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.n - idf.df + 0.5) / (idf.df + 0.5))
+              * tf.tf * {bm25.K1 + 1.0}
+              / (tf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * dl.doc_len / st.avg_dl)) ) AS score
+  FROM tf
+  JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN (SELECT term FROM q)
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS score_m
+FROM scores ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+# ---------------------------------------------------------------- dedup ----
+
+def q_dedup_exact(sf_dir: str) -> rd.Dataset:
+    """Exact-dup survivors (min doc_id per distinct text) — reference D1."""
+    from ..stages.dedup import exact_dedup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+SQL_DEDUP_EXACT = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+NGRAM_THRESHOLD = 0.5
+NGRAM_K = 3
+NGRAM_MAX_DF = 64
+
+
+def q_dedup_ngram(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import ngram_jaccard_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, NGRAM_THRESHOLD, NGRAM_K, NGRAM_MAX_DF)
+
+
+SQL_DEDUP_NGRAM = f"""WITH {_CTE_TOKS},
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2] AS shingle
+  FROM toks, unnest(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= 3
+  UNION
+  SELECT DISTINCT doc_id, list_aggregate(ts, 'string_agg', chr(31)) AS shingle
+  FROM toks WHERE len(ts) BETWEEN 1 AND 2
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {NGRAM_MAX_DF}),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
+  FROM sh s1 JOIN keep USING (shingle) JOIN sh s2 USING (shingle)
+  WHERE s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       CAST(ROUND((CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)) * 1000) AS BIGINT) AS jaccard_m
+FROM inter
+JOIN sz sa ON sa.doc_id = a
+JOIN sz sb ON sb.doc_id = b
+WHERE (CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)) >= {NGRAM_THRESHOLD}"""
+
+
+def q_dedup_minhash(sf_dir: str) -> pa.Table:
+    """MinHash+LSH near-dup groups (rows-only check: LSH banding is not
+    SQL-expressible)."""
+    from ..stages.dedup import minhash_dedup_groups
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_groups(ds, threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str) -> pa.Table:
+    """SimHash near-dup pairs (rows-only check)."""
+    from ..stages.dedup import simhash_dedup_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup_pairs(ds, max_hamming=8)
+
+
+# ------------------------------------------------------------ text stats ---
+
+def q_lang_id(sf_dir: str) -> rd.Dataset:
+    """Heuristic language ID (rows-only: marker-set heuristic, not SQL)."""
+    from ..functions.textstats import lang_id
+
+    def f(b: pa.Table) -> pa.Table:
+        preds = [lang_id(t) for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "lang_pred": pa.array(preds, pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(f, batch_format="pyarrow")
+
+
+def q_quality(sf_dir: str) -> rd.Dataset:
+    """Quality features: token count, stop-word ratio, punctuation ratio,
+    mean token length (training-data filtering primitives)."""
+    from ..functions.textstats import quality_features
+
+    def f(b: pa.Table) -> pa.Table:
+        rows = [quality_features(t) for t in b["text"].to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
+            "stop_m": pa.array(round_m([r["stop_ratio"] for r in rows]), pa.int64()),
+            "punct_m": pa.array(round_m([r["punct_ratio"] for r in rows]), pa.int64()),
+            "mean_len_m": pa.array(round_m([r["mean_token_len"] for r in rows]), pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(f, batch_format="pyarrow")
+
+
+SQL_QUALITY = f"""WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '{_TOK_SQL}'),
+                     x -> x <> '') AS at
+  FROM documents
+)
+SELECT doc_id,
+  len(at) AS n_tokens,
+  CASE WHEN len(at) = 0 THEN 0 ELSE
+    CAST(ROUND((CAST(len(list_filter(at, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                / len(at)) * 1000) AS BIGINT) END AS stop_m,
+  CASE WHEN length(text) = 0 THEN 0 ELSE
+    CAST(ROUND((CAST(length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g')) AS DOUBLE)
+                / length(text)) * 1000) AS BIGINT) END AS punct_m,
+  CASE WHEN len(at) = 0 THEN 0 ELSE
+    CAST(ROUND((CAST(list_sum(list_transform(at, x -> length(x))) AS DOUBLE)
+                / len(at)) * 1000) AS BIGINT) END AS mean_len_m
+FROM t"""
+
+
+def q_token_count(sf_dir: str) -> rd.Dataset:
+    """Whitespace + BPE-ish token counting."""
+    from ..functions.textstats import bpe_token_count, ws_token_count
+
+    def f(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "ws_tokens": pa.array([ws_token_count(t) for t in texts], pa.int64()),
+            "bpe_tokens": pa.array([bpe_token_count(t) for t in texts], pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(f, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNT = """SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]')) AS bpe_tokens
+FROM documents"""
+
+
+def q_fingerprint(sf_dir: str) -> rd.Dataset:
+    """SimHash + winnowing fingerprint per doc (rows-only)."""
+    from ..functions.textstats import rolling_fingerprint, simhash64
+    from ..functions.tokenize import tokenize_filtered
+
+    def f(b: pa.Table) -> pa.Table:
+        toks = [tokenize_filtered(t) for t in b["text"].to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "simhash_hex": pa.array([f"{simhash64(t):016x}" for t in toks], pa.string()),
+            "n_fp": pa.array([len(rolling_fingerprint(t)) for t in toks], pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ similarity ---
+
+KNN_K = 10
+KNN_QUERY_IDS = (0, 1)
+EMBDUP_THRESHOLD = 0.4
+
+
+def _query_vectors(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    by_id = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    return np.asarray([by_id[q] for q in KNN_QUERY_IDS], dtype=np.float64)
+
+
+def q_knn_brute(sf_dir: str) -> pa.Table:
+    """Exact cosine top-k (brute-force baseline; reference O2 analog)."""
+    from ..stages.similarity import knn_brute
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_brute(ds, _query_vectors(sf_dir), KNN_K)
+
+
+SQL_KNN_BRUTE = f"""WITH qv AS (
+  SELECT v.query_id, e.embedding AS qe
+  FROM (VALUES {", ".join(f"({i}, {q})" for i, q in enumerate(KNN_QUERY_IDS))})
+       v(query_id, qvec)
+  JOIN embeddings e ON e.vec_id = v.qvec
+),
+cos AS (
+  SELECT qv.query_id, e.vec_id,
+         list_cosine_similarity(qv.qe, e.embedding) AS c
+  FROM qv CROSS JOIN embeddings e
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank,
+       vec_id, CAST(ROUND(c * 1000) AS BIGINT) AS cos_m
+FROM cos
+QUALIFY rank <= {KNN_K}
+ORDER BY query_id, rank"""
+
+
+def q_knn_ivf(sf_dir: str) -> pa.Table:
+    """IVF-bucketed approximate top-k (rows-only: approximate by design)."""
+    from ..stages.similarity import knn_ivf
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(ds, _query_vectors(sf_dir), KNN_K, nlist=16, nprobe=4)
+
+
+def q_embdup_cosine(sf_dir: str) -> pa.Table:
+    """Embedding near-dup pairs, cosine >= threshold."""
+    from ..stages.dedup import embedding_dup_pairs
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, EMBDUP_THRESHOLD)
+
+
+SQL_EMBDUP = f"""SELECT a.vec_id AS a, b.vec_id AS b,
+  CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding) * 1000) AS BIGINT) AS cos_m
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMBDUP_THRESHOLD}"""
+
+
+def q_multimodal_decode(sf_dir: str) -> rd.Dataset:
+    """Binary media plumbing: documents bytes as opaque payloads -> actor-pool
+    decode (stubbed kernel) -> per-item features (rows-only)."""
+    from ..stages.multimodal import DecodeMedia
+
+    def to_media(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        return pa.table({
+            "media_id": b["doc_id"],
+            "payload": pa.array([t.encode("utf-8") for t in texts], pa.binary()),
+            "media_type": pa.array(["image"] * b.num_rows, pa.string()),
+            "meta": pa.array(["{}"] * b.num_rows, pa.string()),
+        })
+
+    media = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(to_media, batch_format="pyarrow")
+    decoded = media.map_batches(DecodeMedia, batch_format="pyarrow",
+                                batch_size=64, concurrency=(1, 4))
+
+    def summarize(b: pa.Table) -> pa.Table:
+        feats = b["feature"].to_pylist()
+        fsum = [int(round_m(float(np.sum(f)))) for f in feats]
+        return pa.table({"media_id": b["media_id"], "n_bytes": b["n_bytes"],
+                         "feat_sum_m": pa.array(fsum, pa.int64())})
+
+    return decoded.map_batches(summarize, batch_format="pyarrow")
+
+
+# ====================================================================== #
+# 2. relational/analytics operators (reference joins/aggs/windows        #
+#    re-skinned on the TPC-H-ish tables)                                 #
+# ====================================================================== #
+
+def q_fwci_events(sf_dir: str) -> rd.Dataset:
+    """FWCI analog (reference ``calculate_fwci.py:84-95``): grouped mean per
+    (event_type, year) broadcast back as a ratio (J4 broadcast join + M11)."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    # grouped means (small result) -> broadcast dict
+    def year_col(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.append_column("yr", pc.year(b["ts"]))
+
+    with_year = ds.map_batches(year_col, batch_format="pyarrow")
+    base = with_year.groupby(["event_type", "yr"]) \
+        .aggregate(Sum("value", alias_name="sv"), Count(alias_name="cv")) \
+        .to_pandas()
+    avg_map = {(r.event_type, int(r.yr)): float(r.sv) / int(r.cv)
+               for r in base.itertuples()}
+    ref = ray.put(avg_map)
+
+    def ratio(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        et = b["event_type"].to_pylist()
+        yr = b["yr"].to_numpy()
+        val = b["value"].to_numpy()
+        avg = np.asarray([m[(e, int(y))] for e, y in zip(et, yr)])
+        fw = np.where(avg > 0, val / avg, 0.0)
+        return pa.table({"event_id": b["event_id"],
+                         "fwci_m": pa.array(round_m(fw), pa.int64())})
+
+    return with_year.map_batches(ratio, batch_format="pyarrow")
+
+
+SQL_FWCI_EVENTS = """WITH base AS (
+  SELECT event_type, year(ts) AS yr,
+         CAST(sum(value) AS DOUBLE) / count(*) AS avg_v
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id,
+       CAST(ROUND((CASE WHEN b.avg_v > 0 THEN e.value / b.avg_v ELSE 0 END) * 1000) AS BIGINT) AS fwci_m
+FROM events e JOIN base b ON e.event_type = b.event_type AND year(e.ts) = b.yr"""
+
+
+def q_percentile_rank(sf_dir: str) -> rd.Dataset:
+    """percent_rank within event_type by value desc (reference O3,
+    ``calculate_percentiles.py:28-32``)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def pr(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        r = g["value"].rank(ascending=False, method="min")
+        pct = (r - 1) / (n - 1) if n > 1 else pd.Series(0.0, index=g.index)
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "pct_m": round_m(pct.to_numpy())})
+
+    return ds.groupby("event_type").map_groups(pr, batch_format="pandas")
+
+
+SQL_PERCENTILE_RANK = """SELECT event_id,
+  CAST(ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value DESC) * 1000) AS BIGINT) AS pct_m
+FROM events"""
+
+
+def q_join_revenue(sf_dir: str) -> rd.Dataset:
+    """lineitem x orders hash join + grouped revenue (J1/J3 + A4).  Revenue
+    is rounded to int per ROW before summing so the sum is order-exact."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = b["l_extendedprice"].to_numpy() * (1 - b["l_discount"].to_numpy()) * 10000
+        r = (np.floor(np.abs(r) + 0.5) * np.sign(r)).astype(np.int64)
+        return pa.table({"o_orderpriority": b["o_orderpriority"],
+                         "rev_dm": pa.array(r, pa.int64())})
+
+    return joined.map_batches(rev, batch_format="pyarrow") \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("rev_dm", alias_name="revenue_dm"),
+                   Count(alias_name="n_items"))
+
+
+SQL_JOIN_REVENUE = """SELECT o.o_orderpriority,
+  sum(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS revenue_dm,
+  count(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1"""
+
+
+def q_topk_orders(sf_dir: str) -> pa.Table:
+    """Global top-10 orders by total price (reference O1 orderBy+limit)."""
+    top = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
+        .limit(10).to_pandas()
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        "o_orderkey": pa.array(top["o_orderkey"].to_numpy(), pa.int64()),
+        "price_c": pa.array(round_m(top["o_totalprice"].to_numpy(), 100), pa.int64()),
+    })
+
+
+SQL_TOPK_ORDERS = """SELECT
+  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+  o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+
+
+def q_semi_join(sf_dir: str) -> rd.Dataset:
+    """Semi-join: lineitems of the top-10 orders via broadcast key set
+    (reference J5/J7 ``isin`` idiom), then per-order aggregates."""
+    import pyarrow.compute as pc
+    top = q_topk_orders(sf_dir)
+    keys = pa.array(top["o_orderkey"].to_pylist(), pa.int64())
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def semi(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["l_orderkey"], value_set=keys))
+
+    def qty(b: pa.Table) -> pa.Table:
+        q = round_m(b["l_quantity"].to_numpy(), 1)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "qty_i": pa.array(q, pa.int64())})
+
+    return li.map_batches(semi, batch_format="pyarrow") \
+        .map_batches(qty, batch_format="pyarrow") \
+        .groupby("l_orderkey") \
+        .aggregate(Count(alias_name="n_items"), Sum("qty_i", alias_name="sum_qty"))
+
+
+SQL_SEMI_JOIN = """WITH topo AS (
+  SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+)
+SELECT l_orderkey, count(*) AS n_items,
+       sum(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty
+FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM topo)
+GROUP BY 1"""
+
+
+def q_point_lookup(sf_dir: str) -> pa.Table:
+    """Point lookup by key (reference J6 ``fetch_paper_job.py:19`` — which
+    full-scans; here a pruned read + filter + take(1))."""
+    import pyarrow.compute as pc
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"])
+    key = orders.aggregate(Min("o_orderkey"))["min(o_orderkey)"]
+    row = orders.filter(expr=f"o_orderkey == {key}").take(1)[0]
+    return pa.table({
+        "o_orderkey": pa.array([row["o_orderkey"]], pa.int64()),
+        "o_custkey": pa.array([row["o_custkey"]], pa.int64()),
+        "price_c": pa.array(round_m([row["o_totalprice"]], 100), pa.int64()),
+        "o_orderpriority": pa.array([row["o_orderpriority"]], pa.string()),
+    })
+
+
+SQL_POINT_LOOKUP = """SELECT o_orderkey, o_custkey,
+  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c, o_orderpriority
+FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)"""
+
+
+def q_first_per_group(sf_dir: str) -> rd.Dataset:
+    """Deterministic first-per-key (reference D1 dropDuplicates with pinned
+    survivor): min customer per market segment."""
+    return _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .groupby("c_mktsegment").aggregate(Min("c_custkey", alias_name="c_custkey"))
+
+
+SQL_FIRST_PER_GROUP = """SELECT c_mktsegment, min(c_custkey) AS c_custkey
+FROM customer GROUP BY 1"""
+
+
+def q_window_top3(sf_dir: str) -> rd.Dataset:
+    """Top-3 events per user by value (grouped window / rank)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame({"user_id": g["user_id"],
+                             "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                             "event_id": g["event_id"],
+                             "value_m": round_m(g["value"].to_numpy())})
+
+    return ds.groupby("user_id").map_groups(top3, batch_format="pandas")
+
+
+SQL_WINDOW_TOP3 = """SELECT user_id,
+  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank,
+  event_id, CAST(ROUND(value * 1000) AS BIGINT) AS value_m
+FROM events
+QUALIFY rank <= 3"""
+
+
+def q_sessionize(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour window per user (streaming-shaped aggregate; Ray Data
+    has no event-time windows — the ordered-log groupby pattern replaces
+    them, SURVEY.md §2.9)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def win(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        wstart = (us // 3_600_000_000) * 3600
+        vm = round_m(b["value"].to_numpy())
+        return pa.table({"user_id": b["user_id"],
+                         "window_start_s": pa.array(wstart, pa.int64()),
+                         "value_m": pa.array(vm, pa.int64())})
+
+    return ds.map_batches(win, batch_format="pyarrow") \
+        .groupby(["user_id", "window_start_s"]) \
+        .aggregate(Count(alias_name="n_events"), Sum("value_m", alias_name="sum_value_m"))
+
+
+SQL_SESSIONIZE = """SELECT user_id,
+  CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start_s,
+  count(*) AS n_events,
+  sum(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_m
+FROM events GROUP BY 1, 2"""
+
+
+def q_concat_project(sf_dir: str) -> rd.Dataset:
+    """Null-coalesce + concat projection (reference M3 concat_ws)."""
+    import pyarrow.compute as pc
+
+    def f(b: pa.Table) -> pa.Table:
+        lbl = pc.binary_join_element_wise(b["c_mktsegment"], b["c_name"], ":")
+        return pa.table({"c_custkey": b["c_custkey"], "label": lbl})
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]) \
+        .map_batches(f, batch_format="pyarrow")
+
+
+SQL_CONCAT_PROJECT = """SELECT c_custkey, c_mktsegment || ':' || c_name AS label
+FROM customer"""
+
+
+def q_sample_seeded(sf_dir: str) -> pa.Table:
+    """Seeded sample (reference O4 ``sample(fraction=0.01, seed=42)``) —
+    rows-only: RNG streams differ across engines by construction."""
+    ds = _read(sf_dir, "events", ["event_id"]).random_sample(0.05, seed=42)
+    n = ds.count()
+    return pa.table({"n_sampled": pa.array([n], pa.int64())})
+
+
+# ====================================================================== #
+# registry                                                               #
+# ====================================================================== #
+
+def registry():
+    """(queries, oracle_sql) dicts for __ray_entry__."""
+    queries = {
+        "doc_stats": q_doc_stats,
+        "avg_doc_len": q_avg_doc_len,
+        "term_df": q_term_df,
+        "vocab_top20": q_vocab_top20,
+        "bm25_top10": q_bm25_top10,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "knn_brute": q_knn_brute,
+        "knn_ivf": q_knn_ivf,
+        "embdup_cosine": q_embdup_cosine,
+        "multimodal_decode": q_multimodal_decode,
+        "fwci_events": q_fwci_events,
+        "percentile_rank": q_percentile_rank,
+        "join_revenue": q_join_revenue,
+        "topk_orders": q_topk_orders,
+        "semi_join": q_semi_join,
+        "point_lookup": q_point_lookup,
+        "first_per_group": q_first_per_group,
+        "window_top3": q_window_top3,
+        "sessionize": q_sessionize,
+        "concat_project": q_concat_project,
+        "sample_seeded": q_sample_seeded,
+    }
+    oracle = {
+        "doc_stats": SQL_DOC_STATS,
+        "avg_doc_len": SQL_AVG_DOC_LEN,
+        "term_df": SQL_TERM_DF,
+        "vocab_top20": SQL_VOCAB_TOP20,
+        "bm25_top10": _sql_bm25(BM25_QUERY, BM25_K),
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram": SQL_DEDUP_NGRAM,
+        "quality": SQL_QUALITY,
+        "token_count": SQL_TOKEN_COUNT,
+        "knn_brute": SQL_KNN_BRUTE,
+        "embdup_cosine": SQL_EMBDUP,
+        "fwci_events": SQL_FWCI_EVENTS,
+        "percentile_rank": SQL_PERCENTILE_RANK,
+        "join_revenue": SQL_JOIN_REVENUE,
+        "topk_orders": SQL_TOPK_ORDERS,
+        "semi_join": SQL_SEMI_JOIN,
+        "point_lookup": SQL_POINT_LOOKUP,
+        "first_per_group": SQL_FIRST_PER_GROUP,
+        "window_top3": SQL_WINDOW_TOP3,
+        "sessionize": SQL_SESSIONIZE,
+        "concat_project": SQL_CONCAT_PROJECT,
+        # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
+        # lang_id, fingerprint, knn_ivf, multimodal_decode, sample_seeded
+    }
+    return queries, oracle

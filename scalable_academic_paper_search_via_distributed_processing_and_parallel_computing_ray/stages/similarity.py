@@ -1,0 +1,144 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`knn_brute` — exact cosine top-k: the query matrix is broadcast once
+  (``ray.put``), every batch does one numpy matmul and emits only its LOCAL
+  top-k per query, and a final tiny ``groupby(query_id)`` merge resolves the
+  global top-k.  This is the scale-correct shape: per-batch work is one
+  GEMM, the shuffle carries k rows per (query, batch), never the corpus.
+  (Reference analog: FAISS brute/IVF search ``semantic_index/search.py:34-40``.)
+
+* :func:`knn_ivf` — IVF-bucketed approximate variant: deterministic k-means
+  (numpy, fixed seed, driver-side fit on a sample — the reference fits KMeans
+  on a 1% sample the same way, ``calculate_fwci.py:56-63``), assignment +
+  per-bucket brute force over only ``nprobe`` probed lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _topk_merge(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g
+
+
+def knn_brute(ds: Dataset, queries: np.ndarray, k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Exact cosine top-k for each query row in ``queries`` (q, dim).
+
+    Returns (query_id, rank, vec_id, cos_m) — cos_m = round(cos*1000).
+    """
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(q)
+    nq = q.shape[0]
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(np.stack(b[vec_col].to_numpy(zero_copy_only=False))
+                       .astype(np.float64))
+        cos = qm @ m.T                                   # (nq, nb)
+        kk = min(k, ids.size)
+        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_v, rows_c = [], [], []
+        for qi in range(nq):
+            sel = part[qi]
+            rows_q.extend([qi] * kk)
+            rows_v.extend(ids[sel].tolist())
+            rows_c.extend(cos[qi, sel].tolist())
+        return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                         "vec_id": pa.array(rows_v, pa.int64()),
+                         "cos": pa.array(rows_c, pa.float64())})
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+    merged = partials.groupby("query_id").map_groups(
+        lambda g: _topk_merge(g, k), batch_format="pandas").to_pandas()
+    cos = merged["cos"].to_numpy()
+    merged["cos_m"] = (np.floor(np.abs(cos) * 1000 + 0.5) * np.sign(cos)).astype(np.int64)
+    out = merged[["query_id", "rank", "vec_id", "cos_m"]] \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def kmeans_fit(sample: np.ndarray, nlist: int, iters: int = 10,
+               seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd's k-means on normalized vectors (driver-side)."""
+    rng = np.random.RandomState(seed)
+    x = _normalize(sample.astype(np.float64))
+    nlist = min(nlist, x.shape[0])
+    cent = x[rng.choice(x.shape[0], nlist, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(nlist):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, nlist: int = 16,
+            nprobe: int = 4, sample_n: int = 2048,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 42) -> pa.Table:
+    """IVF approximate top-k: probe only the ``nprobe`` closest centroid
+    buckets per query.  With nprobe == nlist this is exactly knn_brute.
+    Returns (query_id, rank, vec_id, cos_m)."""
+    import ray
+
+    sample = ds.limit(sample_n).to_pandas()
+    smat = np.stack(sample[vec_col].to_numpy())
+    cent = kmeans_fit(smat, nlist, seed=seed)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    # per-query probed cells
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]      # (nq, nprobe)
+    ref = ray.put((q, cent, probe))
+    nq = q.shape[0]
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        qm, cm, pr = ray.get(ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(np.stack(b[vec_col].to_numpy(zero_copy_only=False))
+                       .astype(np.float64))
+        cell = np.argmax(m @ cm.T, axis=1)                      # IVF assignment
+        rows_q, rows_v, rows_c = [], [], []
+        for qi in range(nq):
+            mask = np.isin(cell, pr[qi])
+            if not mask.any():
+                continue
+            sub_ids, sub = ids[mask], m[mask]
+            cos = qm[qi] @ sub.T
+            kk = min(k, sub_ids.size)
+            sel = np.argpartition(-cos, kk - 1)[:kk]
+            rows_q.extend([qi] * kk)
+            rows_v.extend(sub_ids[sel].tolist())
+            rows_c.extend(cos[sel].tolist())
+        return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                         "vec_id": pa.array(rows_v, pa.int64()),
+                         "cos": pa.array(rows_c, pa.float64())})
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+    merged = partials.groupby("query_id").map_groups(
+        lambda g: _topk_merge(g, k), batch_format="pandas").to_pandas()
+    if len(merged) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cos_m": pa.array([], pa.int64())})
+    cos = merged["cos"].to_numpy()
+    merged["cos_m"] = (np.floor(np.abs(cos) * 1000 + 0.5) * np.sign(cos)).astype(np.int64)
+    out = merged[["query_id", "rank", "vec_id", "cos_m"]] \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

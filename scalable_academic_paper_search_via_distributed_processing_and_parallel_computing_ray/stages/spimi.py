@@ -48,12 +48,21 @@ class ExtractDocs:
 
     ``doc_id`` comes from the input column when present (test fixtures carry
     the generator's ids so oracle joins line up), else from ``stable_doc_id``.
+    Inputs that already carry extracted ``text`` (and no ``html``) skip the
+    extraction step — the index build then starts at tokenization, matching
+    the reference's JSONL-paper path (``bm25_precompute.py:24-26``).
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        htmls = batch["html"].to_pylist()
-        texts = [html_to_text(h) for h in htmls]
+        if "html" in batch.column_names:
+            htmls = batch["html"].to_pylist()
+            texts = [html_to_text(h) for h in htmls]
+        else:
+            texts = batch["text"].to_pylist()
+        if "url" in batch.column_names:
+            urls = batch["url"].to_pylist()
+        else:
+            urls = [f"doc://{d}" for d in batch["doc_id"].to_pylist()]
         if "doc_id" in batch.column_names:
             doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         else:
@@ -63,7 +72,7 @@ class ExtractDocs:
                                dtype=np.int32, count=len(texts))
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
-            "url": batch["url"],
+            "url": pa.array(urls, pa.string()),
             "text": pa.array(texts, pa.string()),
             "doc_len": pa.array(doc_lens, pa.int32()),
         })

@@ -1,0 +1,65 @@
+"""Unit tests: varint/delta codec, block layout invariants (FIXTURES.md F5)."""
+
+import numpy as np
+import pytest
+
+from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.functions import (
+    bm25,
+    codec,
+)
+
+
+def test_varint_roundtrip_edges():
+    cases = [
+        np.array([], dtype=np.uint64),
+        np.array([0], dtype=np.uint64),
+        np.array([127, 128, 129], dtype=np.uint64),
+        np.array([0, 1, (1 << 63) - 1, 1 << 62], dtype=np.uint64),
+    ]
+    for v in cases:
+        assert (codec.varint_decode(codec.varint_encode(v)) == v).all()
+
+
+def test_varint_roundtrip_random():
+    rng = np.random.RandomState(7)
+    for _ in range(10):
+        v = rng.randint(0, 1 << 62, size=2000).astype(np.uint64)
+        v[rng.randint(0, 2000, 100)] = 0
+        assert (codec.varint_decode(codec.varint_encode(v)) == v).all()
+
+
+@pytest.fixture
+def encoded():
+    rng = np.random.RandomState(3)
+    ids = np.unique(rng.randint(0, 1 << 45, size=1000).astype(np.int64))
+    tfs = rng.randint(1, 40, size=ids.size).astype(np.int64)
+    tfn = bm25.tf_norm_vec(tfs, rng.randint(5, 500, size=ids.size), 100.0)
+    return ids, tfs, tfn, codec.encode_postings(ids, tfs, tfn)
+
+
+def test_postings_roundtrip(encoded):
+    ids, tfs, _, enc = encoded
+    d_ids, d_tfs = codec.decode_postings(enc)
+    assert (d_ids == ids).all() and (d_tfs == tfs).all()
+    assert enc.df == ids.size
+
+
+def test_block_invariants(encoded):
+    ids, tfs, tfn, enc = encoded
+    nb = enc.block_first.size
+    assert nb == -(-ids.size // codec.BLOCK_SIZE)
+    for bi in range(nb):
+        b_ids, b_tfs = codec.decode_block(enc, bi)
+        lo, hi = bi * codec.BLOCK_SIZE, min(ids.size, (bi + 1) * codec.BLOCK_SIZE)
+        assert (b_ids == ids[lo:hi]).all()
+        assert b_ids[0] == enc.block_first[bi] and b_ids[-1] == enc.block_last[bi]
+        assert (np.diff(b_ids) > 0).all(), "doc_ids strictly ascending"
+        # block max upper-bounds every true tf_norm in the block (float32 pad)
+        assert enc.block_max_tfnorm[bi] * (1 + 1e-6) >= tfn[lo:hi].max()
+
+
+def test_empty_postings():
+    enc = codec.encode_postings(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                                np.zeros(0))
+    ids, tfs = codec.decode_postings(enc)
+    assert enc.df == 0 and ids.size == 0 and tfs.size == 0
