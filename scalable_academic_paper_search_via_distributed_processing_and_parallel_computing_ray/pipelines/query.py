@@ -7,9 +7,23 @@ Replaces the reference's brute-force full-scan scorer
 * :meth:`IndexReader.search_exhaustive` — decode the query terms' postings
   and score them all (NOT the whole corpus).  Serves as the in-engine
   correctness oracle for WAND (SURVEY.md §2.6 O1).
-* :meth:`IndexReader.search_wand` — block-max WAND with a bounded min-heap:
-  cursors carry per-shard upper bounds (idf * max tf_norm) and per-block
-  bounds, so most blocks are skipped without decoding.
+* :meth:`IndexReader.search_wand` — **block-at-a-time** block-max WAND:
+  doc-id space is processed in windows bounded by posting-block boundaries;
+  a window whose summed block-max upper bound cannot beat the heap
+  threshold is skipped WITHOUT decoding, otherwise its blocks decode once
+  and score vectorized (numpy).  Python-level iteration count scales with
+  the number of BLOCKS (128 postings each), never with postings — a
+  doc-at-a-time Python WAND measured 50-80x slower on dense lists.
+
+Correctness notes (tested rank-identical vs the exhaustive path and the
+brute-force oracle):
+* windows end at the MIN current-block-last over live cursors, so every doc
+  in a window is fully covered by the contributing cursors' current blocks
+  -> single-window full scores;
+* windows advance in ascending doc order and ties keep the earliest
+  (smallest) doc_ids, which matches the (score desc, doc_id asc) tie-break,
+  so pruning with ``ub <= theta`` never drops a tie that should win;
+* float32 block maxima are widened by a small margin before pruning.
 
 A term's postings may live in several (salt, shard) rows; each row becomes
 its own cursor — doc sets are disjoint, so correctness is unaffected and
@@ -18,20 +32,19 @@ head-term skew never concentrates in one list (SURVEY.md §4.3.1).
 
 from __future__ import annotations
 
-import heapq
 import os
 from dataclasses import dataclass
 
 import numpy as np
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions import bm25
-from ..functions.codec import EncodedPostings, decode_block
+from ..functions.codec import EncodedPostings, decode_block, decode_postings
 from ..functions.tokenize import tokenize_filtered
 from ..state import checkpoint as ckpt
 
 _UB_MARGIN = 1.0 + 1e-5  # float32 block-max bounds -> widen before pruning
+_I64MAX = np.iinfo(np.int64).max
 
 
 @dataclass
@@ -40,70 +53,68 @@ class TopkResult:
     score: float
 
 
-class _Cursor:
-    """Iterator over one encoded posting shard with next_geq block skipping."""
+class _BlockCursor:
+    """Block-granular view over one (term, salt) shard."""
 
-    __slots__ = ("enc", "idf", "ub", "bi", "ids", "tfs", "pos", "doc", "reader")
+    __slots__ = ("enc", "term_i", "idf", "ub", "bi", "nb", "_ids", "_tfs")
 
-    def __init__(self, enc: EncodedPostings, idf: float, max_tfnorm: float, reader):
+    def __init__(self, enc: EncodedPostings, term_i: int, idf: float):
         self.enc = enc
+        self.term_i = term_i
         self.idf = idf
-        self.ub = idf * max_tfnorm * _UB_MARGIN
-        self.reader = reader
-        self.bi = -1
-        self.ids = self.tfs = None
-        self.pos = 0
-        self.doc = -1
-        self._load_block(0)
-
-    def _load_block(self, bi: int) -> None:
-        if bi >= self.enc.block_first.size:
-            self.doc = np.iinfo(np.int64).max  # exhausted sentinel
-            return
-        self.bi = bi
-        self.ids, self.tfs = decode_block(self.enc, bi)
-        self.pos = 0
-        self.doc = int(self.ids[0])
+        # per-block score upper bounds (idf * block_max_tfnorm, widened)
+        self.ub = (idf * enc.block_max_tfnorm.astype(np.float64)) * _UB_MARGIN
+        self.bi = 0
+        self.nb = enc.block_first.size
+        self._ids = self._tfs = None
 
     @property
-    def exhausted(self) -> bool:
-        return self.doc == np.iinfo(np.int64).max
+    def live(self) -> bool:
+        return self.bi < self.nb
 
-    def block_ub(self) -> float:
-        """Upper bound of scores within the current block."""
-        if self.exhausted:
-            return 0.0
-        return self.idf * float(self.enc.block_max_tfnorm[self.bi]) * _UB_MARGIN
+    def block_first(self) -> int:
+        return int(self.enc.block_first[self.bi])
 
     def block_last(self) -> int:
-        return int(self.enc.block_last[self.bi]) if not self.exhausted else np.iinfo(np.int64).max
+        return int(self.enc.block_last[self.bi])
 
-    def next_geq(self, target: int) -> None:
-        """Advance to the first doc >= target (block skip + in-block seek)."""
-        if self.exhausted or self.doc >= target:
-            return
-        if target > int(self.enc.block_last[self.bi]):
-            nbi = int(np.searchsorted(self.enc.block_last, target, side="left"))
-            if nbi >= self.enc.block_first.size:
-                self.doc = np.iinfo(np.int64).max
-                return
-            if nbi != self.bi:
-                self._load_block(nbi)
-        self.pos = int(np.searchsorted(self.ids, target, side="left"))
-        if self.pos >= self.ids.size:  # can only happen in final block
-            self._load_block(self.bi + 1)
-        else:
-            self.doc = int(self.ids[self.pos])
+    def block_ub(self) -> float:
+        return float(self.ub[self.bi])
 
-    def advance(self) -> None:
-        self.pos += 1
-        if self.pos >= self.ids.size:
-            self._load_block(self.bi + 1)
-        else:
-            self.doc = int(self.ids[self.pos])
+    def decoded(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._ids is None:
+            self._ids, self._tfs = decode_block(self.enc, self.bi)
+        return self._ids, self._tfs
 
-    def score_current(self, dl: float, avg_dl: float) -> float:
-        return self.idf * bm25.tf_norm(float(self.tfs[self.pos]), dl, avg_dl)
+    def advance_block(self) -> None:
+        self.bi += 1
+        self._ids = self._tfs = None
+
+
+class _TopK:
+    """Bounded top-k accumulator with (score desc, doc asc) tie-break,
+    updated in bulk with numpy."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.docs = np.zeros(0, dtype=np.int64)
+        self.scores = np.zeros(0, dtype=np.float64)
+
+    @property
+    def theta(self) -> float:
+        return float(self.scores[-1]) if self.scores.size == self.k else -np.inf
+
+    def offer(self, docs: np.ndarray, scores: np.ndarray) -> None:
+        """Merge candidates (docs ascending within a window; earlier windows
+        came first, so ties resolve to smaller doc ids via stable ordering)."""
+        d = np.concatenate((self.docs, docs))
+        s = np.concatenate((self.scores, scores))
+        order = np.lexsort((d, -s))[: self.k]
+        self.docs, self.scores = d[order], s[order]
+
+    def results(self) -> list[TopkResult]:
+        return [TopkResult(int(d), float(s))
+                for d, s in zip(self.docs, self.scores)]
 
 
 class IndexReader:
@@ -123,7 +134,6 @@ class IndexReader:
         self.avg_dl = float(self.manifest["avg_dl"])
         shards_root = os.path.join(index_dir, "shards")
         shard_names = sorted(os.listdir(shards_root))
-        # doc-length table: sorted doc_id -> dl (numpy, binary-search lookups)
         ids_parts, dl_parts = [], []
         for s in shard_names:
             t = pq.read_table(os.path.join(shards_root, s, "docs"),
@@ -135,8 +145,8 @@ class IndexReader:
         order = np.argsort(ids)
         self._doc_ids = ids[order]
         self._doc_lens = dls[order].astype(np.float64)
-        # segments: term -> [(EncodedPostings, max_tfnorm), ...]
-        self._postings: dict[str, list[tuple[EncodedPostings, float]]] = {}
+        # segments: term -> [EncodedPostings, ...]
+        self._postings: dict[str, list[EncodedPostings]] = {}
         self._df: dict[str, int] = {}
         for s in shard_names:
             t = pq.read_table(os.path.join(shards_root, s, "seg"))
@@ -153,14 +163,10 @@ class IndexReader:
                     block_last=np.asarray(d["block_last"][i], np.int64),
                 )
                 term = d["term"][i]
-                self._postings.setdefault(term, []).append((enc, float(d["max_tfnorm"][i])))
+                self._postings.setdefault(term, []).append(enc)
                 self._df[term] = self._df.get(term, 0) + enc.df
 
     # ------------------------------------------------------------ helpers --
-
-    def doc_len(self, doc_id: int) -> float:
-        i = int(np.searchsorted(self._doc_ids, doc_id))
-        return float(self._doc_lens[i])
 
     def doc_lens_vec(self, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self._doc_ids, doc_ids)
@@ -186,12 +192,11 @@ class IndexReader:
         terms = [t for t in self.query_terms(query_text) if t in self._postings]
         if not terms:
             return []
-        from ..functions.codec import decode_postings
         all_docs, all_scores = [], []
         for t in terms:
             idf_t = self.idf(t)
             docs_t, scores_t = [], []
-            for enc, _ in self._postings[t]:
+            for enc in self._postings[t]:
                 ids, tfs = decode_postings(enc)
                 dls = self.doc_lens_vec(ids)
                 docs_t.append(ids)
@@ -211,137 +216,88 @@ class IndexReader:
         order = np.lexsort((uniq, -agg))[:k]
         return [TopkResult(int(uniq[i]), float(agg[i])) for i in order]
 
+    # ------------------------------------------------------------- search --
+
+    def search(self, query_text: str, k: int = 10, mode: str = "or",
+               density_cutoff: float = 0.10) -> list[TopkResult]:
+        """Cost-based scorer choice: block-max WAND prunes only when scores
+        are selective; on dense lists (mean df/N above the cutoff — e.g. the
+        tiny-vocab synthetic corpus where every term hits most docs) every
+        window must be scored anyway, so the single-pass vectorized
+        exhaustive-postings scorer is strictly faster.  Both are
+        rank-identical (tested)."""
+        terms = [t for t in self.query_terms(query_text) if t in self._postings]
+        if not terms:
+            return []
+        mean_density = sum(self._df[t] for t in terms) / (len(terms) * max(1, self.n_docs))
+        if mean_density > density_cutoff:
+            return self.search_exhaustive(query_text, k, mode)
+        return self.search_wand(query_text, k, mode)
+
     # -------------------------------------------------------------- WAND ---
 
     def search_wand(self, query_text: str, k: int = 10,
                     mode: str = "or") -> list[TopkResult]:
-        """Block-max WAND (disjunctive) / block-skipping intersection (AND)."""
+        """Block-at-a-time block-max WAND (see module docstring)."""
         terms = [t for t in self.query_terms(query_text) if t in self._postings]
         if not terms:
             return []
-        cursors: list[_Cursor] = []
-        term_of: dict[int, int] = {}
+        n_terms = len(terms)  # OOV terms dropped (oracle does the same)
+        cursors: list[_BlockCursor] = []
         for ti, t in enumerate(terms):
             idf_t = self.idf(t)
-            for enc, mx in self._postings[t]:
+            for enc in self._postings[t]:
                 if enc.df:
-                    c = _Cursor(enc, idf_t, mx, self)
-                    term_of[id(c)] = ti
-                    cursors.append(c)
-        if mode == "and":
-            return self._search_and(cursors, term_of, len(terms), k)
-        return self._search_wand_or(cursors, k)
-
-    def _push(self, heap: list, k: int, doc: int, score: float) -> None:
-        item = (score, -doc)
-        if len(heap) < k:
-            heapq.heappush(heap, item)
-        elif item > heap[0]:
-            heapq.heapreplace(heap, item)
-
-    def _theta(self, heap: list, k: int) -> float:
-        return heap[0][0] if len(heap) == k else -1.0
-
-    def _search_wand_or(self, cursors: list[_Cursor], k: int) -> list[TopkResult]:
-        heap: list[tuple[float, int]] = []
-        INF = np.iinfo(np.int64).max
+                    cursors.append(_BlockCursor(enc, ti, idf_t))
+        topk = _TopK(k)
+        prev_hi = -1
         while True:
-            live = [c for c in cursors if not c.exhausted]
+            live = [c for c in cursors if c.live]
             if not live:
                 break
-            live.sort(key=lambda c: c.doc)
-            theta = self._theta(heap, k)
-            # find pivot: smallest prefix whose ub sum exceeds theta
-            acc = 0.0
-            pivot = -1
-            for i, c in enumerate(live):
-                acc += c.ub
-                if acc > theta:
-                    pivot = i
-                    break
-            if pivot < 0:
-                break  # even the sum of all upper bounds can't beat theta
-            pivot_doc = live[pivot].doc
-            if pivot_doc == INF:
-                break
-            if live[0].doc == pivot_doc:
-                # block-max check: can the current blocks possibly beat theta?
-                bub = 0.0
-                j = 0
-                while j < len(live) and live[j].doc <= pivot_doc:
-                    bub += live[j].block_ub()
-                    j += 1
-                if bub <= theta:
-                    # Skip the prefix cursors to the nearest block boundary,
-                    # capped by the first doc of any cursor BEYOND the prefix
-                    # (docs in between exist only in the bounded blocks, so
-                    # they cannot beat theta — BMW candidate selection).
-                    boundary = min(live[i].block_last() for i in range(j))
-                    target = boundary + 1
-                    if j < len(live):
-                        target = min(target, live[j].doc)
-                    target = max(target, pivot_doc + 1)
-                    for i in range(j):
-                        live[i].next_geq(target)
-                    continue
-                dl = self.doc_len(pivot_doc)
-                score = 0.0
-                for c in live:
-                    if c.doc != pivot_doc:
-                        break
-                    score += c.score_current(dl, self.avg_dl)
-                    c.advance()
-                self._push(heap, k, pivot_doc, score)
+            w_hi = min(c.block_last() for c in live)
+            contrib = [c for c in live if c.block_first() <= w_hi]
+            theta = topk.theta
+            if mode == "and":
+                # a doc needs every term; per term it sits in <=1 shard
+                per_term_ub: dict[int, float] = {}
+                terms_here = set()
+                for c in contrib:
+                    terms_here.add(c.term_i)
+                    per_term_ub[c.term_i] = max(per_term_ub.get(c.term_i, 0.0),
+                                                c.block_ub())
+                feasible = len(terms_here) == n_terms
+                ub = sum(per_term_ub.values()) if feasible else -np.inf
             else:
-                # advance, among cursors strictly BEFORE the pivot doc, the
-                # one with the largest upper bound (advancing a cursor already
-                # at pivot_doc would be a no-op -> livelock)
-                best = max((i for i in range(pivot) if live[i].doc < pivot_doc),
-                           key=lambda i: live[i].ub)
-                live[best].next_geq(pivot_doc)
-        out = sorted(heap, key=lambda it: (-it[0], -it[1]))
-        return [TopkResult(-d, s) for s, d in out]
-
-    def _search_and(self, cursors: list[_Cursor], term_of: dict[int, int],
-                    n_terms: int, k: int) -> list[TopkResult]:
-        """Conjunction: a doc qualifies iff every TERM matches (a term's
-        shards are disjoint, so per term at most one shard holds the doc)."""
-        heap: list[tuple[float, int]] = []
-        INF = np.iinfo(np.int64).max
-        # per-term cursor groups
-        groups: dict[int, list[_Cursor]] = {}
-        for c in cursors:
-            groups.setdefault(term_of[id(c)], []).append(c)
-        if len(groups) < n_terms:
-            return []  # some term has no postings at all -> empty intersection
-        candidate = 0
-        while True:
-            # for each term, the min current doc >= candidate
-            max_min = -1
-            all_have = True
-            for g in groups.values():
-                for c in g:
-                    c.next_geq(candidate)
-                term_min = min((c.doc for c in g), default=INF)
-                if term_min == INF:
-                    return self._finalize(heap)
-                max_min = max(max_min, term_min)
-                if term_min != candidate:
-                    all_have = False
-            if candidate != max_min:
-                candidate = max_min
-                continue
-            # verify every term actually has `candidate`
-            if all(any(c.doc == candidate for c in g) for g in groups.values()):
-                dl = self.doc_len(candidate)
-                score = 0.0
-                for g in groups.values():
-                    for c in g:
-                        if c.doc == candidate:
-                            score += c.score_current(dl, self.avg_dl)
-                self._push(heap, k, candidate, score)
-            candidate += 1
-
-    def _finalize(self, heap: list) -> list[TopkResult]:
-        out = sorted(heap, key=lambda it: (-it[0], -it[1]))
-        return [TopkResult(-d, s) for s, d in out]
+                ub = sum(c.block_ub() for c in contrib)
+            if ub > theta and contrib:
+                docs_l, sc_l, tid_l = [], [], []
+                for c in contrib:
+                    ids, tfs = c.decoded()
+                    m = (ids > prev_hi) & (ids <= w_hi)
+                    if m.any():
+                        d = ids[m]
+                        dls = self.doc_lens_vec(d)
+                        docs_l.append(d)
+                        sc_l.append(bm25.score_vec(c.idf, tfs[m], dls, self.avg_dl))
+                        tid_l.append(np.full(d.size, c.term_i, dtype=np.int64))
+                if docs_l:
+                    docs = np.concatenate(docs_l)
+                    scores = np.concatenate(sc_l)
+                    uniq, inv = np.unique(docs, return_inverse=True)
+                    agg = np.zeros(uniq.size)
+                    np.add.at(agg, inv, scores)
+                    if mode == "and":
+                        cnt = np.zeros(uniq.size, dtype=np.int64)
+                        np.add.at(cnt, inv, 1)
+                        keep = cnt == n_terms
+                        uniq, agg = uniq[keep], agg[keep]
+                    if uniq.size:
+                        good = agg > theta
+                        if good.any():
+                            topk.offer(uniq[good], agg[good])
+            for c in live:
+                if c.block_last() == w_hi:
+                    c.advance_block()
+            prev_hi = w_hi
+        return topk.results()

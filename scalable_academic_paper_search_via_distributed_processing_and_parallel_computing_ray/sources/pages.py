@@ -120,21 +120,64 @@ def pages_table_from_documents(documents_path: str) -> pa.Table:
 
 
 def ensure_pages_parquet(sf_dir: str, out_root: str = "/tmp/graft_pages",
-                         num_files: int = 8) -> str:
+                         num_files: int = 8, replicate: int = 1) -> str:
     """Materialize the pages table for ``sf_dir`` once under /tmp (split into
     ``num_files`` row-aligned parquet files so reads parallelize); reuse on
-    subsequent calls.  Returns the directory path."""
+    subsequent calls.  Returns the directory path.
+
+    ``replicate > 1`` scales the corpus deterministically for benchmarking:
+    copy r gets ``doc_id + r * 10^9`` and fresh urls/html (distinct pages,
+    same Zipfian text), so bench runs have enough work for the parallelism
+    under test without any external data.
+    """
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out_dir = os.path.join(out_root, f"{tag}-{num_files}")
+    out_dir = os.path.join(out_root, f"{tag}-{num_files}-x{replicate}")
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    table = pages_table_from_documents(os.path.join(sf_dir, "documents.parquet"))
-    n = table.num_rows
-    per = max(1, -(-n // num_files))
-    for i, lo in enumerate(range(0, n, per)):
-        pq.write_table(table.slice(lo, per), os.path.join(out_dir, f"part-{i:05d}.parquet"))
+    base = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"])
+    doc_ids = base["doc_id"].to_numpy()
+    texts = base["text"].to_pylist()
+    langs = base["lang"].to_pylist()
+    fi = 0
+    rows_per_file = max(1, -(-base.num_rows * replicate // num_files))
+    buf_ids: list[int] = []
+    buf_html: list[bytes] = []
+    buf_text: list[str] = []
+    buf_lang: list[str] = []
+
+    def flush():
+        nonlocal fi, buf_ids, buf_html, buf_text, buf_lang
+        if not buf_ids:
+            return
+        ids = np.asarray(buf_ids, dtype=np.int64)
+        tbl = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array([url_for(int(d)) for d in ids], pa.string()),
+            "warc_ts": pa.array(_BASE_EPOCH_US + ids * _TS_STEP_US,
+                                pa.timestamp("us")),
+            "html": pa.array(buf_html, pa.binary()),
+            "text": pa.array(buf_text, pa.string()),
+            "lang": pa.array(buf_lang, pa.string()),
+        }, schema=PAGES_SCHEMA)
+        pq.write_table(tbl, os.path.join(out_dir, f"part-{fi:05d}.parquet"))
+        fi += 1
+        buf_ids, buf_html, buf_text, buf_lang = [], [], [], []
+
+    for r in range(replicate):
+        off = r * 1_000_000_000
+        for did, txt, lg in zip(doc_ids, texts, langs):
+            rid = int(did) + off
+            h, t = make_page(rid, txt)
+            buf_ids.append(rid)
+            buf_html.append(h)
+            buf_text.append(t)
+            buf_lang.append(lg)
+            if len(buf_ids) >= rows_per_file:
+                flush()
+    flush()
     with open(done, "w") as f:
         f.write("ok")
     return out_dir

@@ -31,8 +31,7 @@ import pyarrow as pa
 
 from ..functions.extract import html_to_text
 from ..functions.textstats import hash64
-from ..functions.tokenize import tokenize_filtered
-from .text import term_counts
+from .text import doc_lengths, term_counts
 
 DOC_ID_MASK = (1 << 62) - 1  # keep ids positive int64
 
@@ -68,12 +67,12 @@ class ExtractDocs:
         else:
             doc_ids = np.fromiter((stable_doc_id(u) for u in urls),
                                   dtype=np.int64, count=len(urls))
-        doc_lens = np.fromiter((len(tokenize_filtered(t)) for t in texts),
-                               dtype=np.int32, count=len(texts))
+        texts_arr = pa.array(texts, pa.string())
+        doc_lens = doc_lengths(texts_arr, len(texts))  # Arrow kernels, not per-doc re
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
             "url": pa.array(urls, pa.string()),
-            "text": pa.array(texts, pa.string()),
+            "text": texts_arr,
             "doc_len": pa.array(doc_lens, pa.int32()),
         })
 
