@@ -1,0 +1,94 @@
+"""Command-line entry points (the reference's spark-submit scripts analog).
+
+    python -m scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.cli \
+        build  --pages DIR --index DIR [--shards N] [--salts N]
+    ... search --index DIR --query "spark data join" [--k 10] [--mode or] [--method auto]
+    ... serve-demo --index DIR --actors 2 --query "..."
+
+Owns its Ray session (guarded init; the driver-contract module never inits).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ray-bm25")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index")
+    b.add_argument("--pages", required=True, help="pages parquet file/dir")
+    b.add_argument("--index", required=True, help="output index dir")
+    b.add_argument("--shards", type=int, default=4)
+    b.add_argument("--salts", type=int, default=16)
+
+    s = sub.add_parser("search", help="query an index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--mode", choices=("or", "and"), default="or")
+    s.add_argument("--method", choices=("auto", "wand", "exhaustive"),
+                   default="auto")
+
+    d = sub.add_parser("serve-demo", help="distributed actor-pool query demo")
+    d.add_argument("--index", required=True)
+    d.add_argument("--actors", type=int, default=2)
+    d.add_argument("--query", required=True)
+    d.add_argument("--k", type=int, default=10)
+
+    args = p.parse_args(argv)
+    ray = _ray_session(args.num_cpus)
+    try:
+        if args.cmd == "build":
+            from .pipelines import build
+            m = build.build_index(args.pages, args.index,
+                                  build.BuildParams(num_shards=args.shards,
+                                                    num_salts=args.salts))
+            print(json.dumps({k: m[k] for k in
+                              ("n_docs", "avg_dl", "build_secs", "docs_per_sec",
+                               "n_shards")}))
+        elif args.cmd == "search":
+            from .pipelines.query import IndexReader
+            r = IndexReader(args.index)
+            if args.method == "wand":
+                hits = r.search_wand(args.query, args.k, args.mode)
+            elif args.method == "exhaustive":
+                hits = r.search_exhaustive(args.query, args.k, args.mode)
+            else:
+                hits = r.search(args.query, args.k, args.mode)
+            for rank, h in enumerate(hits, 1):
+                print(json.dumps({"rank": rank, "doc_id": h.doc_id,
+                                  "score": round(h.score, 6)}))
+        elif args.cmd == "serve-demo":
+            from .pipelines.serve import DistributedSearcher
+            ds = DistributedSearcher(args.index, num_actors=args.actors)
+            try:
+                for rank, h in enumerate(ds.search(args.query, args.k), 1):
+                    print(json.dumps({"rank": rank, "doc_id": h.doc_id,
+                                      "score": round(h.score, 6)}))
+            finally:
+                ds.shutdown()
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -254,6 +254,19 @@ def build_index(pages_path: str | list[str], index_dir: str,
 
     _run_shards(_phase2, list(enumerate(shards)), params.shard_parallelism)
 
+    # ---- global term dictionary -------------------------------------------
+    # (term -> global df) so shard-subset readers / query actors can score
+    # with the GLOBAL idf; small (one row per term) and cheap to rebuild.
+    seg_tables = []
+    for sid in range(len(shards)):
+        seg_tables.append(pq.read_table(
+            os.path.join(ckpt.shard_dir(index_dir, sid), "seg"),
+            columns=["term", "df"]))
+    termdict = pa.concat_tables(seg_tables).group_by("term") \
+        .aggregate([("df", "sum")]).rename_columns(["term", "df"])
+    pq.write_table(termdict.sort_by("term"),
+                   os.path.join(index_dir, "termdict.parquet"))
+
     # ---- manifest ----------------------------------------------------------
     recs = [ckpt.read_shard_record(index_dir, sid) for sid in range(len(shards))]
     manifest = {

@@ -438,6 +438,48 @@ def q_multimodal_decode(sf_dir: str) -> rd.Dataset:
     return decoded.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_embed_docs(sf_dir: str) -> rd.Dataset:
+    """Embedding generation via actor pool, model loaded once per actor
+    (reference ST1, ``embed_generator.py:22-46``; fake model — rows-only).
+    Returns (doc_id, emb_norm_m) so the check is deterministic and small."""
+    from ..stages.embed import EmbedDocs
+
+    emb = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(EmbedDocs, batch_format="pyarrow", batch_size=2048,
+                     concurrency=(1, 4))
+
+    def summarize(b: pa.Table) -> pa.Table:
+        vecs = b["embedding"].to_pylist()
+        s = [int(round_m(float(np.abs(np.asarray(v)).sum()))) for v in vecs]
+        return pa.table({"doc_id": b["doc_id"],
+                         "emb_l1_m": pa.array(s, pa.int64())})
+
+    return emb.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_kmeans_assign(sf_dir: str) -> rd.Dataset:
+    """KMeans fit on a sample driver-side, broadcast transform of the full
+    table (reference A6/ST4, ``calculate_fwci.py:56-68``; rows-only —
+    iterative clustering is not SQL-expressible)."""
+    import ray
+
+    from ..stages.similarity import kmeans_fit
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = ds.limit(256).to_pandas()
+    cent = kmeans_fit(np.stack(sample["embedding"].to_numpy()), nlist=8)
+    ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": b["vec_id"],
+                         "cluster": pa.array(cell, pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 # ====================================================================== #
 # 2. relational/analytics operators (reference joins/aggs/windows        #
 #    re-skinned on the TPC-H-ish tables)                                 #
@@ -711,6 +753,8 @@ def registry():
         "knn_ivf": q_knn_ivf,
         "embdup_cosine": q_embdup_cosine,
         "multimodal_decode": q_multimodal_decode,
+        "embed_docs": q_embed_docs,
+        "kmeans_assign": q_kmeans_assign,
         "fwci_events": q_fwci_events,
         "percentile_rank": q_percentile_rank,
         "join_revenue": q_join_revenue,

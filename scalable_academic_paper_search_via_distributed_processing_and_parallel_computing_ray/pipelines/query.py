@@ -127,13 +127,17 @@ class IndexReader:
     segment schema (offsets + block metadata) is designed for range reads.
     """
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, shard_subset: list[str] | None = None):
+        """``shard_subset``: load only these shard dir names (for per-actor
+        partitioned serving).  Global stats (N, avg_dl) always come from the
+        manifest and per-term GLOBAL df from ``termdict.parquet``, so scores
+        from a subset reader equal the full reader's on its shards' docs."""
         self.index_dir = index_dir
         self.manifest = ckpt.read_json(os.path.join(index_dir, "manifest.json"))
         self.n_docs = int(self.manifest["n_docs"])
         self.avg_dl = float(self.manifest["avg_dl"])
         shards_root = os.path.join(index_dir, "shards")
-        shard_names = sorted(os.listdir(shards_root))
+        shard_names = shard_subset or sorted(os.listdir(shards_root))
         ids_parts, dl_parts = [], []
         for s in shard_names:
             t = pq.read_table(os.path.join(shards_root, s, "docs"),
@@ -165,6 +169,12 @@ class IndexReader:
                 term = d["term"][i]
                 self._postings.setdefault(term, []).append(enc)
                 self._df[term] = self._df.get(term, 0) + enc.df
+        # subset readers must score with GLOBAL df (termdict), not local sums
+        if shard_subset is not None:
+            td_path = os.path.join(index_dir, "termdict.parquet")
+            td = pq.read_table(td_path)
+            self._df = dict(zip(td["term"].to_pylist(),
+                                (int(x) for x in td["df"].to_pylist())))
 
     # ------------------------------------------------------------ helpers --
 

@@ -1,0 +1,58 @@
+"""Embedding-generator stage (reference ST1: SentenceTransformer loaded once
+per task inside a SCALAR_ITER pandas UDF, ``embed_generator.py:22-46``).
+
+Re-expressed as the canonical Ray Data actor-pool pattern: the "model" loads
+ONCE per actor in ``__init__``; ``__call__`` encodes a batch.  No model
+weights exist in this sandbox, so the model is a deterministic fake (hashed
+bag-of-words projection, L2-normalized) behind the same interface — swap
+``_load_model`` for a real sentence-transformers call on a GPU pool
+(``map_batches(EmbedDocs, concurrency=N, num_gpus=1, batch_size=2048)``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.textstats import token_hashes
+from ..functions.tokenize import tokenize_filtered
+
+EMBED_DIM = 64
+
+
+class EmbedDocs:
+    """(doc_id, text) -> + embedding: list<float32>[dim]."""
+
+    def __init__(self, dim: int = EMBED_DIM, batch_hint: int = 2048):
+        self.dim = dim
+        self.batch_hint = batch_hint  # reference encodes 2048 per call
+        self.model = self._load_model()
+
+    def _load_model(self):
+        try:
+            import sentence_transformers  # noqa: F401  (absent in sandbox)
+            return "sentence-transformers"
+        except ImportError:
+            return "fake-hash-projection"
+
+    def _encode(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        for i, t in enumerate(texts):
+            toks = tokenize_filtered(t)
+            if not toks:
+                out[i, 0] = 1.0
+                continue
+            h = token_hashes(toks)
+            idx = (h % np.uint64(self.dim)).astype(np.int64)
+            sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+            np.add.at(out[i], idx, sign)
+        norms = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+        return (out / norms).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        emb = self._encode(texts)
+        offs = pa.array(np.arange(0, (len(texts) + 1) * self.dim, self.dim,
+                                  dtype=np.int32))
+        col = pa.ListArray.from_arrays(offs, pa.array(emb.reshape(-1), pa.float32()))
+        return pa.table({"doc_id": batch["doc_id"], "embedding": col})
