@@ -141,9 +141,26 @@ def decode_block(enc: EncodedPostings, bi: int) -> tuple[np.ndarray, np.ndarray]
 
 
 def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray]:
-    """Decode all blocks -> (doc_ids, tfs)."""
+    """Decode all blocks -> (doc_ids, tfs), in ONE vectorized pass.
+
+    Both varint streams decode whole (no per-block slicing); the block-leading
+    values are absolute doc_ids, so the global cumsum is corrected by
+    subtracting, per block, the cumsum carried in from the previous blocks.
+    Per-block decode ran one small numpy call chain per 128 postings and
+    dominated dense-query latency (~80% of exhaustive-scorer time profiled).
+    """
     if enc.df == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    parts = [decode_block(enc, bi) for bi in range(enc.block_first.size)]
-    return (np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]))
+    deltas = varint_decode(enc.doc_bytes).astype(np.int64)
+    n = deltas.size
+    cs = np.cumsum(deltas)
+    starts = np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
+    if starts.size > 1:
+        off = np.zeros(starts.size, dtype=np.int64)
+        off[1:] = cs[starts[1:] - 1]
+        sizes = np.diff(np.append(starts, n))
+        ids = cs - np.repeat(off, sizes)
+    else:
+        ids = cs
+    tfs = varint_decode(enc.tf_bytes).astype(np.int64) + 1
+    return ids, tfs

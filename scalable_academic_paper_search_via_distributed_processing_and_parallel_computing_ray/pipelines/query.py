@@ -205,14 +205,15 @@ class IndexReader:
         all_docs, all_scores = [], []
         for t in terms:
             idf_t = self.idf(t)
-            docs_t, scores_t = [], []
-            for enc in self._postings[t]:
-                ids, tfs = decode_postings(enc)
-                dls = self.doc_lens_vec(ids)
-                docs_t.append(ids)
-                scores_t.append(bm25.score_vec(idf_t, tfs, dls, self.avg_dl))
-            all_docs.append(np.concatenate(docs_t))
-            all_scores.append(np.concatenate(scores_t))
+            parts = [decode_postings(enc) for enc in self._postings[t]]
+            # one lookup + score call per TERM, not per (salt, shard) row —
+            # head terms fan out to num_salts * num_shards rows and the
+            # per-row numpy fixed cost dominated dense-query latency
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = self.doc_lens_vec(ids)
+            all_docs.append(ids)
+            all_scores.append(bm25.score_vec(idf_t, tfs, dls, self.avg_dl))
         docs = np.concatenate(all_docs)
         scores = np.concatenate(all_scores)
         uniq, inv = np.unique(docs, return_inverse=True)
