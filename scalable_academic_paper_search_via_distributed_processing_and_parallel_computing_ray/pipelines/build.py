@@ -22,8 +22,17 @@ Physical plan per shard (SURVEY.md §7.3):
 The docs/ parquet is the deliberate streaming-safe branch point: phase 2
 re-reads only (doc_id, text, doc_len) with projection pushdown instead of
 either materializing tokens in the object store or running extraction
-twice.  Each shard's shuffle is independent, which both bounds shuffle size
-and gives shard-granular resume (state/checkpoint.py).
+twice.
+
+Each phase runs as ONE Dataset pipeline over every *pending* shard, tagging
+rows with their shard id (``sid``) and fanning the output back out with a
+hive-partitioned write (``partition_cols=["sid"]`` -> renamed into the
+per-shard checkpoint dirs).  Per-shard pipelines paid the pipeline fixed
+cost (scheduling + shuffle latency floors, ~2-10 s each) once per shard;
+measured on an 80k-page corpus the single-pipeline wave is ~5x faster while
+keeping the same shard-granular resume layout: already-done shards are
+excluded from the wave, and a restart after a mid-wave crash redoes only
+that wave.
 """
 
 from __future__ import annotations
@@ -46,6 +55,13 @@ from ..functions.tokenize import TOKENIZER_VERSION
 from ..stages.spimi import ExtractDocs, PartialPostingsBuilder
 from ..state import checkpoint as ckpt
 
+DOCS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("url", pa.string()),
+    ("text", pa.string()),
+    ("doc_len", pa.int32()),
+])
+
 SEGMENT_SCHEMA = pa.schema([
     ("term", pa.string()),
     ("salt", pa.int32()),
@@ -64,7 +80,6 @@ SEGMENT_SCHEMA = pa.schema([
 @dataclass(frozen=True)
 class BuildParams:
     num_shards: int = 1
-    shard_parallelism: int = 4   # concurrent shard pipelines (driver threads)
     num_salts: int = 16
     head_df_frac: float = 0.05
     merge_parallelism: int = 0   # term-shuffle output partitions; 0 = #CPUs
@@ -87,6 +102,7 @@ def make_merge_fn(avg_dl: float):
     delta+varint encoded block-max postings row."""
 
     def merge(group: pa.Table) -> pa.Table:
+        sid = group["sid"][0].as_py()
         term = group["term"][0].as_py()
         salt = group["salt"][0].as_py()
         doc = pc.list_flatten(group["doc_ids"]).to_numpy(zero_copy_only=False)
@@ -101,6 +117,7 @@ def make_merge_fn(avg_dl: float):
         tfn = bm25.tf_norm_vec(tf, dl, avg_dl)
         enc = encode_postings(doc.astype(np.int64), tf.astype(np.int64), tfn)
         return pa.table({
+            "sid": pa.array([sid], pa.int32()),
             "term": pa.array([term], pa.string()),
             "salt": pa.array([salt], pa.int32()),
             "df": pa.array([enc.df], pa.int64()),
@@ -127,36 +144,25 @@ def _shard_inputs(input_paths: list[str], num_shards: int) -> list[list[str]]:
     return [s for s in shards if s]
 
 
-def _run_shards(fn, shard_items: list[tuple[int, list[str]]],
-                parallelism: int) -> None:
-    """Run per-shard work concurrently from driver threads (each item is an
-    independent Ray Data pipeline writing to its own checkpoint dir)."""
-    from concurrent.futures import ThreadPoolExecutor
-    workers = max(1, min(parallelism, len(shard_items)))
-    if workers == 1:
-        for sid, files in shard_items:
-            fn(sid, files)
-        return
-    # Ray's read path lazily does `from fsspec.implementations.http import
-    # HTTPFileSystem` on every read_parquet; in this environment that module
-    # FAILS to import (no aiohttp), so the attempt repeats every call and
-    # concurrent attempts from shard threads race in the import machinery
-    # (deadlock-avoidance surfaces a partial-module ImportError that Ray's
-    # `except ModuleNotFoundError` does not catch).  Register a benign
-    # stand-in once so the import succeeds and caches; Ray only uses the
-    # class in isinstance checks.
-    try:
-        import fsspec.implementations.http  # noqa: F401
-    except ImportError:
-        import sys
-        import types
-        stub = types.ModuleType("fsspec.implementations.http")
-        stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
-        sys.modules["fsspec.implementations.http"] = stub
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        futs = [ex.submit(fn, sid, files) for sid, files in shard_items]
-        for f in futs:
-            f.result()  # surface the first exception
+def _publish_partitions(tmp_root: str, pending: list[int],
+                        dest_for: dict[int, str],
+                        empty_schema: pa.Schema) -> None:
+    """Move each ``sid=K`` hive dir of a wave write into its shard's
+    checkpoint dir; shards with no output rows get an empty-table file so
+    downstream readers see a schema."""
+    import shutil
+    for sid in pending:
+        dest = dest_for[sid]
+        shutil.rmtree(dest, ignore_errors=True)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        src = os.path.join(tmp_root, f"sid={sid}")
+        if os.path.isdir(src):
+            os.replace(src, dest)
+        else:
+            os.makedirs(dest, exist_ok=True)
+            pq.write_table(empty_schema.empty_table(),
+                           os.path.join(dest, "empty.parquet"))
+    shutil.rmtree(tmp_root, ignore_errors=True)
 
 
 def _list_parquet(path: str) -> list[str]:
@@ -176,40 +182,41 @@ def build_index(pages_path: str | list[str], index_dir: str,
     shards = _shard_inputs(paths, params.num_shards)
     os.makedirs(index_dir, exist_ok=True)
 
-    # ---- phase 1: extract + doc stats, per shard (resumable) --------------
-    # Pending shards run CONCURRENTLY from driver threads: each shard is an
-    # independent Dataset pipeline (own checkpoint dir), and Ray's scheduler
-    # shares the cluster between them — this removes the serialized
-    # per-pipeline fixed cost that dominated sequential shard builds while
-    # keeping shard-granular resume.
-    def _phase1(sid: int, files: list[str]) -> None:
-        sd = ckpt.shard_dir(index_dir, sid)
-        docs_dir = os.path.join(sd, "docs")
-        if ckpt.is_done(docs_dir):
-            return
+    # ---- phase 1: extract + doc stats (one wave pipeline, resumable) ------
+    docs_dir_for = {sid: os.path.join(ckpt.shard_dir(index_dir, sid), "docs")
+                    for sid in range(len(shards))}
+    pending1 = [sid for sid in range(len(shards))
+                if not ckpt.is_done(docs_dir_for[sid])]
+    if pending1:
         t1 = time.time()
-        schema_names = pq.ParquetFile(files[0]).schema_arrow.names
+        all_files = [f for sid in pending1 for f in shards[sid]]
+        path_to_sid = {f: sid for sid in pending1 for f in shards[sid]}
+        schema_names = pq.ParquetFile(all_files[0]).schema_arrow.names
         cols = [c for c in ("doc_id", "url", "html") if c in schema_names]
         if "html" not in schema_names:  # pre-extracted corpus (text input)
             cols.append("text")
-        ds = rd.read_parquet(files, columns=cols)
+        ds = rd.read_parquet(all_files, columns=cols, include_paths=True)
         # ExtractDocs is stateless -> task pool (an instance, not the class):
         # elastic scheduling, no actor-pool cold start (which dominated small
         # builds: ~13s of the first shard's wall time was pool spin-up).
-        ds = ds.map_batches(ExtractDocs(), batch_format="pyarrow",
+        ds = ds.map_batches(ExtractDocs(path_to_sid=path_to_sid),
+                            batch_format="pyarrow",
                             batch_size=params.extract_batch_size)
-        os.makedirs(docs_dir, exist_ok=True)
-        ds.write_parquet(docs_dir)
-        # per-shard doc stats from the written column (projection-pruned read)
-        stat = pq.read_table(docs_dir, columns=["doc_len"])
-        n_docs = stat.num_rows
-        sum_dl = int(pc.sum(stat["doc_len"]).as_py() or 0)
-        ckpt.update_shard_record(index_dir, sid, input_files=files,
-                                 n_docs=n_docs, sum_dl=sum_dl,
-                                 phase1_secs=round(time.time() - t1, 3))
-        ckpt.mark_done(docs_dir)
-
-    _run_shards(_phase1, list(enumerate(shards)), params.shard_parallelism)
+        tmp_root = os.path.join(index_dir, "_wave_docs")
+        import shutil
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        ds.write_parquet(tmp_root, partition_cols=["sid"])
+        wave1 = round(time.time() - t1, 3)
+        _publish_partitions(tmp_root, pending1, docs_dir_for, DOCS_SCHEMA)
+        for sid in pending1:
+            # per-shard doc stats from the written column (projection-pruned)
+            stat = pq.read_table(docs_dir_for[sid], columns=["doc_len"])
+            ckpt.update_shard_record(
+                index_dir, sid, input_files=shards[sid],
+                n_docs=stat.num_rows,
+                sum_dl=int(pc.sum(stat["doc_len"]).as_py() or 0),
+                phase1_wave_secs=wave1)
+            ckpt.mark_done(docs_dir_for[sid])
 
     # ---- global stats ------------------------------------------------------
     recs = [ckpt.read_shard_record(index_dir, sid) for sid in range(len(shards))]
@@ -224,35 +231,45 @@ def build_index(pages_path: str | list[str], index_dir: str,
     # computed against the GLOBAL avg_dl (a shard-local average would break
     # the WAND upper-bound invariant).
     merge = make_merge_fn(avg_dl)
-
-    def _phase2(sid: int, _files: list[str]) -> None:
-        sd = ckpt.shard_dir(index_dir, sid)
-        seg_dir = os.path.join(sd, "seg")
-        if ckpt.is_done(seg_dir):
-            return
+    seg_dir_for = {sid: os.path.join(ckpt.shard_dir(index_dir, sid), "seg")
+                   for sid in range(len(shards))}
+    pending2 = [sid for sid in range(len(shards))
+                if not ckpt.is_done(seg_dir_for[sid])]
+    if pending2:
         t2 = time.time()
-        docs = rd.read_parquet(os.path.join(sd, "docs"),
-                               columns=["doc_id", "text", "doc_len"])
+        dir_to_sid = {docs_dir_for[sid]: sid for sid in pending2}
+        docs_files = [f for sid in pending2
+                      for f in _list_parquet(docs_dir_for[sid])]
+        docs = rd.read_parquet(docs_files,
+                               columns=["doc_id", "text", "doc_len"],
+                               include_paths=True)
         partials = docs.map_batches(
             PartialPostingsBuilder(num_salts=params.num_salts,
-                                   head_df_frac=params.head_df_frac),
+                                   head_df_frac=params.head_df_frac,
+                                   dir_to_sid=dir_to_sid),
             batch_format="pyarrow", batch_size=params.postings_batch_size)
         # the sort-based groupby emits one output partition per input block;
         # partial-posting rows are few but heavy, so widen explicitly or the
         # merge stage runs ~5-way on a 32-core node
         partials = partials.repartition(params.merge_parallelism or _ncpu())
-        segs = partials.groupby(["term", "salt"]).map_groups(
+        # shard id is part of the shuffle key: ONE all-to-all covers every
+        # pending shard (doc sets are disjoint across shards, so grouping by
+        # (sid, term, salt) merges exactly what per-shard shuffles did)
+        segs = partials.groupby(["sid", "term", "salt"]).map_groups(
             merge, batch_format="pyarrow")
-        os.makedirs(seg_dir, exist_ok=True)
-        segs.write_parquet(seg_dir)
-        meta = pq.read_table(seg_dir, columns=["df"])
-        ckpt.update_shard_record(index_dir, sid,
-                                 n_term_shards=meta.num_rows,
-                                 n_postings=int(pc.sum(meta["df"]).as_py() or 0),
-                                 phase2_secs=round(time.time() - t2, 3))
-        ckpt.mark_done(seg_dir)
-
-    _run_shards(_phase2, list(enumerate(shards)), params.shard_parallelism)
+        tmp_root = os.path.join(index_dir, "_wave_seg")
+        import shutil
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        segs.write_parquet(tmp_root, partition_cols=["sid"])
+        wave2 = round(time.time() - t2, 3)
+        _publish_partitions(tmp_root, pending2, seg_dir_for, SEGMENT_SCHEMA)
+        for sid in pending2:
+            meta = pq.read_table(seg_dir_for[sid], columns=["df"])
+            ckpt.update_shard_record(
+                index_dir, sid, n_term_shards=meta.num_rows,
+                n_postings=int(pc.sum(meta["df"]).as_py() or 0),
+                phase2_wave_secs=wave2)
+            ckpt.mark_done(seg_dir_for[sid])
 
     # ---- global term dictionary -------------------------------------------
     # (term -> global df) so shard-subset readers / query actors can score

@@ -50,7 +50,16 @@ class ExtractDocs:
     Inputs that already carry extracted ``text`` (and no ``html``) skip the
     extraction step — the index build then starts at tokenization, matching
     the reference's JSONL-paper path (``bm25_precompute.py:24-26``).
+
+    ``path_to_sid``: when set (and the batch has the ``path`` column from
+    ``read_parquet(include_paths=True)``), a ``sid`` shard-id column is
+    appended so ONE pipeline can process every pending shard and fan its
+    output back out with a hive-partitioned write — per-pipeline fixed costs
+    (scheduling + shuffle floors) dominated per-shard pipelines.
     """
+
+    def __init__(self, path_to_sid: dict[str, int] | None = None):
+        self.path_to_sid = path_to_sid
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "html" in batch.column_names:
@@ -69,15 +78,20 @@ class ExtractDocs:
                                   dtype=np.int64, count=len(urls))
         texts_arr = pa.array(texts, pa.string())
         doc_lens = doc_lengths(texts_arr, len(texts))  # Arrow kernels, not per-doc re
-        return pa.table({
+        cols = {
             "doc_id": pa.array(doc_ids, pa.int64()),
             "url": pa.array(urls, pa.string()),
             "text": texts_arr,
             "doc_len": pa.array(doc_lens, pa.int32()),
-        })
+        }
+        if self.path_to_sid is not None and "path" in batch.column_names:
+            sids = [self.path_to_sid[p] for p in batch["path"].to_pylist()]
+            cols["sid"] = pa.array(sids, pa.int32())
+        return pa.table(cols)
 
 
 PARTIALS_SCHEMA = pa.schema([
+    ("sid", pa.int32()),
     ("term", pa.string()),
     ("salt", pa.int32()),
     ("doc_ids", pa.list_(pa.int64())),
@@ -87,21 +101,39 @@ PARTIALS_SCHEMA = pa.schema([
 
 
 class PartialPostingsBuilder:
-    """docs ``(doc_id, text, doc_len)`` -> partial postings (one row per term).
+    """docs ``(doc_id, text, doc_len[, sid])`` -> partial postings
+    (one row per (shard, term)).
 
     Stateful actor: the stop-word Arrow array and salt parameters live for
     the actor's lifetime (loaded once in ``__init__`` — reference analog: the
     per-partition scorer state in ``bm25_searcher.py:64-69``).
+
+    ``dir_to_sid``: docs-directory -> shard id, resolved from the ``path``
+    column (``include_paths=True``); one pipeline covers every pending shard
+    and batches may mix shards, so runs group by (sid, term).  Without a
+    mapping (single-shard/test use) sid is 0.
     """
 
-    def __init__(self, num_salts: int = 16, head_df_frac: float = 0.05):
+    def __init__(self, num_salts: int = 16, head_df_frac: float = 0.05,
+                 dir_to_sid: dict[str, int] | None = None):
         self.num_salts = int(num_salts)
         self.head_df_frac = float(head_df_frac)
+        self.dir_to_sid = dir_to_sid
+
+    def _sids(self, batch: pa.Table) -> np.ndarray:
+        if self.dir_to_sid is not None and "path" in batch.column_names:
+            import os
+            return np.fromiter(
+                (self.dir_to_sid[os.path.dirname(p)]
+                 for p in batch["path"].to_pylist()),
+                dtype=np.int32, count=batch.num_rows)
+        return np.zeros(batch.num_rows, dtype=np.int32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_docs = batch.num_rows
         if n_docs == 0:
             return PARTIALS_SCHEMA.empty_table()
+        sid_col = self._sids(batch)
         tc = term_counts(batch["text"])          # (pidx, term, tf) — C++ kernels
         pidx = tc["pidx"].to_numpy()
         term_dict = tc["term"].combine_chunks().dictionary_encode()
@@ -112,11 +144,13 @@ class PartialPostingsBuilder:
         dls_col = batch["doc_len"].to_numpy(zero_copy_only=False).astype(np.int32)
         doc = doc_ids_col[pidx]
         dl = dls_col[pidx]
+        sid = sid_col[pidx]
 
-        order = np.lexsort((doc, codes))              # group by term, doc asc within
-        codes_s, doc_s, tf_s, dl_s = codes[order], doc[order], tf[order], dl[order]
-        # run boundaries per term
-        cut = np.flatnonzero(np.diff(codes_s)) + 1
+        order = np.lexsort((doc, codes, sid))   # group by (sid, term), doc asc
+        sid_s, codes_s = sid[order], codes[order]
+        doc_s, tf_s, dl_s = doc[order], tf[order], dl[order]
+        # run boundaries per (sid, term)
+        cut = np.flatnonzero((np.diff(codes_s) != 0) | (np.diff(sid_s) != 0)) + 1
         starts = np.concatenate(([0], cut))
         ends = np.concatenate((cut, [codes_s.size]))
         df_part = ends - starts
@@ -133,6 +167,7 @@ class PartialPostingsBuilder:
 
         off = pa.array(offsets, pa.int64())
         return pa.table({
+            "sid": pa.array(sid_s[starts], pa.int32()),
             "term": terms,
             "salt": pa.array(salts, pa.int32()),
             "doc_ids": pa.LargeListArray.from_arrays(off, pa.array(doc_s, pa.int64())).cast(pa.list_(pa.int64())),
