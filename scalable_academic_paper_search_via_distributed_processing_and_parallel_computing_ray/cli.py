@@ -16,8 +16,11 @@ import sys
 
 
 def _ray_session(num_cpus: int | None):
+    """Returns (ray, owned): shutdown only a session this CLI started, so
+    `main()` is callable from a host that already holds one (e.g. tests)."""
     import ray
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         kwargs = {"address": "local", "include_dashboard": False,
                   "logging_level": "ERROR"}
         if num_cpus:
@@ -25,7 +28,7 @@ def _ray_session(num_cpus: int | None):
         ray.init(**kwargs)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
-    return ray
+    return ray, owned
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -53,8 +56,15 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--query", required=True)
     d.add_argument("--k", type=int, default=10)
 
+    f = sub.add_parser("fetch", help="point lookup by doc_id -> JSON "
+                       "(reference /paper/{id} + fetch_paper_job analog)")
+    f.add_argument("--index", required=True)
+    f.add_argument("--doc-id", type=int, required=True)
+    f.add_argument("--out", default=None,
+                   help="write result JSON to this file instead of stdout")
+
     args = p.parse_args(argv)
-    ray = _ray_session(args.num_cpus)
+    ray, owned = _ray_session(args.num_cpus)
     try:
         if args.cmd == "build":
             from .pipelines import build
@@ -85,9 +95,20 @@ def main(argv: list[str] | None = None) -> int:
                                       "score": round(h.score, 6)}))
             finally:
                 ds.shutdown()
+        elif args.cmd == "fetch":
+            from .pipelines.query import fetch_doc
+            doc = fetch_doc(args.index, args.doc_id)
+            payload = json.dumps(doc, default=str)
+            if args.out:  # point-result JSON file (reference S7 writer)
+                with open(args.out, "w") as fh:
+                    fh.write(payload + "\n")
+            else:
+                print(payload)
+            return 0 if doc is not None else 2
         return 0
     finally:
-        ray.shutdown()
+        if owned:
+            ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -165,11 +165,37 @@ def _publish_partitions(tmp_root: str, pending: list[int],
     shutil.rmtree(tmp_root, ignore_errors=True)
 
 
+_JSON_EXTS = (".jsonl", ".json", ".jsonl.gz", ".json.gz")
+
+
 def _list_parquet(path: str) -> list[str]:
     if os.path.isdir(path):
         return sorted(
-            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet"))
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet") or f.endswith(_JSON_EXTS))
     return [path]
+
+
+def _input_schema_names(first_file: str) -> list[str]:
+    """Column names of the input corpus (parquet footer, or the first JSONL
+    record — the reference's ingest is schema-inferred line JSON,
+    ``CoreDataCleaner.scala:23-25``)."""
+    if first_file.endswith(_JSON_EXTS):
+        import gzip
+        import json as _json
+        opener = gzip.open if first_file.endswith(".gz") else open
+        with opener(first_file, "rt") as f:
+            return list(_json.loads(f.readline()).keys())
+    return list(pq.ParquetFile(first_file).schema_arrow.names)
+
+
+def _read_corpus(files: list[str], cols: list[str]) -> rd.Dataset:
+    """read_parquet with projection pushdown, or read_json for JSONL corpora
+    (SURVEY.md §2.1 S1 — JSONL has no column pruning; projection happens in
+    the first map)."""
+    if files[0].endswith(_JSON_EXTS):
+        return rd.read_json(files, include_paths=True)
+    return rd.read_parquet(files, columns=cols, include_paths=True)
 
 
 def build_index(pages_path: str | list[str], index_dir: str,
@@ -191,11 +217,11 @@ def build_index(pages_path: str | list[str], index_dir: str,
         t1 = time.time()
         all_files = [f for sid in pending1 for f in shards[sid]]
         path_to_sid = {f: sid for sid in pending1 for f in shards[sid]}
-        schema_names = pq.ParquetFile(all_files[0]).schema_arrow.names
+        schema_names = _input_schema_names(all_files[0])
         cols = [c for c in ("doc_id", "url", "html") if c in schema_names]
         if "html" not in schema_names:  # pre-extracted corpus (text input)
             cols.append("text")
-        ds = rd.read_parquet(all_files, columns=cols, include_paths=True)
+        ds = _read_corpus(all_files, cols)
         # ExtractDocs is stateless -> task pool (an instance, not the class):
         # elastic scheduling, no actor-pool cold start (which dominated small
         # builds: ~13s of the first shard's wall time was pool spin-up).

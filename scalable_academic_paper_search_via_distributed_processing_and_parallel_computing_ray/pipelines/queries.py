@@ -137,6 +137,49 @@ SELECT term, count(*) AS total_tf FROM tok GROUP BY term
 ORDER BY total_tf DESC, term LIMIT 20"""
 
 
+def q_tfidf(sf_dir: str) -> rd.Dataset:
+    """Per-(doc, term) TF-IDF with the Spark-IDF formula ``ln((N+1)/(df+1))``
+    (reference A3 + M8: ``LexicalIndexer.scala:45-53`` HashingTF+IDF —
+    collision-free and uncapped here, keyed by term string).  The df side is
+    pre-aggregated, collected small (one row per term) and broadcast into
+    the scoring pass via ``ray.put`` — the broadcast-join idiom for small
+    sides (SURVEY.md §2.4 J4); at web scale the dictionary is the index's
+    termdict table, still O(vocab) not O(corpus)."""
+    import ray as _ray
+    df_tbl = q_term_df(sf_dir).to_pandas()
+    n_docs = int(_read(sf_dir, "documents", ["doc_id"]).count())
+    idf = {t: float(np.log((n_docs + 1.0) / (d + 1.0)))
+           for t, d in zip(df_tbl["term"], df_tbl["df"])}
+    idf_ref = _ray.put(idf)
+
+    def f(b: pa.Table) -> pa.Table:
+        idf_map = _ray.get(idf_ref)   # zero-copy from local object store
+        tc = term_counts(b["text"])
+        pidx = tc["pidx"].to_numpy()
+        terms = tc["term"].to_pylist()
+        tf = tc["tf"].to_numpy().astype(np.float64)
+        doc_ids = b["doc_id"].to_numpy()[pidx]
+        idfs = np.fromiter((idf_map[t] for t in terms), dtype=np.float64,
+                           count=len(terms))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tfidf_m": pa.array(round_m(tf * idfs), pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(f, batch_format="pyarrow")
+
+
+SQL_TFIDF = f"""WITH {_CTE_TOKS},
+tfm AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfm AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+nn AS (SELECT count(*) AS n_docs FROM dl)
+SELECT tfm.doc_id, tfm.term,
+       CAST(ROUND(CAST(tf AS DOUBLE) * ln((CAST(n_docs AS DOUBLE) + 1.0) / (df + 1.0)) * 1000) AS BIGINT) AS tfidf_m
+FROM tfm JOIN dfm USING (term) CROSS JOIN nn"""
+
+
 # ---------------------------------------------------------------- BM25 ----
 
 BM25_QUERY = "spark data join"
@@ -740,6 +783,7 @@ def registry():
         "avg_doc_len": q_avg_doc_len,
         "term_df": q_term_df,
         "vocab_top20": q_vocab_top20,
+        "tfidf": q_tfidf,
         "bm25_top10": q_bm25_top10,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
@@ -772,6 +816,7 @@ def registry():
         "avg_doc_len": SQL_AVG_DOC_LEN,
         "term_df": SQL_TERM_DF,
         "vocab_top20": SQL_VOCAB_TOP20,
+        "tfidf": SQL_TFIDF,
         "bm25_top10": _sql_bm25(BM25_QUERY, BM25_K),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram": SQL_DEDUP_NGRAM,

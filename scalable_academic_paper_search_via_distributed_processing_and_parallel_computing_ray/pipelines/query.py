@@ -47,6 +47,22 @@ _UB_MARGIN = 1.0 + 1e-5  # float32 block-max bounds -> widen before pruning
 _I64MAX = np.iinfo(np.int64).max
 
 
+def fetch_doc(index_dir: str, doc_id: int) -> dict | None:
+    """Point lookup by doc_id over the per-shard docs tables (SURVEY.md §2.4
+    J6/J8).  The reference spawns a fresh spark-submit per request and
+    full-scans the corpus for one id (``api/combined.py:227-278`` ->
+    ``api/fetch_paper_job.py:19``); here parquet row-group statistics prune
+    the scan (predicate pushdown) and no new process or session is needed.
+    Returns the doc row as a dict, or None."""
+    shards_root = os.path.join(index_dir, "shards")
+    for s in sorted(os.listdir(shards_root)):
+        t = pq.read_table(os.path.join(shards_root, s, "docs"),
+                          filters=[("doc_id", "==", int(doc_id))])
+        if t.num_rows:
+            return t.slice(0, 1).to_pylist()[0]
+    return None
+
+
 @dataclass
 class TopkResult:
     doc_id: int

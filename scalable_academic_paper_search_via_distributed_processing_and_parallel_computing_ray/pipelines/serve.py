@@ -47,6 +47,12 @@ class QueryShardActor:
         return {"n_docs_local": int(self.reader._doc_ids.size),
                 "n_terms_local": len(self.reader._postings)}
 
+    def fetch(self, doc_id: int) -> dict | None:
+        """Point lookup served without a per-request job (unlike the
+        reference's spark-submit-per-request ``/paper/{id}`` endpoint)."""
+        from .query import fetch_doc
+        return fetch_doc(self.reader.index_dir, doc_id)
+
 
 class DistributedSearcher:
     """Partition the index's shards over ``num_actors`` query actors."""
