@@ -73,21 +73,31 @@ def varint_decode(buf: bytes | memoryview) -> np.ndarray:
 
 @dataclass
 class EncodedPostings:
-    """One (term, salt) shard: columnar fields stored in the segment table."""
+    """One (term, salt) shard: columnar fields stored in the segment table.
+
+    Block score bounds are stored as raw ``(max tf, min doc_len)`` per block,
+    NOT a precomputed tf_norm: ``tf_norm(tf, dl, avg_dl)`` is increasing in
+    tf and decreasing in dl, so ``tf_norm(max_tf, min_dl, avg_dl)`` is a
+    valid upper bound for ANY current global ``avg_dl`` — which is what lets
+    an index be extended with new shards (shifting avg_dl) without touching
+    already-written segments.  The reader derives the float bound at load
+    time (``pipelines/query.py``).
+    """
     df: int                      # number of postings in this shard
     doc_bytes: bytes             # concatenated per-block varint(delta(doc_ids))
     tf_bytes: bytes              # concatenated per-block varint(tf - 1)
     block_first: np.ndarray      # int64 — first doc_id of each block
     block_doc_off: np.ndarray    # int32 — byte offset of each block in doc_bytes
     block_tf_off: np.ndarray     # int32 — byte offset of each block in tf_bytes
-    block_max_tfnorm: np.ndarray  # float32 — max tf_norm within each block
+    block_max_tf: np.ndarray     # int64 — max tf within each block
+    block_min_dl: np.ndarray     # int32 — min doc_len within each block
     block_last: np.ndarray       # int64 — last doc_id of each block (skip bound)
 
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
-                    tfnorms: np.ndarray) -> EncodedPostings:
-    """doc_ids strictly ascending int64; tfs >= 1; tfnorms = bm25.tf_norm per
-    posting (block-max basis).
+                    dls: np.ndarray) -> EncodedPostings:
+    """doc_ids strictly ascending int64; tfs >= 1; dls = doc length per
+    posting (block-bound basis).
 
     Fully vectorized across ALL blocks: deltas are computed globally with the
     block-leading value kept absolute, both streams varint-encode in one call,
@@ -96,11 +106,10 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
     over blocks (which dominated merge time on long head-term lists).
     """
     n = doc_ids.size
-    assert tfs.size == n and tfnorms.size == n
+    assert tfs.size == n and dls.size == n
     if n == 0:
         z32, z64 = np.zeros(0, np.int32), np.zeros(0, np.int64)
-        return EncodedPostings(0, b"", b"", z64, z32, z32,
-                               np.zeros(0, np.float32), z64)
+        return EncodedPostings(0, b"", b"", z64, z32, z32, z64, z32, z64)
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     starts = np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
     ends = np.minimum(starts + BLOCK_SIZE, n)
@@ -121,8 +130,10 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
         block_first=doc_ids[starts],
         block_doc_off=doc_off.astype(np.int32),
         block_tf_off=tf_off.astype(np.int32),
-        block_max_tfnorm=np.maximum.reduceat(
-            tfnorms.astype(np.float64), starts).astype(np.float32),
+        block_max_tf=np.maximum.reduceat(
+            np.asarray(tfs, dtype=np.int64), starts),
+        block_min_dl=np.minimum.reduceat(
+            np.asarray(dls, dtype=np.int64), starts).astype(np.int32),
         block_last=doc_ids[ends - 1],
     )
 

@@ -72,8 +72,8 @@ SEGMENT_SCHEMA = pa.schema([
     ("block_last", pa.list_(pa.int64())),
     ("block_doc_off", pa.list_(pa.int32())),
     ("block_tf_off", pa.list_(pa.int32())),
-    ("block_max_tfnorm", pa.list_(pa.float32())),
-    ("max_tfnorm", pa.float32()),
+    ("block_max_tf", pa.list_(pa.int64())),
+    ("block_min_dl", pa.list_(pa.int32())),
 ])
 
 
@@ -97,42 +97,39 @@ def _ncpu() -> int:
         return 4
 
 
-def make_merge_fn(avg_dl: float):
-    """Per-(term, salt) merge: k-way concat of sorted partial lists ->
-    delta+varint encoded block-max postings row."""
-
-    def merge(group: pa.Table) -> pa.Table:
-        sid = group["sid"][0].as_py()
-        term = group["term"][0].as_py()
-        salt = group["salt"][0].as_py()
-        doc = pc.list_flatten(group["doc_ids"]).to_numpy(zero_copy_only=False)
-        tf = pc.list_flatten(group["tfs"]).to_numpy(zero_copy_only=False)
-        dl = pc.list_flatten(group["dls"]).to_numpy(zero_copy_only=False)
-        order = np.argsort(doc, kind="stable")
-        doc, tf, dl = doc[order], tf[order], dl[order]
-        if doc.size > 1 and (np.diff(doc) <= 0).any():
-            raise ValueError(
-                f"duplicate doc_id in postings for term={term!r}; "
-                "run dedup (stages/dedup.py) before indexing")
-        tfn = bm25.tf_norm_vec(tf, dl, avg_dl)
-        enc = encode_postings(doc.astype(np.int64), tf.astype(np.int64), tfn)
-        return pa.table({
-            "sid": pa.array([sid], pa.int32()),
-            "term": pa.array([term], pa.string()),
-            "salt": pa.array([salt], pa.int32()),
-            "df": pa.array([enc.df], pa.int64()),
-            "doc_bytes": pa.array([enc.doc_bytes], pa.binary()),
-            "tf_bytes": pa.array([enc.tf_bytes], pa.binary()),
-            "block_first": pa.array([enc.block_first.tolist()], pa.list_(pa.int64())),
-            "block_last": pa.array([enc.block_last.tolist()], pa.list_(pa.int64())),
-            "block_doc_off": pa.array([enc.block_doc_off.tolist()], pa.list_(pa.int32())),
-            "block_tf_off": pa.array([enc.block_tf_off.tolist()], pa.list_(pa.int32())),
-            "block_max_tfnorm": pa.array([enc.block_max_tfnorm.tolist()], pa.list_(pa.float32())),
-            "max_tfnorm": pa.array([np.float32(enc.block_max_tfnorm.max()) if enc.df else np.float32(0)],
-                                   pa.float32()),
-        })
-
-    return merge
+def merge_postings(group: pa.Table) -> pa.Table:
+    """Per-(sid, term, salt) merge: k-way concat of sorted partial lists ->
+    delta+varint encoded postings row with raw (max_tf, min_dl) block bounds.
+    Needs NO global state (the avg_dl-dependent bound is derived at read
+    time), so segment shards stay valid when the index is later extended."""
+    sid = group["sid"][0].as_py()
+    term = group["term"][0].as_py()
+    salt = group["salt"][0].as_py()
+    doc = pc.list_flatten(group["doc_ids"]).to_numpy(zero_copy_only=False)
+    tf = pc.list_flatten(group["tfs"]).to_numpy(zero_copy_only=False)
+    dl = pc.list_flatten(group["dls"]).to_numpy(zero_copy_only=False)
+    order = np.argsort(doc, kind="stable")
+    doc, tf, dl = doc[order], tf[order], dl[order]
+    if doc.size > 1 and (np.diff(doc) <= 0).any():
+        raise ValueError(
+            f"duplicate doc_id in postings for term={term!r}; "
+            "run dedup (stages/dedup.py) before indexing")
+    enc = encode_postings(doc.astype(np.int64), tf.astype(np.int64),
+                          dl.astype(np.int64))
+    return pa.table({
+        "sid": pa.array([sid], pa.int32()),
+        "term": pa.array([term], pa.string()),
+        "salt": pa.array([salt], pa.int32()),
+        "df": pa.array([enc.df], pa.int64()),
+        "doc_bytes": pa.array([enc.doc_bytes], pa.binary()),
+        "tf_bytes": pa.array([enc.tf_bytes], pa.binary()),
+        "block_first": pa.array([enc.block_first.tolist()], pa.list_(pa.int64())),
+        "block_last": pa.array([enc.block_last.tolist()], pa.list_(pa.int64())),
+        "block_doc_off": pa.array([enc.block_doc_off.tolist()], pa.list_(pa.int32())),
+        "block_tf_off": pa.array([enc.block_tf_off.tolist()], pa.list_(pa.int32())),
+        "block_max_tf": pa.array([enc.block_max_tf.tolist()], pa.list_(pa.int64())),
+        "block_min_dl": pa.array([enc.block_min_dl.tolist()], pa.list_(pa.int32())),
+    })
 
 
 def _shard_inputs(input_paths: list[str], num_shards: int) -> list[list[str]]:
@@ -198,25 +195,23 @@ def _read_corpus(files: list[str], cols: list[str]) -> rd.Dataset:
     return rd.read_parquet(files, columns=cols, include_paths=True)
 
 
-def build_index(pages_path: str | list[str], index_dir: str,
-                params: BuildParams = BuildParams()) -> dict:
-    """Build (or resume) the full index under ``index_dir``; returns manifest."""
-    t0 = time.time()
-    paths = []
-    for p in ([pages_path] if isinstance(pages_path, str) else pages_path):
-        paths.extend(_list_parquet(p))
-    shards = _shard_inputs(paths, params.num_shards)
-    os.makedirs(index_dir, exist_ok=True)
+def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
+                  params: BuildParams) -> None:
+    """Run phase 1 + phase 2 for the given {shard_id: input files}, skipping
+    shards whose done-markers exist.  Both phases are avg_dl-independent
+    (block bounds store raw max_tf/min_dl), so this is safe both for a fresh
+    build and for appending new shards to an existing index."""
+    shard_ids = sorted(shard_map)
 
     # ---- phase 1: extract + doc stats (one wave pipeline, resumable) ------
     docs_dir_for = {sid: os.path.join(ckpt.shard_dir(index_dir, sid), "docs")
-                    for sid in range(len(shards))}
-    pending1 = [sid for sid in range(len(shards))
+                    for sid in shard_ids}
+    pending1 = [sid for sid in shard_ids
                 if not ckpt.is_done(docs_dir_for[sid])]
     if pending1:
         t1 = time.time()
-        all_files = [f for sid in pending1 for f in shards[sid]]
-        path_to_sid = {f: sid for sid in pending1 for f in shards[sid]}
+        all_files = [f for sid in pending1 for f in shard_map[sid]]
+        path_to_sid = {f: sid for sid in pending1 for f in shard_map[sid]}
         schema_names = _input_schema_names(all_files[0])
         cols = [c for c in ("doc_id", "url", "html") if c in schema_names]
         if "html" not in schema_names:  # pre-extracted corpus (text input)
@@ -238,28 +233,16 @@ def build_index(pages_path: str | list[str], index_dir: str,
             # per-shard doc stats from the written column (projection-pruned)
             stat = pq.read_table(docs_dir_for[sid], columns=["doc_len"])
             ckpt.update_shard_record(
-                index_dir, sid, input_files=shards[sid],
+                index_dir, sid, input_files=shard_map[sid],
                 n_docs=stat.num_rows,
                 sum_dl=int(pc.sum(stat["doc_len"]).as_py() or 0),
                 phase1_wave_secs=wave1)
             ckpt.mark_done(docs_dir_for[sid])
 
-    # ---- global stats ------------------------------------------------------
-    recs = [ckpt.read_shard_record(index_dir, sid) for sid in range(len(shards))]
-    n_total = sum(r["n_docs"] for r in recs)
-    sum_dl = sum(r["sum_dl"] for r in recs)
-    avg_dl = (sum_dl / n_total) if n_total else 1.0
-    ckpt.write_json(os.path.join(index_dir, "stats.json"),
-                    {"n_docs": n_total, "sum_dl": sum_dl, "avg_dl": avg_dl})
-
     # ---- phase 2: partial postings -> salted shuffle -> segments ----------
-    # Runs only after EVERY shard's phase 1, because block-max bounds are
-    # computed against the GLOBAL avg_dl (a shard-local average would break
-    # the WAND upper-bound invariant).
-    merge = make_merge_fn(avg_dl)
     seg_dir_for = {sid: os.path.join(ckpt.shard_dir(index_dir, sid), "seg")
-                   for sid in range(len(shards))}
-    pending2 = [sid for sid in range(len(shards))
+                   for sid in shard_ids}
+    pending2 = [sid for sid in shard_ids
                 if not ckpt.is_done(seg_dir_for[sid])]
     if pending2:
         t2 = time.time()
@@ -282,7 +265,7 @@ def build_index(pages_path: str | list[str], index_dir: str,
         # pending shard (doc sets are disjoint across shards, so grouping by
         # (sid, term, salt) merges exactly what per-shard shuffles did)
         segs = partials.groupby(["sid", "term", "salt"]).map_groups(
-            merge, batch_format="pyarrow")
+            merge_postings, batch_format="pyarrow")
         tmp_root = os.path.join(index_dir, "_wave_seg")
         import shutil
         shutil.rmtree(tmp_root, ignore_errors=True)
@@ -297,11 +280,22 @@ def build_index(pages_path: str | list[str], index_dir: str,
                 phase2_wave_secs=wave2)
             ckpt.mark_done(seg_dir_for[sid])
 
-    # ---- global term dictionary -------------------------------------------
-    # (term -> global df) so shard-subset readers / query actors can score
-    # with the GLOBAL idf; small (one row per term) and cheap to rebuild.
+
+def _finalize(index_dir: str, n_shards: int, params: BuildParams,
+              t0: float) -> dict:
+    """Global stats + term dictionary + manifest over ALL shards (cheap:
+    O(shards) lineage records + O(vocab) seg metadata)."""
+    recs = [ckpt.read_shard_record(index_dir, sid) for sid in range(n_shards)]
+    n_total = sum(r["n_docs"] for r in recs)
+    sum_dl = sum(r["sum_dl"] for r in recs)
+    avg_dl = (sum_dl / n_total) if n_total else 1.0
+    ckpt.write_json(os.path.join(index_dir, "stats.json"),
+                    {"n_docs": n_total, "sum_dl": sum_dl, "avg_dl": avg_dl})
+
+    # global term dictionary (term -> global df) so shard-subset readers /
+    # query actors score with the GLOBAL idf; one row per term.
     seg_tables = []
-    for sid in range(len(shards)):
+    for sid in range(n_shards):
         seg_tables.append(pq.read_table(
             os.path.join(ckpt.shard_dir(index_dir, sid), "seg"),
             columns=["term", "df"]))
@@ -310,19 +304,62 @@ def build_index(pages_path: str | list[str], index_dir: str,
     pq.write_table(termdict.sort_by("term"),
                    os.path.join(index_dir, "termdict.parquet"))
 
-    # ---- manifest ----------------------------------------------------------
-    recs = [ckpt.read_shard_record(index_dir, sid) for sid in range(len(shards))]
     manifest = {
-        "format_version": 1,
+        "format_version": 2,
         "tokenizer_version": TOKENIZER_VERSION,
         "extractor_version": EXTRACTOR_VERSION,
         "params": asdict(params),
         "n_docs": n_total,
         "avg_dl": avg_dl,
-        "n_shards": len(shards),
+        "n_shards": n_shards,
         "shards": recs,
         "build_secs": round(time.time() - t0, 3),
         "docs_per_sec": round(n_total / max(1e-9, time.time() - t0), 1),
     }
     ckpt.write_json(os.path.join(index_dir, "manifest.json"), manifest)
     return manifest
+
+
+def build_index(pages_path: str | list[str], index_dir: str,
+                params: BuildParams = BuildParams()) -> dict:
+    """Build (or resume) the full index under ``index_dir``; returns manifest."""
+    t0 = time.time()
+    paths = []
+    for p in ([pages_path] if isinstance(pages_path, str) else pages_path):
+        paths.extend(_list_parquet(p))
+    shards = _shard_inputs(paths, params.num_shards)
+    os.makedirs(index_dir, exist_ok=True)
+    _build_shards(index_dir, dict(enumerate(shards)), params)
+    return _finalize(index_dir, len(shards), params, t0)
+
+
+def extend_index(pages_path: str | list[str], index_dir: str,
+                 num_new_shards: int | None = None) -> dict:
+    """Append new input files to an EXISTING index as new shards, without
+    touching any already-written segment (incremental build — the capability
+    the reference lacks entirely: its stages restart from zero,
+    SURVEY.md §4.1 "Spark jobs restart from zero").
+
+    Existing postings stay valid because block score bounds are stored as
+    raw (max_tf, min_dl) and the avg_dl-dependent BM25 bound is derived at
+    read time; only the cheap global artifacts (stats.json,
+    termdict.parquet, manifest.json) are recomputed.  Scores after an extend
+    are IDENTICAL to a fresh build over the union of inputs (global df and
+    avg_dl are whole-index quantities; tested in tests/test_extend.py).
+
+    Caller contract: new files must not contain doc_ids/urls already in the
+    index (dedup first — stages/dedup.py).
+    """
+    t0 = time.time()
+    manifest = ckpt.read_json(os.path.join(index_dir, "manifest.json"))
+    params = BuildParams(**manifest["params"])
+    if num_new_shards is None:
+        num_new_shards = params.num_shards
+    paths = []
+    for p in ([pages_path] if isinstance(pages_path, str) else pages_path):
+        paths.extend(_list_parquet(p))
+    base = int(manifest["n_shards"])
+    new_shards = _shard_inputs(paths, num_new_shards)
+    shard_map = {base + i: files for i, files in enumerate(new_shards)}
+    _build_shards(index_dir, shard_map, params)
+    return _finalize(index_dir, base + len(new_shards), params, t0)

@@ -194,7 +194,15 @@ def documents_index(sf_dir: str) -> query_mod.IndexReader:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     if tag not in _IDX_CACHE:
         idx_dir = f"/tmp/graft_docidx/{tag}"
-        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        mf = os.path.join(idx_dir, "manifest.json")
+        fresh = False
+        if os.path.exists(mf):
+            import json as _json
+            with open(mf) as f:
+                fresh = _json.load(f).get("format_version") == 2
+        if not fresh:
+            import shutil
+            shutil.rmtree(idx_dir, ignore_errors=True)
             build_mod.build_index(os.path.join(sf_dir, "documents.parquet"),
                                   idx_dir,
                                   build_mod.BuildParams(num_shards=2))
@@ -203,13 +211,23 @@ def documents_index(sf_dir: str) -> query_mod.IndexReader:
 
 
 def q_bm25_top10(sf_dir: str) -> pa.Table:
-    """Full engine path: SPIMI index + block-max WAND top-k (north rule)."""
+    """Full engine path: SPIMI index + block-max WAND top-k (north rule).
+
+    Ranks are assigned on the QUANTIZED score (score_m desc, doc_id asc),
+    identically to the oracle SQL: engine and DuckDB sum float terms in
+    different orders, so two docs can differ below milli-resolution and
+    flip — the driver compares after rounding, so the tie-break must too.
+    A few extra candidates are fetched to resolve rounding ties that
+    straddle the k boundary."""
     reader = documents_index(sf_dir)
-    hits = reader.search_wand(BM25_QUERY, BM25_K)
+    hits = reader.search_wand(BM25_QUERY, BM25_K * 5)
+    docs = np.array([h.doc_id for h in hits], dtype=np.int64)
+    sm = round_m([h.score for h in hits])
+    order = np.lexsort((docs, -sm))[:BM25_K]
     return pa.table({
-        "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
-        "doc_id": pa.array([h.doc_id for h in hits], pa.int64()),
-        "score_m": pa.array(round_m([h.score for h in hits]), pa.int64()),
+        "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64)),
+        "doc_id": pa.array(docs[order], pa.int64()),
+        "score_m": pa.array(sm[order], pa.int64()),
     })
 
 
@@ -231,9 +249,10 @@ scores AS (
   WHERE tf.term IN (SELECT term FROM q)
   GROUP BY tf.doc_id
 )
-SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
-       doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS score_m
-FROM scores ORDER BY score DESC, doc_id LIMIT {k}"""
+SELECT row_number() OVER (ORDER BY score_m DESC, doc_id) AS rank,
+       doc_id, score_m
+FROM (SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS score_m FROM scores)
+ORDER BY score_m DESC, doc_id LIMIT {k}"""
 
 
 # ---------------------------------------------------------------- dedup ----

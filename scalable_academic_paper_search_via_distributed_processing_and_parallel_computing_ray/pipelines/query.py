@@ -74,12 +74,18 @@ class _BlockCursor:
 
     __slots__ = ("enc", "term_i", "idf", "ub", "bi", "nb", "_ids", "_tfs")
 
-    def __init__(self, enc: EncodedPostings, term_i: int, idf: float):
+    def __init__(self, enc: EncodedPostings, term_i: int, idf: float,
+                 avg_dl: float):
         self.enc = enc
         self.term_i = term_i
         self.idf = idf
-        # per-block score upper bounds (idf * block_max_tfnorm, widened)
-        self.ub = (idf * enc.block_max_tfnorm.astype(np.float64)) * _UB_MARGIN
+        # per-block score upper bounds derived from the stored raw
+        # (max_tf, min_dl): tf_norm is increasing in tf / decreasing in dl,
+        # so tf_norm(max_tf, min_dl, avg_dl) bounds every posting in the
+        # block under the CURRENT global avg_dl (extend-safe — codec.py)
+        bound = bm25.tf_norm_vec(enc.block_max_tf.astype(np.float64),
+                                 enc.block_min_dl.astype(np.float64), avg_dl)
+        self.ub = (idf * bound) * _UB_MARGIN
         self.bi = 0
         self.nb = enc.block_first.size
         self._ids = self._tfs = None
@@ -179,7 +185,8 @@ class IndexReader:
                     block_first=np.asarray(d["block_first"][i], np.int64),
                     block_doc_off=np.asarray(d["block_doc_off"][i], np.int32),
                     block_tf_off=np.asarray(d["block_tf_off"][i], np.int32),
-                    block_max_tfnorm=np.asarray(d["block_max_tfnorm"][i], np.float32),
+                    block_max_tf=np.asarray(d["block_max_tf"][i], np.int64),
+                    block_min_dl=np.asarray(d["block_min_dl"][i], np.int32),
                     block_last=np.asarray(d["block_last"][i], np.int64),
                 )
                 term = d["term"][i]
@@ -291,7 +298,7 @@ class IndexReader:
             idf_t = self.idf(t)
             for enc in self._postings[t]:
                 if enc.df:
-                    cursors.append(_BlockCursor(enc, ti, idf_t))
+                    cursors.append(_BlockCursor(enc, ti, idf_t, self.avg_dl))
         topk = _TopK(k)
         prev_hi = -1
         while True:

@@ -93,7 +93,8 @@ def test_doc_ids_strictly_ascending_in_segments(index_dir):
                 block_first=np.asarray(d["block_first"][i], np.int64),
                 block_doc_off=np.asarray(d["block_doc_off"][i], np.int32),
                 block_tf_off=np.asarray(d["block_tf_off"][i], np.int32),
-                block_max_tfnorm=np.asarray(d["block_max_tfnorm"][i], np.float32),
+                block_max_tf=np.asarray(d["block_max_tf"][i], np.int64),
+                block_min_dl=np.asarray(d["block_min_dl"][i], np.int32),
                 block_last=np.asarray(d["block_last"][i], np.int64))
             ids, _ = decode_postings(enc)
             assert ids.size == d["df"][i]

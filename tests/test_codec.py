@@ -33,8 +33,8 @@ def encoded():
     rng = np.random.RandomState(3)
     ids = np.unique(rng.randint(0, 1 << 45, size=1000).astype(np.int64))
     tfs = rng.randint(1, 40, size=ids.size).astype(np.int64)
-    tfn = bm25.tf_norm_vec(tfs, rng.randint(5, 500, size=ids.size), 100.0)
-    return ids, tfs, tfn, codec.encode_postings(ids, tfs, tfn)
+    dls = rng.randint(5, 500, size=ids.size).astype(np.int64)
+    return ids, tfs, dls, codec.encode_postings(ids, tfs, dls)
 
 
 def test_postings_roundtrip(encoded):
@@ -45,7 +45,7 @@ def test_postings_roundtrip(encoded):
 
 
 def test_block_invariants(encoded):
-    ids, tfs, tfn, enc = encoded
+    ids, tfs, dls, enc = encoded
     nb = enc.block_first.size
     assert nb == -(-ids.size // codec.BLOCK_SIZE)
     for bi in range(nb):
@@ -54,8 +54,14 @@ def test_block_invariants(encoded):
         assert (b_ids == ids[lo:hi]).all()
         assert b_ids[0] == enc.block_first[bi] and b_ids[-1] == enc.block_last[bi]
         assert (np.diff(b_ids) > 0).all(), "doc_ids strictly ascending"
-        # block max upper-bounds every true tf_norm in the block (float32 pad)
-        assert enc.block_max_tfnorm[bi] * (1 + 1e-6) >= tfn[lo:hi].max()
+        assert enc.block_max_tf[bi] == tfs[lo:hi].max()
+        assert enc.block_min_dl[bi] == dls[lo:hi].min()
+        # derived bound covers every true tf_norm for ANY avg_dl (extend-safe)
+        for avg_dl in (10.0, 100.0, 1000.0):
+            tfn = bm25.tf_norm_vec(tfs[lo:hi], dls[lo:hi], avg_dl)
+            bound = bm25.tf_norm(int(enc.block_max_tf[bi]),
+                                 int(enc.block_min_dl[bi]), avg_dl)
+            assert bound * (1 + 1e-12) >= tfn.max()
 
 
 def test_empty_postings():
