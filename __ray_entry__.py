@@ -41,6 +41,9 @@ def entry() -> Any:
     qids, ranks, docs, scores = [], [], [], []
     for q in pages.QUERY_SET:
         hits = reader.search_wand(q["query_text"], q["k"], q["mode"])
+        # rank on the quantized milli-score (same convention as queries()):
+        # stable output across float-summation-order changes in the scorer
+        hits.sort(key=lambda h: (-int(round_m(h.score)), h.doc_id))
         for rank, h in enumerate(hits, 1):
             qids.append(q["query_id"])
             ranks.append(rank)

@@ -90,6 +90,22 @@ def run_bench() -> dict:
     lats.sort()
     p50_ms = 1000 * lats[len(lats) // 2]
 
+    # ---- distributed serving: per-shard query actors + driver merge
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.serve import (
+        DistributedSearcher,
+    )
+    searcher = DistributedSearcher(idx_dir, num_actors=NUM_SHARDS)
+    for q in pages.QUERY_SET:  # warm actors (index load happens here)
+        searcher.search(q["query_text"], q["k"], q["mode"])
+    slats = []
+    for q in pages.QUERY_SET:
+        t1 = time.time()
+        searcher.search(q["query_text"], q["k"], q["mode"])
+        slats.append(time.time() - t1)
+    searcher.shutdown()
+    slats.sort()
+    serve_p50_ms = 1000 * slats[len(slats) // 2]
+
     # ---- sample of the other pipelines at the raw sf dir
     names = () if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else (
         "term_df", "dedup_exact", "knn_brute", "join_revenue", "sessionize")
@@ -111,6 +127,7 @@ def run_bench() -> dict:
         "n_docs": int(n_docs),
         "docs_per_sec": round(n_docs / t_build, 1),
         "bm25_p50_ms": round(p50_ms, 2),
+        "serve_p50_ms": round(serve_p50_ms, 2),
     }
     ray.shutdown()
     return result

@@ -42,6 +42,13 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--shards", type=int, default=4)
     b.add_argument("--salts", type=int, default=16)
 
+    e = sub.add_parser("extend", help="append new input files to an existing "
+                       "index as new shards (no segment rewrite)")
+    e.add_argument("--pages", required=True)
+    e.add_argument("--index", required=True)
+    e.add_argument("--shards", type=int, default=None,
+                   help="number of NEW shards (default: build-time setting)")
+
     s = sub.add_parser("search", help="query an index")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -74,6 +81,12 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({k: m[k] for k in
                               ("n_docs", "avg_dl", "build_secs", "docs_per_sec",
                                "n_shards")}))
+        elif args.cmd == "extend":
+            from .pipelines import build
+            m = build.extend_index(args.pages, args.index,
+                                   num_new_shards=args.shards)
+            print(json.dumps({k: m[k] for k in
+                              ("n_docs", "avg_dl", "build_secs", "n_shards")}))
         elif args.cmd == "search":
             from .pipelines.query import IndexReader
             r = IndexReader(args.index)
