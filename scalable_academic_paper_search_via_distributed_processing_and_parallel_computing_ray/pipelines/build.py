@@ -274,9 +274,14 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
         _publish_partitions(tmp_root, pending2, seg_dir_for, SEGMENT_SCHEMA)
         for sid in pending2:
             meta = pq.read_table(seg_dir_for[sid], columns=["df"])
+            seg_bytes = sum(
+                os.path.getsize(os.path.join(seg_dir_for[sid], f))
+                for f in os.listdir(seg_dir_for[sid]) if f.endswith(".parquet"))
+            n_post = int(pc.sum(meta["df"]).as_py() or 0)
             ckpt.update_shard_record(
                 index_dir, sid, n_term_shards=meta.num_rows,
-                n_postings=int(pc.sum(meta["df"]).as_py() or 0),
+                n_postings=n_post, seg_bytes=seg_bytes,
+                bytes_per_posting=round(seg_bytes / max(1, n_post), 3),
                 phase2_wave_secs=wave2)
             ckpt.mark_done(seg_dir_for[sid])
 
@@ -304,6 +309,8 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
     pq.write_table(termdict.sort_by("term"),
                    os.path.join(index_dir, "termdict.parquet"))
 
+    n_postings = sum(r.get("n_postings", 0) for r in recs)
+    seg_bytes = sum(r.get("seg_bytes", 0) for r in recs)
     manifest = {
         "format_version": 2,
         "tokenizer_version": TOKENIZER_VERSION,
@@ -312,6 +319,9 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
         "n_docs": n_total,
         "avg_dl": avg_dl,
         "n_shards": n_shards,
+        "n_postings": n_postings,
+        "index_bytes": seg_bytes,
+        "bytes_per_posting": round(seg_bytes / max(1, n_postings), 3),
         "shards": recs,
         "build_secs": round(time.time() - t0, 3),
         "docs_per_sec": round(n_total / max(1e-9, time.time() - t0), 1),
