@@ -126,9 +126,15 @@ def ensure_pages_parquet(sf_dir: str, out_root: str = "/tmp/graft_pages",
     subsequent calls.  Returns the directory path.
 
     ``replicate > 1`` scales the corpus deterministically for benchmarking:
-    copy r gets ``doc_id + r * 10^9`` and fresh urls/html (distinct pages,
-    same Zipfian text), so bench runs have enough work for the parallelism
-    under test without any external data.
+    copy r gets ``doc_id + r * 10^9`` and fresh urls/html (distinct pages),
+    so bench runs have enough work for the parallelism under test without
+    any external data.  Every 4th replica (``r % 4 == 1``) additionally gets
+    a replica-suffixed vocabulary (word -> ``{word}r{r}``): the base corpus
+    has only ~32 distinct terms, so without this every query term is dense
+    (df ≈ 0.8N) and block-max pruning can never engage; suffixed replicas
+    give the scaled corpus a df spectrum from head terms (~60% of docs) down
+    to selective terms (~0.2% of docs), which is what a Zipfian web corpus
+    actually looks like.  See :data:`SELECTIVE_QUERY_SET`.
     """
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out_dir = os.path.join(out_root, f"{tag}-{num_files}-x{replicate}")
@@ -168,8 +174,12 @@ def ensure_pages_parquet(sf_dir: str, out_root: str = "/tmp/graft_pages",
 
     for r in range(replicate):
         off = r * 1_000_000_000
+        spread = replicate > 1 and r % 4 == 1
+        sfx = f"r{r}"
         for did, txt, lg in zip(doc_ids, texts, langs):
             rid = int(did) + off
+            if spread:
+                txt = " ".join(w + sfx for w in txt.split())
             h, t = make_page(rid, txt)
             buf_ids.append(rid)
             buf_html.append(h)
@@ -186,6 +196,16 @@ def ensure_pages_parquet(sf_dir: str, out_root: str = "/tmp/graft_pages",
 # Fixed query set (FIXTURES.md F2) — mirrors the reference's query shapes
 # (multi-term phrase `bm25_searcher.py:22`, single rare term, head terms,
 # OOV, stop-words-only, Unicode).
+# Selective queries against the replica-suffixed vocabulary of scaled bench
+# corpora (valid when replicate >= 6): each term's df is ~1/replicate of the
+# corpus, so block-max WAND actually prunes — these measure the
+# posting-list-traversal regime, while QUERY_SET measures the dense regime.
+SELECTIVE_QUERY_SET: list[dict] = [
+    {"query_id": 100, "query_text": "sparkr1 datar1 joinr1", "mode": "or", "k": 10},
+    {"query_id": 101, "query_text": "vectorr5 hashr5", "mode": "and", "k": 10},
+    {"query_id": 102, "query_text": "queryr1 planr5 scanr9", "mode": "or", "k": 10},
+]
+
 QUERY_SET: list[dict] = [
     {"query_id": 0, "query_text": "spark data join", "mode": "or", "k": 10},
     {"query_id": 1, "query_text": "window merge sort batch", "mode": "or", "k": 10},
