@@ -141,6 +141,17 @@ def _shard_inputs(input_paths: list[str], num_shards: int) -> list[list[str]]:
     return [s for s in shards if s]
 
 
+def _threaded(fn, items, workers: int = 8):
+    """Driver-side helper: run per-shard metadata reads concurrently —
+    pyarrow releases the GIL, and these serial loops were ~10% of a 32-CPU
+    build's wall time at 5M docs."""
+    from concurrent.futures import ThreadPoolExecutor
+    if len(items) <= 1:
+        return [fn(x) for x in items]
+    with ThreadPoolExecutor(max_workers=min(workers, len(items))) as ex:
+        return list(ex.map(fn, items))
+
+
 def _publish_partitions(tmp_root: str, pending: list[int],
                         dest_for: dict[int, str],
                         empty_schema: pa.Schema) -> None:
@@ -229,15 +240,20 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
         ds.write_parquet(tmp_root, partition_cols=["sid"])
         wave1 = round(time.time() - t1, 3)
         _publish_partitions(tmp_root, pending1, docs_dir_for, DOCS_SCHEMA)
-        for sid in pending1:
+        t1s = time.time()
+
+        def _doc_stats(sid: int) -> tuple[int, int, int]:
             # per-shard doc stats from the written column (projection-pruned)
             stat = pq.read_table(docs_dir_for[sid], columns=["doc_len"])
+            return sid, stat.num_rows, int(pc.sum(stat["doc_len"]).as_py() or 0)
+
+        for sid, n_docs, sum_dl in _threaded(_doc_stats, pending1):
             ckpt.update_shard_record(
                 index_dir, sid, input_files=shard_map[sid],
-                n_docs=stat.num_rows,
-                sum_dl=int(pc.sum(stat["doc_len"]).as_py() or 0),
-                phase1_wave_secs=wave1)
+                n_docs=n_docs, sum_dl=sum_dl, phase1_wave_secs=wave1)
             ckpt.mark_done(docs_dir_for[sid])
+        ckpt.update_shard_record(index_dir, pending1[0],
+                                 phase1_stats_secs=round(time.time() - t1s, 3))
 
     # ---- phase 2: partial postings -> salted shuffle -> segments ----------
     seg_dir_for = {sid: os.path.join(ckpt.shard_dir(index_dir, sid), "seg")
@@ -272,24 +288,32 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
         segs.write_parquet(tmp_root, partition_cols=["sid"])
         wave2 = round(time.time() - t2, 3)
         _publish_partitions(tmp_root, pending2, seg_dir_for, SEGMENT_SCHEMA)
-        for sid in pending2:
+        t2s = time.time()
+
+        def _seg_stats(sid: int) -> tuple[int, int, int, int]:
             meta = pq.read_table(seg_dir_for[sid], columns=["df"])
             seg_bytes = sum(
                 os.path.getsize(os.path.join(seg_dir_for[sid], f))
                 for f in os.listdir(seg_dir_for[sid]) if f.endswith(".parquet"))
-            n_post = int(pc.sum(meta["df"]).as_py() or 0)
+            return (sid, meta.num_rows,
+                    int(pc.sum(meta["df"]).as_py() or 0), seg_bytes)
+
+        for sid, n_rows, n_post, seg_bytes in _threaded(_seg_stats, pending2):
             ckpt.update_shard_record(
-                index_dir, sid, n_term_shards=meta.num_rows,
+                index_dir, sid, n_term_shards=n_rows,
                 n_postings=n_post, seg_bytes=seg_bytes,
                 bytes_per_posting=round(seg_bytes / max(1, n_post), 3),
                 phase2_wave_secs=wave2)
             ckpt.mark_done(seg_dir_for[sid])
+        ckpt.update_shard_record(index_dir, pending2[0],
+                                 phase2_stats_secs=round(time.time() - t2s, 3))
 
 
 def _finalize(index_dir: str, n_shards: int, params: BuildParams,
               t0: float) -> dict:
     """Global stats + term dictionary + manifest over ALL shards (cheap:
     O(shards) lineage records + O(vocab) seg metadata)."""
+    tf0 = time.time()
     recs = [ckpt.read_shard_record(index_dir, sid) for sid in range(n_shards)]
     n_total = sum(r["n_docs"] for r in recs)
     sum_dl = sum(r["sum_dl"] for r in recs)
@@ -299,11 +323,11 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
 
     # global term dictionary (term -> global df) so shard-subset readers /
     # query actors score with the GLOBAL idf; one row per term.
-    seg_tables = []
-    for sid in range(n_shards):
-        seg_tables.append(pq.read_table(
+    seg_tables = _threaded(
+        lambda sid: pq.read_table(
             os.path.join(ckpt.shard_dir(index_dir, sid), "seg"),
-            columns=["term", "df"]))
+            columns=["term", "df"]),
+        list(range(n_shards)))
     termdict = pa.concat_tables(seg_tables).group_by("term") \
         .aggregate([("df", "sum")]).rename_columns(["term", "df"])
     pq.write_table(termdict.sort_by("term"),
@@ -323,6 +347,7 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
         "index_bytes": seg_bytes,
         "bytes_per_posting": round(seg_bytes / max(1, n_postings), 3),
         "shards": recs,
+        "finalize_secs": round(time.time() - tf0, 3),
         "build_secs": round(time.time() - t0, 3),
         "docs_per_sec": round(n_total / max(1e-9, time.time() - t0), 1),
     }
