@@ -149,12 +149,25 @@ class IndexReader:
     segment schema (offsets + block metadata) is designed for range reads.
     """
 
-    def __init__(self, index_dir: str, shard_subset: list[str] | None = None):
+    def __init__(self, index_dir: str, shard_subset: list[str] | None = None,
+                 cache_postings_budget: int = 0):
         """``shard_subset``: load only these shard dir names (for per-actor
         partitioned serving).  Global stats (N, avg_dl) always come from the
         manifest and per-term GLOBAL df from ``termdict.parquet``, so scores
-        from a subset reader equal the full reader's on its shards' docs."""
+        from a subset reader equal the full reader's on its shards' docs.
+
+        ``cache_postings_budget``: if > 0, keep up to this many DECODED
+        postings (ids + tfs + dense doc positions) in an LRU keyed by term.
+        Off by default — a one-shot reader pays decode per query, which is
+        the honest batch-latency number; long-lived query actors
+        (pipelines/serve.py) turn it on because re-decoding the same head
+        terms per request is wasted work (the reference's serving layer
+        similarly keeps its whole index resident, ``api/combined.py:100-126``).
+        Memory cost ~20 bytes per cached posting."""
         self.index_dir = index_dir
+        self._cache_budget = int(cache_postings_budget)
+        self._decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._cached_postings = 0
         self.manifest = ckpt.read_json(os.path.join(index_dir, "manifest.json"))
         self.n_docs = int(self.manifest["n_docs"])
         self.avg_dl = float(self.manifest["avg_dl"])
@@ -208,6 +221,27 @@ class IndexReader:
     def idf(self, term: str) -> float:
         return bm25.idf(self.n_docs, self._df.get(term, 0))
 
+    def _term_postings(self, t: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(ids, tfs, dense_idx) for a term, concatenated over its
+        (salt, shard) rows; LRU-cached when a cache budget is set."""
+        hit = self._decoded.get(t)
+        if hit is not None:
+            self._decoded[t] = self._decoded.pop(t)  # LRU touch
+            return hit
+        parts = [decode_postings(enc) for enc in self._postings[t]]
+        ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        idx = np.searchsorted(self._doc_ids, ids)
+        if self._cache_budget > 0:
+            while (self._decoded and
+                   self._cached_postings + ids.size > self._cache_budget):
+                oldest = next(iter(self._decoded))
+                self._cached_postings -= self._decoded.pop(oldest)[0].size
+            if ids.size <= self._cache_budget:
+                self._decoded[t] = (ids, tfs, idx)
+                self._cached_postings += ids.size
+        return ids, tfs, idx
+
     def query_terms(self, query_text: str) -> list[str]:
         """Unique query terms, first-occurrence order.  OOV terms simply have
         no postings (reference dropped them against its 50k vocab,
@@ -238,13 +272,10 @@ class IndexReader:
         hits = np.zeros(n_local, dtype=np.int16) if mode == "and" else None
         for t in terms:
             idf_t = self.idf(t)
-            parts = [decode_postings(enc) for enc in self._postings[t]]
-            # one lookup + score call per TERM, not per (salt, shard) row —
-            # head terms fan out to num_salts * num_shards rows and the
-            # per-row numpy fixed cost dominated dense-query latency
-            ids = np.concatenate([p[0] for p in parts])
-            tfs = np.concatenate([p[1] for p in parts])
-            idx = np.searchsorted(self._doc_ids, ids)
+            # one decode + lookup per TERM, not per (salt, shard) row — head
+            # terms fan out to num_salts * num_shards rows and the per-row
+            # numpy fixed cost dominated dense-query latency
+            ids, tfs, idx = self._term_postings(t)
             dls = self._doc_lens[idx]
             s = bm25.score_vec(idf_t, tfs, dls, self.avg_dl)
             agg += np.bincount(idx, weights=s, minlength=n_local)

@@ -30,8 +30,13 @@ class QueryShardActor:
     """Holds a subset of index shards; state loads once per actor
     (reference ST3 pattern, SURVEY.md §2.3)."""
 
-    def __init__(self, index_dir: str, shard_names: list[str]):
-        self.reader = IndexReader(index_dir, shard_subset=shard_names)
+    def __init__(self, index_dir: str, shard_names: list[str],
+                 cache_postings_budget: int = 20_000_000):
+        # long-lived actor: cache decoded postings for hot terms (~20B per
+        # posting -> default budget ~400MB/actor; the reference's serving
+        # process similarly holds its index resident)
+        self.reader = IndexReader(index_dir, shard_subset=shard_names,
+                                  cache_postings_budget=cache_postings_budget)
 
     def search(self, query_text: str, k: int, mode: str,
                method: str = "auto") -> list[tuple[int, float]]:
