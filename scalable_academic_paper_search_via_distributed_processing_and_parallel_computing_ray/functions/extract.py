@@ -20,9 +20,11 @@ Contract
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 
-EXTRACTOR_VERSION = "htx-1"
+EXTRACTOR_VERSION = "htx-2"
 
 _SKIP_CONTENT = {"script", "style", "template", "noscript"}
 _BLOCK = {
@@ -71,10 +73,110 @@ class _TextExtractor(HTMLParser):
         return "\n".join(self._blocks)
 
 
+# --------------------------------------------------------------------------
+# Fast scanner: one compiled regex walks the document; text between tag
+# matches is buffered per block and entity-unescaped once per block.  Tags
+# with quoted attribute values (which may contain '>') are matched by the
+# quote-aware alternation.  Semantics mirror _TextExtractor (depth-counted
+# skip elements, block flush on block tags); ~3x fewer Python-level calls
+# than HTMLParser, which dominated index-build phase 1 (~105us/doc).
+# _TextExtractor is kept as the executable spec; tests assert byte-equality
+# of both implementations over the whole fixture corpus.
+_MARKUP_RE = re.compile(
+    r"""<(?:
+        !--.*?(?:-->|$)                              # comment
+      | !\[CDATA\[.*?(?:\]\]>|$)                     # CDATA
+      | ![^>]*>                                      # doctype / other decls
+      | \?[^>]*>                                     # processing instruction
+      | (?P<close>/)?
+        (?P<tag>[a-zA-Z][a-zA-Z0-9:._-]*)            # tag name
+        (?:[^>"']|"[^"]*"|'[^']*')*                  # attrs (quote-aware)
+        >
+    )""",
+    re.S | re.X)
+
+
+_RAWTEXT = {"script", "style"}  # HTML5 raw-text: only own end tag terminates
+
+
+def _fast_html_to_text(html: str) -> str:
+    blocks: list[str] = []
+    buf: list[str] = []
+    skip_depth = 0          # <template>/<noscript> nesting (parsed normally)
+    rawtext: str | None = None  # inside <script>/<style> until matching close
+    pos = 0
+
+    def flush() -> None:
+        if buf:
+            block = " ".join("".join(buf).split())
+            buf.clear()
+            if block:
+                blocks.append(block)
+
+    for m in _MARKUP_RE.finditer(html):
+        tag = m.group("tag")
+        if rawtext is not None:
+            # inside raw-text content nothing is markup except the matching
+            # end tag; drop everything (skip-content contract)
+            pos = m.end()
+            if tag is not None and m.group("close") and tag.lower() == rawtext:
+                rawtext = None
+            continue
+        if m.start() > pos and skip_depth == 0:
+            seg = html[pos:m.start()]
+            # unescape BEFORE whitespace collapse (like HTMLParser's
+            # convert_charrefs) so whitespace-valued refs collapse too
+            buf.append(unescape(seg) if "&" in seg else seg)
+        pos = m.end()
+        if tag is None:
+            continue  # comment / doctype / PI
+        tag = tag.lower()
+        if m.group("close"):
+            if tag in _SKIP_CONTENT and skip_depth > 0:
+                skip_depth -= 1
+            if tag in _BLOCK:
+                flush()
+        else:
+            if not m.group(0).endswith("/>"):
+                if tag in _RAWTEXT:
+                    rawtext = tag
+                elif tag in _SKIP_CONTENT:
+                    skip_depth += 1
+            if tag in _BLOCK:
+                flush()
+    if pos < len(html) and skip_depth == 0 and rawtext is None:
+        seg = html[pos:]
+        buf.append(unescape(seg) if "&" in seg else seg)
+    flush()
+    return "\n".join(blocks)
+
+
 def html_to_text(html: bytes | str) -> str:
     """Extract visible text from an HTML document, deterministically."""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
+    return _fast_html_to_text(html)
+
+
+def html_to_text_reference(html: bytes | str) -> str:
+    """HTMLParser-based executable spec (slow path; tests assert equality).
+
+    One contract fix over raw HTMLParser: an unterminated ``<!--`` comment
+    runs to EOF and is dropped (HTML5 behavior, matching the scanner) —
+    CPython's parser would emit the tail as data on close().
+    """
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    pos = 0
+    while True:
+        i = html.find("<!--", pos)
+        if i == -1:
+            break
+        j = html.find("-->", i + 4)
+        if j == -1:
+            html = html[:i]
+            break
+        pos = j + 3
     p = _TextExtractor()
     p.feed(html)
     p.close()

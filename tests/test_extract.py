@@ -8,6 +8,63 @@ from scalable_academic_paper_search_via_distributed_processing_and_parallel_comp
 )
 
 
+def test_fast_scanner_equals_htmlparser_spec(pages_dir):
+    """The regex scanner (production path) must byte-match the HTMLParser
+    executable spec over the whole fixture corpus and on edge inputs."""
+    import pyarrow.parquet as pq
+
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.functions.extract import (
+        html_to_text,
+        html_to_text_reference,
+    )
+    t = pq.read_table(pages_dir, columns=["html"])
+    for h in t["html"].to_pylist():
+        assert html_to_text(h) == html_to_text_reference(h)
+    for edge in (
+        "", "plain text", "a < b>c", "<p>x<p>y", "<P>UPPER</P>",
+        "<br/>line<br />two", "<!-- unterminated", "<script>1<2</script>ok",
+        "<div class=\"a>b\">quoted gt</div>", "<p>caf&#233; &amp; t&eacute;</p>",
+        "<![CDATA[raw]]>after", "<?pi target?>x", "<!DOCTYPE html><p>d</p>",
+        "<a href='x>y'>link</a> tail",
+    ):
+        assert html_to_text(edge) == html_to_text_reference(edge), repr(edge)
+
+
+def test_fast_scanner_fuzz_structured():
+    """Property test: scanner == spec on generated HTML-ish documents
+    (tags open/close/void, text runs, entities, comments, attributes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.functions.extract import (
+        html_to_text,
+        html_to_text_reference,
+    )
+
+    tag = st.sampled_from(["p", "div", "b", "span", "li", "h1", "script",
+                           "style", "pre", "td", "a"])
+    text = st.text(alphabet="ab c\ndé&; .<", max_size=12)
+    piece = st.one_of(
+        text,
+        tag.map(lambda t: f"<{t}>"),
+        tag.map(lambda t: f"</{t}>"),
+        tag.map(lambda t: f"<{t} class=\"x\">"),
+        st.just("<br/>"),
+        st.just("<!-- c -->"),
+        st.just("&#233;"),
+        st.just("&amp;"),
+        st.just("<a href='u>v'>"),
+    )
+    doc = st.lists(piece, max_size=24).map("".join)
+
+    @given(doc)
+    @settings(max_examples=250, deadline=None)
+    def check(s):
+        assert html_to_text(s) == html_to_text_reference(s), repr(s)
+
+    check()
+
+
 def test_byte_identity_full_corpus(pages_dir):
     tbl = pq.read_table(pages_dir, columns=["url", "html", "text"])
     for url, html, want in zip(tbl["url"].to_pylist(), tbl["html"].to_pylist(),
