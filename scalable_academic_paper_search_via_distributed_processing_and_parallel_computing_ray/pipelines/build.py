@@ -282,6 +282,11 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
         # (sid, term, salt) merges exactly what per-shard shuffles did)
         segs = partials.groupby(["sid", "term", "salt"]).map_groups(
             merge_postings, batch_format="pyarrow")
+        # map_groups emits ONE-ROW blocks; written as-is each row becomes
+        # its own parquet row group (~570 per file), which made segment
+        # reads metadata-bound (~5x slower).  Coalesce before the write.
+        segs = segs.map_batches(lambda b: b, batch_format="pyarrow",
+                                batch_size=128)
         tmp_root = os.path.join(index_dir, "_wave_seg")
         import shutil
         shutil.rmtree(tmp_root, ignore_errors=True)

@@ -184,33 +184,74 @@ class IndexReader:
         order = np.argsort(ids)
         self._doc_ids = ids[order]
         self._doc_lens = dls[order].astype(np.float64)
-        # segments: term -> [EncodedPostings, ...]
+        # segments: term -> [EncodedPostings, ...].  Loaded batch-vectorized:
+        # list columns flatten ONCE per record batch into numpy (per-row
+        # arrays are views via offset slicing) and the varint streams stay
+        # zero-copy memoryviews into the Arrow data buffers — the previous
+        # per-row to_pydict() conversion cost ~15s / 2x memory on a 5M-doc
+        # index (and is the prototype for the mmap loader, SCALE.md switch
+        # point 3: offsets allow range reads without loading whole shards).
         self._postings: dict[str, list[EncodedPostings]] = {}
         self._df: dict[str, int] = {}
         for s in shard_names:
             t = pq.read_table(os.path.join(shards_root, s, "seg"))
-            d = t.to_pydict()
-            for i in range(t.num_rows):
-                enc = EncodedPostings(
-                    df=d["df"][i],
-                    doc_bytes=d["doc_bytes"][i],
-                    tf_bytes=d["tf_bytes"][i],
-                    block_first=np.asarray(d["block_first"][i], np.int64),
-                    block_doc_off=np.asarray(d["block_doc_off"][i], np.int32),
-                    block_tf_off=np.asarray(d["block_tf_off"][i], np.int32),
-                    block_max_tf=np.asarray(d["block_max_tf"][i], np.int64),
-                    block_min_dl=np.asarray(d["block_min_dl"][i], np.int32),
-                    block_last=np.asarray(d["block_last"][i], np.int64),
-                )
-                term = d["term"][i]
-                self._postings.setdefault(term, []).append(enc)
-                self._df[term] = self._df.get(term, 0) + enc.df
+            for rb in t.to_batches():
+                self._load_seg_batch(rb)
         # subset readers must score with GLOBAL df (termdict), not local sums
         if shard_subset is not None:
             td_path = os.path.join(index_dir, "termdict.parquet")
             td = pq.read_table(td_path)
             self._df = dict(zip(td["term"].to_pylist(),
                                 (int(x) for x in td["df"].to_pylist())))
+
+    def _load_seg_batch(self, rb) -> None:
+        """Add one segment record batch to the in-memory posting map."""
+        n = rb.num_rows
+        if n == 0:
+            return
+        terms = rb.column("term").to_pylist()
+        dfs = rb.column("df").to_numpy()
+
+        def binary_views(name):
+            col = rb.column(name)
+            # BinaryArray exposes no .offsets property; read the raw int32
+            # offsets buffer (honoring a possible array offset)
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                col.offset: col.offset + len(col) + 1]
+            data = memoryview(col.buffers()[2])
+            return offs, data
+
+        d_offs, d_data = binary_views("doc_bytes")
+        t_offs, t_data = binary_views("tf_bytes")
+
+        def flat(name, dtype):
+            # .values (not .flatten()) so the child array aligns with the
+            # RAW offsets even if the batch were a slice
+            col = rb.column(name)
+            vals = col.values.to_numpy(zero_copy_only=False)
+            return col.offsets.to_numpy(), np.ascontiguousarray(vals, dtype=dtype)
+
+        bf_o, bf = flat("block_first", np.int64)
+        bl_o, bl = flat("block_last", np.int64)
+        bd_o, bd = flat("block_doc_off", np.int32)
+        bt_o, bt = flat("block_tf_off", np.int32)
+        bm_o, bm = flat("block_max_tf", np.int64)
+        bn_o, bn = flat("block_min_dl", np.int32)
+        for i in range(n):
+            enc = EncodedPostings(
+                df=int(dfs[i]),
+                doc_bytes=d_data[d_offs[i]:d_offs[i + 1]],
+                tf_bytes=t_data[t_offs[i]:t_offs[i + 1]],
+                block_first=bf[bf_o[i]:bf_o[i + 1]],
+                block_doc_off=bd[bd_o[i]:bd_o[i + 1]],
+                block_tf_off=bt[bt_o[i]:bt_o[i + 1]],
+                block_max_tf=bm[bm_o[i]:bm_o[i + 1]],
+                block_min_dl=bn[bn_o[i]:bn_o[i + 1]],
+                block_last=bl[bl_o[i]:bl_o[i + 1]],
+            )
+            term = terms[i]
+            self._postings.setdefault(term, []).append(enc)
+            self._df[term] = self._df.get(term, 0) + enc.df
 
     # ------------------------------------------------------------ helpers --
 
