@@ -1,0 +1,74 @@
+"""Degenerate build inputs: empty files, empty shards, stop-words-only and
+empty documents must produce a loadable, queryable (empty-ish) index."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines import (
+    build,
+    query,
+)
+from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.sources.pages import (
+    PAGES_SCHEMA,
+)
+
+
+def _write_pages(path, rows):
+    cols = {name: [] for name in PAGES_SCHEMA.names}
+    for r in rows:
+        for name in PAGES_SCHEMA.names:
+            cols[name].append(r[name])
+    pq.write_table(pa.table(cols, schema=PAGES_SCHEMA), path)
+
+
+def _row(doc_id, html):
+    return {"doc_id": doc_id, "url": f"https://x.example/{doc_id}",
+            "warc_ts": 0, "html": html.encode(), "text": "", "lang": "en"}
+
+
+def test_build_with_empty_file_and_shard(ray_session, tmp_path):
+    d = tmp_path / "pages"
+    d.mkdir()
+    _write_pages(d / "a.parquet", [_row(1, "<p>hello world data</p>")])
+    _write_pages(d / "b.parquet", [])  # empty input file -> empty shard
+    idx = str(tmp_path / "idx")
+    m = build.build_index(str(d), idx, build.BuildParams(num_shards=2))
+    assert m["n_docs"] == 1
+    r = query.IndexReader(idx)
+    hits = r.search_wand("hello", 10)
+    assert [h.doc_id for h in hits] == [1]
+    # empty shard must still be loadable as a subset
+    import os
+    names = sorted(os.listdir(os.path.join(idx, "shards")))
+    for name in names:
+        sub = query.IndexReader(idx, shard_subset=[name])
+        assert sub.n_docs == 1  # global stats ride the manifest
+
+
+def test_build_stopwords_and_empty_docs(ray_session, tmp_path):
+    d = tmp_path / "pages"
+    d.mkdir()
+    _write_pages(d / "a.parquet", [
+        _row(1, "<p>the and of a</p>"),      # stop-words only -> doc_len 0
+        _row(2, "<p></p>"),                   # empty text
+        _row(3, "<p>unique token here</p>"),
+    ])
+    idx = str(tmp_path / "idx")
+    m = build.build_index(str(d), idx, build.BuildParams(num_shards=1))
+    assert m["n_docs"] == 3
+    r = query.IndexReader(idx)
+    assert [h.doc_id for h in r.search_wand("unique", 5)] == [3]
+    assert r.search_wand("the of", 5) == []   # all query terms stop-filtered
+
+
+def test_build_all_empty(ray_session, tmp_path):
+    d = tmp_path / "pages"
+    d.mkdir()
+    _write_pages(d / "a.parquet", [])
+    idx = str(tmp_path / "idx")
+    m = build.build_index(str(d), idx, build.BuildParams(num_shards=1))
+    assert m["n_docs"] == 0
+    r = query.IndexReader(idx)
+    assert r.search_wand("anything", 5) == []
