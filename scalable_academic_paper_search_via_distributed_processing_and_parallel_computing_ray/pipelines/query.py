@@ -150,7 +150,7 @@ class IndexReader:
     """
 
     def __init__(self, index_dir: str, shard_subset: list[str] | None = None,
-                 cache_postings_budget: int = 0):
+                 cache_postings_budget: int = 0, lazy: bool = False):
         """``shard_subset``: load only these shard dir names (for per-actor
         partitioned serving).  Global stats (N, avg_dl) always come from the
         manifest and per-term GLOBAL df from ``termdict.parquet``, so scores
@@ -163,7 +163,13 @@ class IndexReader:
         (pipelines/serve.py) turn it on because re-decoding the same head
         terms per request is wasted work (the reference's serving layer
         similarly keeps its whole index resident, ``api/combined.py:100-126``).
-        Memory cost ~20 bytes per cached posting."""
+        Memory cost ~20 bytes per cached posting.
+
+        ``lazy``: don't read segment payloads at open.  Open cost becomes
+        O(vocab) (term + df columns only); a term's posting rows are read
+        from their parquet ROW GROUPS on first access (SCALE.md switch
+        point 3 — the on-demand loader a node with thousands of shards
+        needs).  Results are identical to eager mode (tested)."""
         self.index_dir = index_dir
         self._cache_budget = int(cache_postings_budget)
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
@@ -189,20 +195,56 @@ class IndexReader:
         # arrays are views via offset slicing) and the varint streams stay
         # zero-copy memoryviews into the Arrow data buffers — the previous
         # per-row to_pydict() conversion cost ~15s / 2x memory on a 5M-doc
-        # index (and is the prototype for the mmap loader, SCALE.md switch
-        # point 3: offsets allow range reads without loading whole shards).
+        # index.
         self._postings: dict[str, list[EncodedPostings]] = {}
         self._df: dict[str, int] = {}
+        self._lazy = bool(lazy)
+        seg_files = []
         for s in shard_names:
-            t = pq.read_table(os.path.join(shards_root, s, "seg"))
-            for rb in t.to_batches():
-                self._load_seg_batch(rb)
-        # subset readers must score with GLOBAL df (termdict), not local sums
-        if shard_subset is not None:
+            seg_dir = os.path.join(shards_root, s, "seg")
+            seg_files.extend(os.path.join(seg_dir, f)
+                             for f in sorted(os.listdir(seg_dir))
+                             if f.endswith(".parquet"))
+        if self._lazy:
+            # term -> [(file_idx, row_group_idx), ...] from the term column
+            # only; payload row groups read on demand (_ensure_term)
+            self._seg_files = seg_files
+            self._loc: dict[str, list[tuple[int, int]]] = {}
+            self._loaded_rgs: set[tuple[int, int]] = set()
+            for fi, f in enumerate(seg_files):
+                pf = pq.ParquetFile(f)
+                for rg in range(pf.metadata.num_row_groups):
+                    terms = pf.read_row_group(rg, columns=["term"])["term"]
+                    for term in set(terms.to_pylist()):
+                        self._loc.setdefault(term, []).append((fi, rg))
+        else:
+            for f in seg_files:
+                for rb in pq.read_table(f).to_batches():
+                    self._load_seg_batch(rb)
+        # lazy readers can't sum local df incrementally; subset readers must
+        # score with GLOBAL df — both take it from termdict
+        if shard_subset is not None or self._lazy:
             td_path = os.path.join(index_dir, "termdict.parquet")
             td = pq.read_table(td_path)
             self._df = dict(zip(td["term"].to_pylist(),
                                 (int(x) for x in td["df"].to_pylist())))
+
+    def _has_term(self, t: str) -> bool:
+        return t in (self._loc if self._lazy else self._postings)
+
+    def _encs(self, t: str) -> list[EncodedPostings]:
+        if self._lazy:
+            # complete iff every row group holding one of this term's rows
+            # is materialized (a term can be PARTIALLY present because a
+            # row-group load materializes all its rows for other terms too)
+            for fi, rg in self._loc.get(t, ()):
+                if (fi, rg) in self._loaded_rgs:
+                    continue
+                self._loaded_rgs.add((fi, rg))
+                pf = pq.ParquetFile(self._seg_files[fi])
+                for rb in pf.read_row_group(rg).to_batches():
+                    self._load_seg_batch(rb)
+        return self._postings.get(t, [])
 
     def _load_seg_batch(self, rb) -> None:
         """Add one segment record batch to the in-memory posting map."""
@@ -251,7 +293,8 @@ class IndexReader:
             )
             term = terms[i]
             self._postings.setdefault(term, []).append(enc)
-            self._df[term] = self._df.get(term, 0) + enc.df
+            if not self._lazy:  # lazy/subset df comes from termdict (global)
+                self._df[term] = self._df.get(term, 0) + enc.df
 
     # ------------------------------------------------------------ helpers --
 
@@ -269,7 +312,7 @@ class IndexReader:
         if hit is not None:
             self._decoded[t] = self._decoded.pop(t)  # LRU touch
             return hit
-        parts = [decode_postings(enc) for enc in self._postings[t]]
+        parts = [decode_postings(enc) for enc in self._encs(t)]
         ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
         idx = np.searchsorted(self._doc_ids, ids)
@@ -305,7 +348,7 @@ class IndexReader:
         the O(P log P) ``np.unique`` + scatter-add that dominated latency on
         dense corpora.  Top-k via ``argpartition`` on the nonzero candidates,
         tie-broken (score desc, doc_id asc)."""
-        terms = [t for t in self.query_terms(query_text) if t in self._postings]
+        terms = [t for t in self.query_terms(query_text) if self._has_term(t)]
         if not terms:
             return []
         n_local = self._doc_ids.size
@@ -348,10 +391,10 @@ class IndexReader:
         window must be scored anyway, so the single-pass vectorized
         exhaustive-postings scorer is strictly faster.  Both are
         rank-identical (tested)."""
-        terms = [t for t in self.query_terms(query_text) if t in self._postings]
+        terms = [t for t in self.query_terms(query_text) if self._has_term(t)]
         if not terms:
             return []
-        mean_density = sum(self._df[t] for t in terms) / (len(terms) * max(1, self.n_docs))
+        mean_density = sum(self._df.get(t, 0) for t in terms) / (len(terms) * max(1, self.n_docs))
         if mean_density > density_cutoff:
             return self.search_exhaustive(query_text, k, mode)
         return self.search_wand(query_text, k, mode)
@@ -361,14 +404,14 @@ class IndexReader:
     def search_wand(self, query_text: str, k: int = 10,
                     mode: str = "or") -> list[TopkResult]:
         """Block-at-a-time block-max WAND (see module docstring)."""
-        terms = [t for t in self.query_terms(query_text) if t in self._postings]
+        terms = [t for t in self.query_terms(query_text) if self._has_term(t)]
         if not terms:
             return []
         n_terms = len(terms)  # OOV terms dropped (oracle does the same)
         cursors: list[_BlockCursor] = []
         for ti, t in enumerate(terms):
             idf_t = self.idf(t)
-            for enc in self._postings[t]:
+            for enc in self._encs(t):
                 if enc.df:
                     cursors.append(_BlockCursor(enc, ti, idf_t, self.avg_dl))
         topk = _TopK(k)
