@@ -56,6 +56,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--mode", choices=("or", "and"), default="or")
     s.add_argument("--method", choices=("auto", "wand", "exhaustive"),
                    default="auto")
+    s.add_argument("--lazy", action="store_true",
+                   help="open the index lazily (on-demand row-group reads)")
 
     d = sub.add_parser("serve-demo", help="distributed actor-pool query demo")
     d.add_argument("--index", required=True)
@@ -89,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
                               ("n_docs", "avg_dl", "build_secs", "n_shards")}))
         elif args.cmd == "search":
             from .pipelines.query import IndexReader
-            r = IndexReader(args.index)
+            r = IndexReader(args.index, lazy=args.lazy)
             if args.method == "wand":
                 hits = r.search_wand(args.query, args.k, args.mode)
             elif args.method == "exhaustive":

@@ -49,6 +49,34 @@ def test_jsonl_build_matches_parquet_build(ray_session, jsonl_dir, index_dir,
         assert hj == hp
 
 
+def test_gzip_jsonl_build(ray_session, jsonl_dir, index_dir, tmp_path):
+    """Compressed line-JSON ingest (reference S9 decompress step is folded
+    into the reader — read_json handles .gz natively)."""
+    import gzip
+    import shutil as sh
+
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines import (
+        build,
+        query,
+    )
+    d = tmp_path / "gz"
+    d.mkdir()
+    for f in sorted(os.listdir(jsonl_dir)):
+        with open(os.path.join(jsonl_dir, f), "rb") as src, \
+                gzip.open(d / (f + ".gz"), "wb") as dst:
+            sh.copyfileobj(src, dst)
+    idx = str(tmp_path / "idx_gz")
+    build.build_index(str(d), idx, build.BuildParams(num_shards=2, num_salts=4))
+    r_gz = query.IndexReader(idx)
+    r_parq = query.IndexReader(index_dir)
+    assert r_gz.n_docs == r_parq.n_docs
+    got = [(h.doc_id, round(h.score, 6))
+           for h in r_gz.search_wand("spark data join", 10)]
+    want = [(h.doc_id, round(h.score, 6))
+            for h in r_parq.search_wand("spark data join", 10)]
+    assert got == want
+
+
 def test_fetch_doc_roundtrip(ray_session, index_dir, pages_dir):
     from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.query import (
         fetch_doc,
