@@ -64,6 +64,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--actors", type=int, default=2)
     d.add_argument("--query", required=True)
     d.add_argument("--k", type=int, default=10)
+    d.add_argument("--lazy", action="store_true",
+                   help="actors open lazily (on-demand row-group reads)")
 
     f = sub.add_parser("fetch", help="point lookup by doc_id -> JSON "
                        "(reference /paper/{id} + fetch_paper_job analog)")
@@ -103,7 +105,8 @@ def main(argv: list[str] | None = None) -> int:
                                   "score": round(h.score, 6)}))
         elif args.cmd == "serve-demo":
             from .pipelines.serve import DistributedSearcher
-            ds = DistributedSearcher(args.index, num_actors=args.actors)
+            ds = DistributedSearcher(args.index, num_actors=args.actors,
+                                     lazy=args.lazy)
             try:
                 for rank, h in enumerate(ds.search(args.query, args.k), 1):
                     print(json.dumps({"rank": rank, "doc_id": h.doc_id,

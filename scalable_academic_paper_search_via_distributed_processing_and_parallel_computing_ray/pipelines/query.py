@@ -335,6 +335,22 @@ class IndexReader:
             seen.setdefault(t, None)
         return list(seen)
 
+    def _effective_terms(self, query_text: str, mode: str) -> list[str] | None:
+        """Query terms this reader can serve, or ``None`` when an AND query
+        cannot match locally.
+
+        OOV is judged GLOBALLY (df from termdict for subset/lazy readers):
+        a truly-unknown term is dropped in both modes (reference behavior),
+        but a term that exists in the corpus while having no postings in
+        THIS reader's shard subset means no local doc can satisfy an AND
+        query — dropping it instead would let a shard actor return docs
+        missing that term (spurious AND hits after the serve-side merge)."""
+        terms = [t for t in self.query_terms(query_text)
+                 if self._df.get(t, 0) > 0]
+        if mode == "and" and any(not self._has_term(t) for t in terms):
+            return None
+        return [t for t in terms if self._has_term(t)]
+
     # -------------------------------------------------------- exhaustive ---
 
     def search_exhaustive(self, query_text: str, k: int = 10,
@@ -348,7 +364,7 @@ class IndexReader:
         the O(P log P) ``np.unique`` + scatter-add that dominated latency on
         dense corpora.  Top-k via ``argpartition`` on the nonzero candidates,
         tie-broken (score desc, doc_id asc)."""
-        terms = [t for t in self.query_terms(query_text) if self._has_term(t)]
+        terms = self._effective_terms(query_text, mode)
         if not terms:
             return []
         n_local = self._doc_ids.size
@@ -391,7 +407,7 @@ class IndexReader:
         window must be scored anyway, so the single-pass vectorized
         exhaustive-postings scorer is strictly faster.  Both are
         rank-identical (tested)."""
-        terms = [t for t in self.query_terms(query_text) if self._has_term(t)]
+        terms = self._effective_terms(query_text, mode)
         if not terms:
             return []
         mean_density = sum(self._df.get(t, 0) for t in terms) / (len(terms) * max(1, self.n_docs))
@@ -404,7 +420,7 @@ class IndexReader:
     def search_wand(self, query_text: str, k: int = 10,
                     mode: str = "or") -> list[TopkResult]:
         """Block-at-a-time block-max WAND (see module docstring)."""
-        terms = [t for t in self.query_terms(query_text) if self._has_term(t)]
+        terms = self._effective_terms(query_text, mode)
         if not terms:
             return []
         n_terms = len(terms)  # OOV terms dropped (oracle does the same)

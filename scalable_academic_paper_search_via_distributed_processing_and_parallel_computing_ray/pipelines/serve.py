@@ -31,12 +31,15 @@ class QueryShardActor:
     (reference ST3 pattern, SURVEY.md §2.3)."""
 
     def __init__(self, index_dir: str, shard_names: list[str],
-                 cache_postings_budget: int = 20_000_000):
+                 cache_postings_budget: int = 20_000_000,
+                 lazy: bool = False):
         # long-lived actor: cache decoded postings for hot terms (~20B per
         # posting -> default budget ~400MB/actor; the reference's serving
-        # process similarly holds its index resident)
+        # process similarly holds its index resident).  lazy=True starts
+        # serving immediately and faults posting row groups in on demand.
         self.reader = IndexReader(index_dir, shard_subset=shard_names,
-                                  cache_postings_budget=cache_postings_budget)
+                                  cache_postings_budget=cache_postings_budget,
+                                  lazy=lazy)
 
     def search(self, query_text: str, k: int, mode: str,
                method: str = "auto") -> list[tuple[int, float]]:
@@ -49,8 +52,10 @@ class QueryShardActor:
         return [(h.doc_id, h.score) for h in hits]
 
     def stats(self) -> dict:
-        return {"n_docs_local": int(self.reader._doc_ids.size),
-                "n_terms_local": len(self.reader._postings)}
+        r = self.reader
+        n_terms = len(r._loc) if r._lazy else len(r._postings)
+        return {"n_docs_local": int(r._doc_ids.size),
+                "n_terms_local": n_terms}
 
     def fetch(self, doc_id: int) -> dict | None:
         """Point lookup served without a per-request job (unlike the
@@ -62,14 +67,15 @@ class QueryShardActor:
 class DistributedSearcher:
     """Partition the index's shards over ``num_actors`` query actors."""
 
-    def __init__(self, index_dir: str, num_actors: int = 2):
+    def __init__(self, index_dir: str, num_actors: int = 2,
+                 lazy: bool = False):
         shards_root = os.path.join(index_dir, "shards")
         shard_names = sorted(os.listdir(shards_root))
         num_actors = max(1, min(num_actors, len(shard_names)))
         assign: list[list[str]] = [[] for _ in range(num_actors)]
         for i, s in enumerate(shard_names):
             assign[i % num_actors].append(s)
-        self.actors = [QueryShardActor.remote(index_dir, names)
+        self.actors = [QueryShardActor.remote(index_dir, names, lazy=lazy)
                        for names in assign if names]
 
     def search(self, query_text: str, k: int = 10, mode: str = "or",

@@ -40,6 +40,21 @@ def test_lazy_loads_only_touched_row_groups(ray_session, index_dir):
     assert set(lazy._loaded_rgs) == touched
 
 
+def test_lazy_distributed_searcher_matches_eager(ray_session, index_dir):
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.serve import (
+        DistributedSearcher,
+    )
+    eager = query.IndexReader(index_dir)
+    ds = DistributedSearcher(index_dir, num_actors=2, lazy=True)
+    try:
+        for q in QUERY_SET:  # full set: AND, OOV, stop-words-only, Unicode
+            got = _fmt(ds.search(q["query_text"], q["k"], q["mode"]))
+            want = _fmt(eager.search(q["query_text"], q["k"], q["mode"]))
+            assert got == want, f"q{q['query_id']}"
+    finally:
+        ds.shutdown()
+
+
 def test_lazy_partial_term_completes(ray_session, index_dir):
     """A term partially materialized by another term's row-group load must
     still get ALL its rows on its own first access."""
