@@ -212,7 +212,28 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
     shards whose done-markers exist.  Both phases are avg_dl-independent
     (block bounds store raw max_tf/min_dl), so this is safe both for a fresh
     build and for appending new shards to an existing index."""
+    if params.k1 != bm25.K1 or params.b != bm25.B:
+        raise NotImplementedError(
+            "per-index BM25 parameters are not wired through scoring; "
+            "k1/b are fixed in functions/bm25.py (manifest records them)")
+    if params.block_size != BLOCK_SIZE:
+        raise NotImplementedError(
+            "posting block size is fixed at codec.BLOCK_SIZE "
+            f"({BLOCK_SIZE}); BuildParams.block_size only documents it")
     shard_ids = sorted(shard_map)
+    # resume safety: a done shard must have been built from the SAME input
+    # files — otherwise the marker would silently serve stale data for a
+    # changed corpus (use a fresh index_dir, or extend_index for appends)
+    for sid in shard_ids:
+        docs_dir = os.path.join(ckpt.shard_dir(index_dir, sid), "docs")
+        if ckpt.is_done(docs_dir):
+            rec = ckpt.read_shard_record(index_dir, sid)
+            if rec.get("input_files") != shard_map[sid]:
+                raise ValueError(
+                    f"shard {sid} was built from different input files; "
+                    "refusing to resume over a changed corpus "
+                    f"(recorded {len(rec.get('input_files', []))} files, "
+                    f"requested {len(shard_map[sid])})")
 
     # ---- phase 1: extract + doc stats (one wave pipeline, resumable) ------
     docs_dir_for = {sid: os.path.join(ckpt.shard_dir(index_dir, sid), "docs")
@@ -333,6 +354,9 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
             os.path.join(ckpt.shard_dir(index_dir, sid), "seg"),
             columns=["term", "df"]),
         list(range(n_shards)))
+    if not seg_tables:  # zero shards (no input files): empty-but-valid index
+        seg_tables = [pa.schema([("term", pa.string()),
+                                 ("df", pa.int64())]).empty_table()]
     termdict = pa.concat_tables(seg_tables).group_by("term") \
         .aggregate([("df", "sum")]).rename_columns(["term", "df"])
     pq.write_table(termdict.sort_by("term"),

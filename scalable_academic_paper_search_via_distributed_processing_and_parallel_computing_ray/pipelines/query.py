@@ -55,7 +55,9 @@ def fetch_doc(index_dir: str, doc_id: int) -> dict | None:
     the scan (predicate pushdown) and no new process or session is needed.
     Returns the doc row as a dict, or None."""
     shards_root = os.path.join(index_dir, "shards")
-    for s in sorted(os.listdir(shards_root)):
+    n_shards = int(ckpt.read_json(
+        os.path.join(index_dir, "manifest.json"))["n_shards"])
+    for s in (f"shard-{i:04d}" for i in range(n_shards)):
         t = pq.read_table(os.path.join(shards_root, s, "docs"),
                           filters=[("doc_id", "==", int(doc_id))])
         if t.num_rows:
@@ -178,7 +180,11 @@ class IndexReader:
         self.n_docs = int(self.manifest["n_docs"])
         self.avg_dl = float(self.manifest["avg_dl"])
         shards_root = os.path.join(index_dir, "shards")
-        shard_names = shard_subset or sorted(os.listdir(shards_root))
+        # discover shards from the MANIFEST, not listdir: a crashed or
+        # concurrent extend_index may have published partial shard dirs
+        # (docs but no seg yet) that must stay invisible until finalized
+        shard_names = shard_subset or [
+            f"shard-{i:04d}" for i in range(int(self.manifest["n_shards"]))]
         ids_parts, dl_parts = [], []
         for s in shard_names:
             t = pq.read_table(os.path.join(shards_root, s, "docs"),

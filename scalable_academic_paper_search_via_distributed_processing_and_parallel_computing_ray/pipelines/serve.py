@@ -69,8 +69,12 @@ class DistributedSearcher:
 
     def __init__(self, index_dir: str, num_actors: int = 2,
                  lazy: bool = False):
-        shards_root = os.path.join(index_dir, "shards")
-        shard_names = sorted(os.listdir(shards_root))
+        import json
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            n_shards = int(json.load(f)["n_shards"])
+        # manifest-driven discovery: partial shard dirs from an in-flight
+        # extend must stay invisible (same rule as IndexReader)
+        shard_names = [f"shard-{i:04d}" for i in range(n_shards)]
         num_actors = max(1, min(num_actors, len(shard_names)))
         assign: list[list[str]] = [[] for _ in range(num_actors)]
         for i, s in enumerate(shard_names):

@@ -135,6 +135,10 @@ class PartialPostingsBuilder:
             return PARTIALS_SCHEMA.empty_table()
         sid_col = self._sids(batch)
         tc = term_counts(batch["text"])          # (pidx, term, tf) — C++ kernels
+        if tc.num_rows == 0:
+            # every doc in the batch tokenized to nothing (blank /
+            # stop-words-only pages) — no postings to emit
+            return PARTIALS_SCHEMA.empty_table()
         pidx = tc["pidx"].to_numpy()
         term_dict = tc["term"].combine_chunks().dictionary_encode()
         codes = term_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -159,8 +163,12 @@ class PartialPostingsBuilder:
         run_codes = codes_s[starts]
         terms = vocab.take(pa.array(run_codes))
         salts = np.zeros(starts.size, dtype=np.int32)
-        head_thr = max(8.0, self.head_df_frac * n_docs)
-        head_runs = np.flatnonzero(df_part >= head_thr)
+        # head threshold against THIS SHARD's docs in the batch: wave
+        # batches can mix shards, and a run only ever spans one shard, so a
+        # whole-batch threshold would under-salt head terms on mixed batches
+        sid_doc_counts = np.bincount(sid_col, minlength=int(sid_col.max()) + 1)
+        run_thr = np.maximum(8.0, self.head_df_frac * sid_doc_counts[sid_s[starts]])
+        head_runs = np.flatnonzero(df_part >= run_thr)
         for ri in head_runs:
             # content-derived spread: deterministic regardless of task order
             salts[ri] = hash64(f"{terms[ri].as_py()}:{doc_s[starts[ri]]}") % self.num_salts
