@@ -48,7 +48,11 @@ def lang_id(text: str) -> str:
 # ---------------------------------------------------------- quality score ---
 
 _WS_RE = re.compile(r"\s+")
-_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+# ASCII word class ON PURPOSE: the DuckDB oracle's RE2 '\w' is ASCII-only,
+# and the punctuation-ratio heuristic must count identically on both sides
+# (a Unicode '\w' here would call 'é' a word char while SQL counts it as
+# punctuation).  Documented divergence: non-ASCII letters count as "punct".
+_PUNCT_RE = re.compile(r"[^\w\s]", re.ASCII)
 
 
 def quality_features(text: str) -> dict:
@@ -111,12 +115,14 @@ def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
 
 
 def rolling_fingerprint(tokens: list[str], window: int = 4, keep: int = 8) -> list[int]:
-    """Winnowing-style document fingerprint: min shingle-hash per window,
-    deduplicated, ``keep`` smallest kept (sorted).  Deterministic."""
+    """Bottom-k sketch over ``window``-shingle hashes: the ``keep`` smallest
+    DISTINCT hashes, ascending.  Deterministic; dedup happens before the
+    cut so repeated shingles can't shrink the sketch below ``keep`` while
+    distinct hashes remain (min-wise sketch, comparable across docs)."""
     h = shingle_hashes(tokens, k=window)
     if h.size == 0:
         return []
-    return sorted({int(x) for x in np.sort(h)[:keep]})
+    return [int(x) for x in np.unique(h)[:keep]]
 
 
 def simhash64(tokens: list[str]) -> int:

@@ -198,8 +198,16 @@ def documents_index(sf_dir: str) -> query_mod.IndexReader:
         fresh = False
         if os.path.exists(mf):
             import json as _json
+
+            import pyarrow.parquet as _pq
             with open(mf) as f:
-                fresh = _json.load(f).get("format_version") == 2
+                m = _json.load(f)
+            # cache validity = format AND source identity (row count):
+            # a regenerated documents.parquet must invalidate the index
+            src_rows = _pq.ParquetFile(
+                os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+            fresh = (m.get("format_version") == 2
+                     and m.get("n_docs") == src_rows)
         if not fresh:
             import shutil
             shutil.rmtree(idx_dir, ignore_errors=True)
@@ -232,8 +240,12 @@ def q_bm25_top10(sf_dir: str) -> pa.Table:
 
 
 def _sql_bm25(query_text: str, k: int) -> str:
+    # query-side analyzer must be the ENGINE's tokenizer (stop-word filter +
+    # Unicode split), not a naive lower().split() — they diverge on any
+    # query containing stop-words or punctuation
+    from ..functions.tokenize import tokenize_filtered
     terms = ", ".join(
-        f"('{t}')" for t in dict.fromkeys(query_text.lower().split()))
+        f"('{t}')" for t in dict.fromkeys(tokenize_filtered(query_text)))
     return f"""WITH {_CTE_TOKS},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -311,10 +323,14 @@ def q_dedup_minhash(sf_dir: str) -> pa.Table:
 
 
 def q_dedup_simhash(sf_dir: str) -> pa.Table:
-    """SimHash near-dup pairs (rows-only check)."""
+    """SimHash near-dup pairs (rows-only check).
+
+    max_hamming=3 matches the 4x16-bit band guarantee (pigeonhole: <=3
+    differing bits leave at least one band intact); a larger radius would
+    silently miss pairs whose differing bits spread across all bands."""
     from ..stages.dedup import simhash_dedup_pairs
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_dedup_pairs(ds, max_hamming=8)
+    return simhash_dedup_pairs(ds, max_hamming=3)
 
 
 # ------------------------------------------------------------ text stats ---
@@ -388,8 +404,7 @@ def q_token_count(sf_dir: str) -> rd.Dataset:
 
 
 SQL_TOKEN_COUNT = """SELECT doc_id,
-  CASE WHEN trim(text) = '' THEN 0
-       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws_tokens,
   len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]')) AS bpe_tokens
 FROM documents"""
 
@@ -445,9 +460,11 @@ cos AS (
   FROM qv CROSS JOIN embeddings e
 )
 SELECT query_id,
-       row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank,
-       vec_id, CAST(ROUND(c * 1000) AS BIGINT) AS cos_m
-FROM cos
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_m DESC, vec_id) AS rank,
+       vec_id, cos_m
+FROM (SELECT query_id, vec_id,
+             CAST(ROUND(c * 1000) AS BIGINT) AS cos_m FROM cos)
 QUALIFY rank <= {KNN_K}
 ORDER BY query_id, rank"""
 
@@ -555,15 +572,21 @@ def q_fwci_events(sf_dir: str) -> rd.Dataset:
     ds = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
 
     # grouped means (small result) -> broadcast dict
-    def year_col(b: pa.Table) -> pa.Table:
+    def year_cents(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        return b.append_column("yr", pc.year(b["ts"]))
+        b = b.append_column("yr", pc.year(b["ts"]))
+        # round per ROW to centi-units, sum INTEGERS: float partial-sum
+        # order differs between Ray blocks and DuckDB, so a raw float sum
+        # is not reproducible (module-header convention)
+        return b.append_column(
+            "vc", pa.array(round_m(b["value"].to_numpy(), 100), pa.int64()))
 
-    with_year = ds.map_batches(year_col, batch_format="pyarrow")
+    with_year = ds.map_batches(year_cents, batch_format="pyarrow")
     base = with_year.groupby(["event_type", "yr"]) \
-        .aggregate(Sum("value", alias_name="sv"), Count(alias_name="cv")) \
+        .aggregate(Sum("vc", alias_name="sv"), Count(alias_name="cv")) \
         .to_pandas()
-    avg_map = {(r.event_type, int(r.yr)): float(r.sv) / int(r.cv)
+    # composition mirrors SQL exactly: (int_sum / 100.0) / count
+    avg_map = {(r.event_type, int(r.yr)): (float(r.sv) / 100.0) / int(r.cv)
                for r in base.itertuples()}
     ref = ray.put(avg_map)
 
@@ -582,7 +605,8 @@ def q_fwci_events(sf_dir: str) -> rd.Dataset:
 
 SQL_FWCI_EVENTS = """WITH base AS (
   SELECT event_type, year(ts) AS yr,
-         CAST(sum(value) AS DOUBLE) / count(*) AS avg_v
+         (CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+           / count(*) AS avg_v
   FROM events GROUP BY 1, 2
 )
 SELECT e.event_id,

@@ -216,6 +216,9 @@ def simhash_dedup_pairs(ds: Dataset, max_hamming: int = 3,
     sigs = ds.map_batches(SimHashStage,
                           fn_constructor_kwargs={"text_col": text_col},
                           batch_format="pyarrow", concurrency=(1, 4))
+    # consumed 5x below (4 band groupbys + the signature pull); without
+    # materialize the per-doc simhash stage re-executes on every consumption
+    sigs = sigs.materialize()
     pair_parts = []
     for band in range(4):
         p = sigs.select_columns(["doc_id", f"band{band}"]) \
@@ -263,6 +266,7 @@ def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
     """
     sh = ds.map_batches(lambda b: shingle_rows(b, k, text_col),
                         batch_format="pyarrow")
+    sh = sh.materialize()  # consumed twice (sizes + intersections)
     sizes = sh.groupby("doc_id").aggregate(Count(alias_name="sz")).to_pandas()
     size_map = dict(zip(sizes["doc_id"].astype(int), sizes["sz"].astype(int)))
 

@@ -25,11 +25,35 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
-def _topk_merge(g: pd.DataFrame, k: int) -> pd.DataFrame:
-    g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-    g = g.reset_index(drop=True)
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    return g
+def _topk_merge(g: pd.DataFrame, k: int, headroom: int = 3) -> pd.DataFrame:
+    """Keep k*headroom candidates per query: final rank is assigned on the
+    QUANTIZED cosine (driver convention — numpy and DuckDB compose the
+    float differently, so raw-float ranking can flip sub-milli near-ties),
+    and quantization ties straddling the k boundary need the extra rows."""
+    return g.sort_values(["cos", "vec_id"],
+                         ascending=[False, True]).head(k * headroom)
+
+
+def _rank_quantized(merged: pd.DataFrame, k: int) -> pa.Table:
+    """(query_id, rank, vec_id, cos_m): rank per query on (cos_m desc,
+    vec_id asc), identical to the oracle SQL's ordering."""
+    cos = merged["cos"].to_numpy()
+    merged = merged.assign(cos_m=(np.floor(np.abs(cos) * 1000 + 0.5)
+                                  * np.sign(cos)).astype(np.int64))
+    parts = []
+    for qid, g in merged.groupby("query_id", sort=True):
+        g = g.sort_values(["cos_m", "vec_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        parts.append(g[["query_id", "rank", "vec_id", "cos_m"]])
+    if not parts:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cos_m": pa.array([], pa.int64())})
+    out = pd.concat(parts, ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def knn_brute(ds: Dataset, queries: np.ndarray, k: int = 10,
@@ -51,11 +75,16 @@ def knn_brute(ds: Dataset, queries: np.ndarray, k: int = 10,
                        .astype(np.float64))
         cos = qm @ m.T                                   # (nq, nb)
         kk = min(k, ids.size)
-        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
         rows_q, rows_v, rows_c = [], [], []
         for qi in range(nq):
-            sel = part[qi]
-            rows_q.extend([qi] * kk)
+            # exact local (cos desc, vec_id asc) top-k: threshold from a
+            # partition, then tie-break — plain argpartition can evict the
+            # low-id member of a tie that the global merge should rank
+            part = np.argpartition(-cos[qi], kk - 1)
+            thr = cos[qi][part[kk - 1]]
+            cand = np.flatnonzero(cos[qi] >= thr)
+            sel = cand[np.lexsort((ids[cand], -cos[qi][cand]))[:kk]]
+            rows_q.extend([qi] * sel.size)
             rows_v.extend(ids[sel].tolist())
             rows_c.extend(cos[qi, sel].tolist())
         return pa.table({"query_id": pa.array(rows_q, pa.int64()),
@@ -65,11 +94,7 @@ def knn_brute(ds: Dataset, queries: np.ndarray, k: int = 10,
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
     merged = partials.groupby("query_id").map_groups(
         lambda g: _topk_merge(g, k), batch_format="pandas").to_pandas()
-    cos = merged["cos"].to_numpy()
-    merged["cos_m"] = (np.floor(np.abs(cos) * 1000 + 0.5) * np.sign(cos)).astype(np.int64)
-    out = merged[["query_id", "rank", "vec_id", "cos_m"]] \
-        .sort_values(["query_id", "rank"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _rank_quantized(merged, k)
 
 
 def kmeans_fit(sample: np.ndarray, nlist: int, iters: int = 10,
@@ -121,8 +146,11 @@ def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, nlist: int = 16,
             sub_ids, sub = ids[mask], m[mask]
             cos = qm[qi] @ sub.T
             kk = min(k, sub_ids.size)
-            sel = np.argpartition(-cos, kk - 1)[:kk]
-            rows_q.extend([qi] * kk)
+            part = np.argpartition(-cos, kk - 1)
+            thr = cos[part[kk - 1]]
+            cand = np.flatnonzero(cos >= thr)
+            sel = cand[np.lexsort((sub_ids[cand], -cos[cand]))[:kk]]
+            rows_q.extend([qi] * sel.size)
             rows_v.extend(sub_ids[sel].tolist())
             rows_c.extend(cos[sel].tolist())
         return pa.table({"query_id": pa.array(rows_q, pa.int64()),
@@ -132,13 +160,4 @@ def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, nlist: int = 16,
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
     merged = partials.groupby("query_id").map_groups(
         lambda g: _topk_merge(g, k), batch_format="pandas").to_pandas()
-    if len(merged) == 0:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         "rank": pa.array([], pa.int64()),
-                         "vec_id": pa.array([], pa.int64()),
-                         "cos_m": pa.array([], pa.int64())})
-    cos = merged["cos"].to_numpy()
-    merged["cos_m"] = (np.floor(np.abs(cos) * 1000 + 0.5) * np.sign(cos)).astype(np.int64)
-    out = merged[["query_id", "rank", "vec_id", "cos_m"]] \
-        .sort_values(["query_id", "rank"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _rank_quantized(merged, k)
