@@ -656,7 +656,7 @@ def q_join_revenue(sf_dir: str) -> rd.Dataset:
 
 
 SQL_JOIN_REVENUE = """SELECT o.o_orderpriority,
-  sum(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS revenue_dm,
+  CAST(sum(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_dm,
   count(*) AS n_items
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1"""
@@ -706,7 +706,7 @@ SQL_SEMI_JOIN = """WITH topo AS (
   SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 )
 SELECT l_orderkey, count(*) AS n_items,
-       sum(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty
+       CAST(sum(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM topo)
 GROUP BY 1"""
 
@@ -787,7 +787,7 @@ def q_sessionize(sf_dir: str) -> rd.Dataset:
 SQL_SESSIONIZE = """SELECT user_id,
   CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start_s,
   count(*) AS n_events,
-  sum(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_m
+  CAST(sum(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_m
 FROM events GROUP BY 1, 2"""
 
 

@@ -86,13 +86,23 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
-        # dtype-tolerant value compare
+        # value compare; dtype KIND must also match, because the driver's
+        # value hash is dtype-sensitive (e.g. DuckDB sum(BIGINT)->HUGEINT
+        # lands as float64 in pandas and hash-mismatches an int64 engine
+        # column even when the values are numerically equal — round-1
+        # failure mode of join_revenue/semi_join/sessionize).
         eq = True
         for c in got.columns:
             a, b = got[c].to_numpy(), want[c].to_numpy()
-            if a.dtype.kind in "iu" and b.dtype.kind in "iu":
+            ka, kb = a.dtype.kind, b.dtype.kind
+            if (ka in "iuf" or kb in "iuf") and ka != kb:
+                print(f"FAIL {name}: column {c} dtype kind {a.dtype} vs {b.dtype} "
+                      f"(driver hash is dtype-sensitive; CAST the oracle or the engine)")
+                eq = False
+                break
+            if ka in "iu" and kb in "iu":
                 ok = (a == b).all()
-            elif a.dtype.kind == "f" or b.dtype.kind == "f":
+            elif ka == "f" or kb == "f":
                 ok = (abs(a.astype(float) - b.astype(float)) < 1e-9).all()
             else:
                 ok = (a == b).all()
