@@ -17,6 +17,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -35,7 +37,10 @@ def entry() -> Any:
     )
 
     pdir = pages.ensure_pages_parquet("/root/testdata/sf0.001", num_files=8)
-    idx_dir = "/tmp/graft_entry_index"
+    # key the cached index on the corpus dir identity: a corpus-version
+    # bump regenerates pages under a new path, and the build's lineage
+    # guard (correctly) refuses to resume an old index over changed inputs
+    idx_dir = f"/tmp/graft_entry_index-{os.path.basename(pdir)}"
     build.build_index(pdir, idx_dir, build.BuildParams(num_shards=2))
     reader = query.IndexReader(idx_dir)
     qids, ranks, docs, scores = [], [], [], []

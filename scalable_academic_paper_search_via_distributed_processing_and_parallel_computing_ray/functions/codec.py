@@ -18,6 +18,12 @@ import numpy as np
 
 BLOCK_SIZE = 128  # postings per block
 
+# On-disk index format this codec (and the segment schema built on it)
+# produces.  v2 = raw (max_tf, min_dl) block bounds (extend-safe); v1 stored
+# precomputed block_max_tfnorm and is unreadable by v2 readers — IndexReader
+# and extend_index refuse it with a clear error instead of a deep KeyError.
+FORMAT_VERSION = 2
+
 
 # ---------------------------------------------------------------- varint ---
 

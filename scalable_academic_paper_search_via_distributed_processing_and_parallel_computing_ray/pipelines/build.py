@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 from dataclasses import asdict, dataclass
 
 import numpy as np
@@ -49,7 +50,7 @@ import ray
 import ray.data as rd
 
 from ..functions import bm25
-from ..functions.codec import BLOCK_SIZE, encode_postings
+from ..functions.codec import BLOCK_SIZE, FORMAT_VERSION, encode_postings
 from ..functions.extract import EXTRACTOR_VERSION
 from ..functions.tokenize import TOKENIZER_VERSION
 from ..stages.spimi import ExtractDocs, PartialPostingsBuilder
@@ -344,6 +345,8 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
     n_total = sum(r["n_docs"] for r in recs)
     sum_dl = sum(r["sum_dl"] for r in recs)
     avg_dl = (sum_dl / n_total) if n_total else 1.0
+    # stats.json is an informational export (S6 artifact) — readers take
+    # n_docs/avg_dl from the manifest, so its write order doesn't matter
     ckpt.write_json(os.path.join(index_dir, "stats.json"),
                     {"n_docs": n_total, "sum_dl": sum_dl, "avg_dl": avg_dl})
 
@@ -359,13 +362,20 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
                                  ("df", pa.int64())]).empty_table()]
     termdict = pa.concat_tables(seg_tables).group_by("term") \
         .aggregate([("df", "sum")]).rename_columns(["term", "df"])
-    pq.write_table(termdict.sort_by("term"),
-                   os.path.join(index_dir, "termdict.parquet"))
+    # Versioned filename + tmp/os.replace so the atomic MANIFEST publish is
+    # the single commit point: a reader holding the old manifest keeps
+    # reading the old termdict file; a crash mid-finalize leaves only an
+    # orphan file, never a torn or mismatched (df vs n_docs) pair.
+    td_name = f"termdict-{uuid.uuid4().hex[:12]}.parquet"
+    td_tmp = os.path.join(index_dir, td_name + ".tmp")
+    pq.write_table(termdict.sort_by("term"), td_tmp)
+    os.replace(td_tmp, os.path.join(index_dir, td_name))
 
     n_postings = sum(r.get("n_postings", 0) for r in recs)
     seg_bytes = sum(r.get("seg_bytes", 0) for r in recs)
     manifest = {
-        "format_version": 2,
+        "format_version": FORMAT_VERSION,
+        "termdict_file": td_name,
         "tokenizer_version": TOKENIZER_VERSION,
         "extractor_version": EXTRACTOR_VERSION,
         "params": asdict(params),
@@ -381,6 +391,16 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
         "docs_per_sec": round(n_total / max(1e-9, time.time() - t0), 1),
     }
     ckpt.write_json(os.path.join(index_dir, "manifest.json"), manifest)
+    # GC termdicts from superseded manifests (single-writer contract: only
+    # one build/extend may run at a time; a reader that opened the PREVIOUS
+    # manifest before this publish should re-open, same as any snapshot DB)
+    for f in os.listdir(index_dir):
+        if (f == "termdict.parquet" or
+                (f.startswith("termdict-") and f != td_name)):
+            try:
+                os.unlink(os.path.join(index_dir, f))
+            except OSError:
+                pass
     return manifest
 
 
@@ -416,6 +436,11 @@ def extend_index(pages_path: str | list[str], index_dir: str,
     """
     t0 = time.time()
     manifest = ckpt.read_json(os.path.join(index_dir, "manifest.json"))
+    fv = manifest.get("format_version")
+    if fv != FORMAT_VERSION:
+        raise ValueError(
+            f"index at {index_dir} has format_version={fv!r}, this build "
+            f"writes v{FORMAT_VERSION}: incompatible — rebuild required")
     params = BuildParams(**manifest["params"])
     if num_new_shards is None:
         num_new_shards = params.num_shards

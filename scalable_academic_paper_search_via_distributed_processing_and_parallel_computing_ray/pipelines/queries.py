@@ -206,7 +206,8 @@ def documents_index(sf_dir: str) -> query_mod.IndexReader:
             # a regenerated documents.parquet must invalidate the index
             src_rows = _pq.ParquetFile(
                 os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-            fresh = (m.get("format_version") == 2
+            from ..functions.codec import FORMAT_VERSION
+            fresh = (m.get("format_version") == FORMAT_VERSION
                      and m.get("n_docs") == src_rows)
         if not fresh:
             import shutil
@@ -225,13 +226,26 @@ def q_bm25_top10(sf_dir: str) -> pa.Table:
     identically to the oracle SQL: engine and DuckDB sum float terms in
     different orders, so two docs can differ below milli-resolution and
     flip — the driver compares after rounding, so the tie-break must too.
-    A few extra candidates are fetched to resolve rounding ties that
-    straddle the k boundary."""
+    Extra candidates are fetched to resolve rounding ties that straddle the
+    k boundary, and the cut is verified tie-SAFE: quantization is monotonic
+    in the raw score, so every doc outside a raw-score pool of size P has
+    quantized score <= the pool minimum's — if the k-th kept quantized score
+    is strictly above that minimum, no outside doc can displace it; if not
+    (ties could extend past the pool), widen and refetch."""
     reader = documents_index(sf_dir)
-    hits = reader.search_wand(BM25_QUERY, BM25_K * 5)
-    docs = np.array([h.doc_id for h in hits], dtype=np.int64)
-    sm = round_m([h.score for h in hits])
-    order = np.lexsort((docs, -sm))[:BM25_K]
+    pool = BM25_K * 5
+    while True:
+        hits = reader.search_wand(BM25_QUERY, pool)
+        docs = np.array([h.doc_id for h in hits], dtype=np.int64)
+        sm = round_m([h.score for h in hits])
+        order = np.lexsort((docs, -sm))
+        if len(hits) < pool or order.size == 0:
+            break  # pool covers every matching doc
+        kth = sm[order[min(BM25_K, order.size) - 1]]
+        if kth > sm.min():
+            break  # provably tie-safe cut
+        pool *= 5
+    order = order[:BM25_K]
     return pa.table({
         "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64)),
         "doc_id": pa.array(docs[order], pa.int64()),

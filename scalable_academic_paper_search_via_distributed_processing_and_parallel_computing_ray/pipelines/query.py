@@ -39,7 +39,8 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from ..functions import bm25
-from ..functions.codec import EncodedPostings, decode_block, decode_postings
+from ..functions.codec import (FORMAT_VERSION, EncodedPostings, decode_block,
+                               decode_postings)
 from ..functions.tokenize import tokenize_filtered
 from ..state import checkpoint as ckpt
 
@@ -177,6 +178,12 @@ class IndexReader:
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self._cached_postings = 0
         self.manifest = ckpt.read_json(os.path.join(index_dir, "manifest.json"))
+        fv = self.manifest.get("format_version")
+        if fv != FORMAT_VERSION:
+            raise ValueError(
+                f"index at {index_dir} has format_version={fv!r}, this "
+                f"reader supports v{FORMAT_VERSION}: index format too old, "
+                f"rebuild required")
         self.n_docs = int(self.manifest["n_docs"])
         self.avg_dl = float(self.manifest["avg_dl"])
         shards_root = os.path.join(index_dir, "shards")
@@ -230,7 +237,9 @@ class IndexReader:
         # lazy readers can't sum local df incrementally; subset readers must
         # score with GLOBAL df — both take it from termdict
         if shard_subset is not None or self._lazy:
-            td_path = os.path.join(index_dir, "termdict.parquet")
+            td_path = os.path.join(
+                index_dir,
+                self.manifest.get("termdict_file", "termdict.parquet"))
             td = pq.read_table(td_path)
             self._df = dict(zip(td["term"].to_pylist(),
                                 (int(x) for x in td["df"].to_pylist())))

@@ -37,6 +37,9 @@ PAGES_SCHEMA = pa.schema([
 ])
 
 _BASE_EPOCH_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z, fixed
+
+# bump when generated corpus content changes (v2: replica-suffixed vocab)
+_CORPUS_VERSION = 2
 _TS_STEP_US = 17_000_000  # 17 s per page
 
 
@@ -137,7 +140,12 @@ def ensure_pages_parquet(sf_dir: str, out_root: str = "/tmp/graft_pages",
     actually looks like.  See :data:`SELECTIVE_QUERY_SET`.
     """
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out_dir = os.path.join(out_root, f"{tag}-{num_files}-x{replicate}")
+    # _CORPUS_VERSION is part of the cache key: bump it whenever the
+    # generated corpus CONTENT changes (e.g. the replica-suffixed vocabulary
+    # added after v1), or a stale /tmp dir from older code is silently
+    # reused and selective-query benchmarks measure empty results.
+    out_dir = os.path.join(
+        out_root, f"{tag}-{num_files}-x{replicate}-v{_CORPUS_VERSION}")
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
         return out_dir

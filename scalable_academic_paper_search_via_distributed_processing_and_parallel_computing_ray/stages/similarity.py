@@ -25,13 +25,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
-def _topk_merge(g: pd.DataFrame, k: int, headroom: int = 3) -> pd.DataFrame:
-    """Keep k*headroom candidates per query: final rank is assigned on the
-    QUANTIZED cosine (driver convention — numpy and DuckDB compose the
-    float differently, so raw-float ranking can flip sub-milli near-ties),
-    and quantization ties straddling the k boundary need the extra rows."""
-    return g.sort_values(["cos", "vec_id"],
-                         ascending=[False, True]).head(k * headroom)
+def _quant_m(x: np.ndarray) -> np.ndarray:
+    """round(x*1000) half away from zero, as int64 (driver milli scale)."""
+    x = np.asarray(x, dtype=np.float64)
+    return (np.floor(np.abs(x) * 1000 + 0.5) * np.sign(x)).astype(np.int64)
+
+
+def _tie_safe_keep(cos_m: np.ndarray, k: int) -> np.ndarray:
+    """Boolean mask keeping every row whose QUANTIZED score ties-or-beats
+    the k-th largest quantized score.  Final rank is assigned on
+    (cos_m desc, vec_id asc) — numpy and DuckDB compose floats in different
+    orders, so raw-float cuts can flip sub-milli near-ties; a fixed
+    headroom (old k*3) was still unsafe if ties straddled its boundary.
+    Any row this mask drops has cos_m strictly below at least k kept rows,
+    so it can never enter the global top-k regardless of vec_id."""
+    kk = min(k, cos_m.size)
+    if kk == 0:
+        return np.zeros(0, dtype=bool)
+    v = -np.partition(-cos_m, kk - 1)[kk - 1]
+    return cos_m >= v
+
+
+def _topk_merge(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Per-query merge of per-batch candidates: tie-safe quantized cut."""
+    return g[_tie_safe_keep(_quant_m(g["cos"].to_numpy()), k)]
 
 
 def _rank_quantized(merged: pd.DataFrame, k: int) -> pa.Table:
@@ -74,16 +91,12 @@ def knn_brute(ds: Dataset, queries: np.ndarray, k: int = 10,
         m = _normalize(np.stack(b[vec_col].to_numpy(zero_copy_only=False))
                        .astype(np.float64))
         cos = qm @ m.T                                   # (nq, nb)
-        kk = min(k, ids.size)
         rows_q, rows_v, rows_c = [], [], []
         for qi in range(nq):
-            # exact local (cos desc, vec_id asc) top-k: threshold from a
-            # partition, then tie-break — plain argpartition can evict the
-            # low-id member of a tie that the global merge should rank
-            part = np.argpartition(-cos[qi], kk - 1)
-            thr = cos[qi][part[kk - 1]]
-            cand = np.flatnonzero(cos[qi] >= thr)
-            sel = cand[np.lexsort((ids[cand], -cos[qi][cand]))[:kk]]
+            # tie-safe local cut on the QUANTIZED score: keeps the k-th
+            # value's whole tie class, so no sub-milli near-tie that the
+            # global (cos_m desc, vec_id asc) rank would keep is dropped
+            sel = np.flatnonzero(_tie_safe_keep(_quant_m(cos[qi]), k))
             rows_q.extend([qi] * sel.size)
             rows_v.extend(ids[sel].tolist())
             rows_c.extend(cos[qi, sel].tolist())
@@ -145,11 +158,7 @@ def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, nlist: int = 16,
                 continue
             sub_ids, sub = ids[mask], m[mask]
             cos = qm[qi] @ sub.T
-            kk = min(k, sub_ids.size)
-            part = np.argpartition(-cos, kk - 1)
-            thr = cos[part[kk - 1]]
-            cand = np.flatnonzero(cos >= thr)
-            sel = cand[np.lexsort((sub_ids[cand], -cos[cand]))[:kk]]
+            sel = np.flatnonzero(_tie_safe_keep(_quant_m(cos), k))
             rows_q.extend([qi] * sel.size)
             rows_v.extend(sub_ids[sel].tolist())
             rows_c.extend(cos[sel].tolist())
