@@ -140,6 +140,17 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def hamming64_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount(a ^ b) for int64/uint64 arrays (numpy < 2 has no
+    bitwise_count; unpackbits over the byte view is branch-free and fast
+    for the in-bucket pair volumes this serves)."""
+    x = (np.asarray(a).astype(np.uint64) ^ np.asarray(b).astype(np.uint64))
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+    return bits.sum(axis=1).astype(np.int64)
+
+
 # ---------------------------------------------------------------- minhash ---
 
 # p = 2^31 - 1: a*x < 2^62 fits uint64 AND wraps the modulus ~2^31 times,

@@ -503,6 +503,25 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMBDUP_THRESHOLD}"""
 
 
+EMBDUP_LSH_THRESHOLD = 0.9
+
+
+def q_embdup_lsh(sf_dir: str) -> pa.Table:
+    """Sub-quadratic near-dup pairs over GENERATED doc embeddings: the
+    actor-pool embedder feeds hyperplane-LSH band buckets with in-bucket
+    exact verification (stages/dedup.py).  Rows-only: the embedding model
+    is engine-side, so no SQL oracle exists; recall at this threshold is
+    quantified in the HyperplaneBands docstring and the lsh-vs-exact
+    equality is asserted in tests/test_dedup.py."""
+    from ..stages.dedup import embedding_dup_pairs_lsh
+    from ..stages.embed import EmbedDocs
+    emb = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(EmbedDocs, batch_format="pyarrow", concurrency=(1, 4)) \
+        .map_batches(lambda b: b.rename_columns(["vec_id", "embedding"]),
+                     batch_format="pyarrow")
+    return embedding_dup_pairs_lsh(emb, EMBDUP_LSH_THRESHOLD)
+
+
 def q_multimodal_decode(sf_dir: str) -> rd.Dataset:
     """Binary media plumbing: documents bytes as opaque payloads -> actor-pool
     decode (stubbed kernel) -> per-item features (rows-only)."""
@@ -853,6 +872,7 @@ def registry():
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
         "embdup_cosine": q_embdup_cosine,
+        "embdup_lsh": q_embdup_lsh,
         "multimodal_decode": q_multimodal_decode,
         "embed_docs": q_embed_docs,
         "kmeans_assign": q_kmeans_assign,
@@ -892,6 +912,7 @@ def registry():
         "sessionize": SQL_SESSIONIZE,
         "concat_project": SQL_CONCAT_PROJECT,
         # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
-        # lang_id, fingerprint, knn_ivf, multimodal_decode, sample_seeded
+        # lang_id, fingerprint, knn_ivf, embdup_lsh, multimodal_decode,
+        # sample_seeded
     }
     return queries, oracle

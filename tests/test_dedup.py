@@ -99,3 +99,79 @@ def test_embedding_dup_pairs(ray_session):
     pairs = set(zip(t["a"].to_pylist(), t["b"].to_pylist()))
     assert (0, 1) in pairs
     assert all(a == 0 and b == 1 for a, b in pairs)  # random others unrelated
+
+
+def test_tile_join_matches_brute_multitile(ray_session):
+    """Exact tile join (forced multi-tile) == local brute reference, at 10x
+    the unit-fixture scale — the materialized pair volume must be
+    output-bounded, not O(n^2)."""
+    import ray.data as rd
+    rng = np.random.RandomState(7)
+    n, d = 600, 32
+    base = rng.standard_normal((n, d))
+    for i in range(30):  # plant near-dups across future tile boundaries
+        j = (i * 37) % n
+        k = (j + n // 2) % n
+        base[k] = base[j] + 0.05 * rng.standard_normal(d)
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": base[i].tolist()} for i in range(n)])
+    got = dedup.embedding_dup_pairs(ds, threshold=0.9, tile_rows=64)
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    cos = bn @ bn.T
+    iu = np.triu_indices(n, 1)
+    mask = cos[iu] >= 0.9
+    want = set(zip(iu[0][mask].tolist(), iu[1][mask].tolist()))
+    got_pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    assert got_pairs == want and len(want) >= 25
+    assert got.num_rows < n * (n - 1) // 4  # output-bounded materialization
+
+
+def test_lsh_dup_pairs_recall_and_exact_verify(ray_session):
+    """LSH band path: every emitted pair is EXACTLY verified (no false
+    positives) and recall at cos>=0.9 matches the quantified bound."""
+    import ray.data as rd
+    rng = np.random.RandomState(3)
+    n, d = 1000, 64
+    base = rng.standard_normal((n, d))
+    for i in range(40):
+        base[2 * i + 1] = base[2 * i] + 0.25 * rng.standard_normal(d)
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    cos = bn @ bn.T
+    iu = np.triu_indices(n, 1)
+    mask = cos[iu] >= 0.9
+    want = set(zip(iu[0][mask].tolist(), iu[1][mask].tolist()))
+    ds = rd.from_items([
+        {"vec_id": i, "embedding": base[i].tolist()} for i in range(n)])
+    got = dedup.embedding_dup_pairs_lsh(ds, threshold=0.9)
+    got_pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    assert got_pairs <= want                       # exact in-bucket verify
+    assert len(want - got_pairs) <= max(1, len(want) // 20)  # >=95% recall
+
+
+def test_simhash_no_driver_materialization(dup_ds):
+    """Band-bucket verification returns identical pairs to a brute hamming
+    scan (the round-1 driver-side sim_map is gone; parity is the contract)."""
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.functions import (
+        textstats as ts,
+    )
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.functions.tokenize import (
+        tokenize_filtered,
+    )
+    rows = dup_ds.to_pandas()
+    sims = {int(r.doc_id): ts.simhash64(tokenize_filtered(r.text)) & ((1 << 63) - 1)
+            for r in rows.itertuples()}
+    brute = set()
+    ids = sorted(sims)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if ts.hamming64(sims[a], sims[b]) <= 6:
+                brute.add((a, b))
+    t = dedup.simhash_dedup_pairs(dup_ds, max_hamming=6)
+    got = set(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+    # banding finds a SUBSET (pigeonhole guarantees hamming<=3; 6 is used
+    # to also catch the near-dup fixtures) — but every pair found must be
+    # hamming-correct and include all hamming<=3 pairs
+    assert got <= brute
+    for a, b in brute:
+        if ts.hamming64(sims[a], sims[b]) <= 3:
+            assert (a, b) in got
