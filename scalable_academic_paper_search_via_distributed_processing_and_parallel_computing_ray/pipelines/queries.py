@@ -840,6 +840,68 @@ SQL_CONCAT_PROJECT = """SELECT c_custkey, c_mktsegment || ':' || c_name AS label
 FROM customer"""
 
 
+def q_struct_project(sf_dir: str) -> rd.Dataset:
+    """Nested-struct field projection with aliases, null-coalesce and
+    null-row drop (reference M1-M3, ``diag.scala:17-35``:
+    ``enrichments.documentType.getField("type")`` + ``na.drop``).
+
+    Stage 1 derives a nested ``meta`` struct column from the flat fixture
+    (standing in for a source with nested metadata — nulls planted
+    deterministically); stage 2 is the operator under test:
+    ``pc.struct_field`` path extraction + ``pc.coalesce`` + ``is_valid``
+    drop via stages/project.py."""
+    import pyarrow.compute as pc
+    from ..stages.project import project_struct_fields
+
+    def build_meta(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        null7 = pa.array(ids % 7 == 0)
+        null5 = pa.array(ids % 5 == 0)
+        dtype = pc.if_else(null7, pa.nulls(len(ids), pa.string()),
+                           b["lang"].combine_chunks())
+        conf = pa.array((ids % 100) / 100.0, pa.float64())
+        pub = pc.if_else(
+            null5, pa.nulls(len(ids), pa.string()),
+            pa.array([f"pub-{i % 3}" for i in ids], pa.string()))
+        doc = pa.StructArray.from_arrays([dtype, conf], ["type", "confidence"])
+        src = pa.StructArray.from_arrays([pub], ["publisher"])
+        meta = pa.StructArray.from_arrays([doc, src], ["doc", "src"])
+        return pa.table({"doc_id": b["doc_id"], "meta": meta})
+
+    nested = _read(sf_dir, "documents", ["doc_id", "lang"]) \
+        .map_batches(build_meta, batch_format="pyarrow")
+    projected = project_struct_fields(
+        nested, "meta",
+        fields={"doc_type": "doc.type", "conf": "doc.confidence",
+                "publisher_c": "src.publisher"},
+        keep=("doc_id",),
+        drop_null_on=("doc_type",),
+        fill={"publisher_c": "unknown"})
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "doc_type": b["doc_type"],
+            "conf_c": pa.array(round_m(b["conf"].to_numpy(), 100), pa.int64()),
+            "publisher_c": b["publisher_c"],
+        })
+
+    return projected.map_batches(quant, batch_format="pyarrow")
+
+
+SQL_STRUCT_PROJECT = """WITH s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS dtype,
+         CAST(doc_id % 100 AS DOUBLE) / 100.0 AS conf,
+         CASE WHEN doc_id % 5 = 0 THEN NULL
+              ELSE 'pub-' || CAST(doc_id % 3 AS VARCHAR) END AS pub
+  FROM documents)
+SELECT doc_id, dtype AS doc_type,
+       CAST(ROUND(conf * 100) AS BIGINT) AS conf_c,
+       COALESCE(pub, 'unknown') AS publisher_c
+FROM s WHERE dtype IS NOT NULL"""
+
+
 def q_sample_seeded(sf_dir: str) -> pa.Table:
     """Seeded sample (reference O4 ``sample(fraction=0.01, seed=42)``) —
     rows-only: RNG streams differ across engines by construction."""
@@ -886,6 +948,7 @@ def registry():
         "window_top3": q_window_top3,
         "sessionize": q_sessionize,
         "concat_project": q_concat_project,
+        "struct_project": q_struct_project,
         "sample_seeded": q_sample_seeded,
     }
     oracle = {
@@ -911,6 +974,7 @@ def registry():
         "window_top3": SQL_WINDOW_TOP3,
         "sessionize": SQL_SESSIONIZE,
         "concat_project": SQL_CONCAT_PROJECT,
+        "struct_project": SQL_STRUCT_PROJECT,
         # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
         # lang_id, fingerprint, knn_ivf, embdup_lsh, multimodal_decode,
         # sample_seeded
