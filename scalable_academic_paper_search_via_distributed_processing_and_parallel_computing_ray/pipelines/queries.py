@@ -649,17 +649,20 @@ FROM events e JOIN base b ON e.event_type = b.event_type AND year(e.ts) = b.yr""
 
 def q_percentile_rank(sf_dir: str) -> rd.Dataset:
     """percent_rank within event_type by value desc (reference O3,
-    ``calculate_percentiles.py:28-32``)."""
+    ``calculate_percentiles.py:28-32``) via the distributed sort +
+    block-boundary-metadata operator (stages/window.py) — round 1 grouped
+    by the handful-of-values event_type key, which put a whole key's rows
+    into ONE pandas task; this never holds more than a block anywhere."""
+    from ..stages.window import percent_rank
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    pr = percent_rank(ds, "event_type", "value", "event_id")
 
-    def pr(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        r = g["value"].rank(ascending=False, method="min")
-        pct = (r - 1) / (n - 1) if n > 1 else pd.Series(0.0, index=g.index)
-        return pd.DataFrame({"event_id": g["event_id"],
-                             "pct_m": round_m(pct.to_numpy())})
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "pct_m": pa.array(round_m(b["pct"].to_numpy()),
+                                           pa.int64())})
 
-    return ds.groupby("event_type").map_groups(pr, batch_format="pandas")
+    return pr.map_batches(quant, batch_format="pyarrow")
 
 
 SQL_PERCENTILE_RANK = """SELECT event_id,

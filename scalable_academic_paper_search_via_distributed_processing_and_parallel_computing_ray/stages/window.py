@@ -1,0 +1,136 @@
+"""Distributed window rank (SURVEY.md §2.6 O3; reference
+``calculate_percentiles.py:28-32`` ``percent_rank() OVER (PARTITION BY ...
+ORDER BY ... DESC)``).
+
+Ray Data has no window functions, and the round-1 substitute —
+``groupby(part).map_groups`` — materializes EVERY row of one partition key
+in a single pandas task, which dies on low-cardinality keys at scale.  This
+module is the scale-safe replacement: a distributed sort on
+``(part, order)`` followed by two block-granular passes that exchange only
+O(blocks x parts) boundary metadata through the driver:
+
+1. a metadata task per sorted block reports, per partition-key segment,
+   its row count, first/last order value, and leading/trailing tie-run
+   lengths;
+2. the driver chains those (tiny) records into per-block offsets, cross-
+   block tie carries and per-key totals;
+3. a rank task per block computes ``rank() - 1`` vectorized (run-start
+   first-occurrence indices + offset - carry) and emits
+   ``(id, pct = (rank-1)/(n-1))``.
+
+No step ever holds more than one block of real data; the all-to-all cost
+is exactly one distributed sort (the unavoidable floor for exact global
+ranks).  Rows per partition key may exceed any single block — keys are NOT
+assumed to fit anywhere.  Raw Ray tasks are justified here because the
+Dataset API exposes no block-index-aware map (SURVEY.md §2 custom-operator
+rule c).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+
+def _segments(parts: np.ndarray) -> list[tuple[int, int]]:
+    """Contiguous (start, end) runs of equal partition key (sorted input)."""
+    n = len(parts)
+    if n == 0:
+        return []
+    change = np.r_[True, parts[1:] != parts[:-1]]
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], n]
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def _run_len_from(v: np.ndarray, reverse: bool = False) -> int:
+    """Length of the tie run at the head (or tail) of a value vector."""
+    if reverse:
+        v = v[::-1]
+    diff = np.flatnonzero(v != v[0])
+    return int(diff[0]) if diff.size else len(v)
+
+
+def _as_table(blk) -> pa.Table:
+    """Blocks may be Arrow or pandas depending on the upstream source."""
+    if isinstance(blk, pa.Table):
+        return blk
+    return pa.Table.from_pandas(blk, preserve_index=False)
+
+
+@ray.remote
+def _block_meta(blk, part_col: str, order_col: str) -> list:
+    blk = _as_table(blk)
+    parts = np.asarray(blk[part_col].to_pylist(), dtype=object)
+    vals = blk[order_col].to_numpy(zero_copy_only=False)
+    out = []
+    for s, e in _segments(parts):
+        v = vals[s:e]
+        out.append((parts[s], int(e - s), v[0], v[-1],
+                    _run_len_from(v), _run_len_from(v, reverse=True)))
+    return out
+
+
+@ray.remote
+def _block_rank(blk, part_col: str, order_col: str, id_col: str,
+                info: dict) -> pa.Table:
+    blk = _as_table(blk)
+    parts = np.asarray(blk[part_col].to_pylist(), dtype=object)
+    vals = blk[order_col].to_numpy(zero_copy_only=False)
+    pct = np.zeros(len(parts), dtype=np.float64)
+    for s, e in _segments(parts):
+        off, carry, n_tot = info[parts[s]]
+        v = vals[s:e]
+        idx = np.arange(e - s)
+        new_run = np.r_[True, v[1:] != v[:-1]]
+        first_idx = np.maximum.accumulate(np.where(new_run, idx, 0))
+        r0 = (off + first_idx).astype(np.float64)
+        r0[first_idx == 0] -= carry  # leading tie run continues from earlier blocks
+        pct[s:e] = r0 / (n_tot - 1) if n_tot > 1 else 0.0
+    return pa.table({id_col: blk[id_col],
+                     "pct": pa.array(pct, pa.float64())})
+
+
+def percent_rank(ds: Dataset, part_col: str, order_col: str, id_col: str,
+                 descending: bool = True) -> Dataset:
+    """``(id_col, pct)`` with pct = SQL ``percent_rank() OVER (PARTITION BY
+    part_col ORDER BY order_col [DESC])`` — ``(rank - 1) / (n - 1)``, ties
+    share the min rank, single-row partitions get 0.0."""
+    s = ds.sort([part_col, order_col],
+                descending=[False, descending]).materialize()
+    # skip empty blocks by METADATA (shuffles emit schema-less empties)
+    refs = [blk for bundle in s.iter_internal_ref_bundles()
+            for blk, m in bundle.blocks if (m.num_rows or 0) > 0]
+    if not refs:
+        sch = ds.schema()
+        id_type = sch.base_schema.field(id_col).type
+        return ray.data.from_arrow(pa.schema(
+            [(id_col, id_type), ("pct", pa.float64())]).empty_table())
+
+    metas = ray.get([_block_meta.remote(r, part_col, order_col)
+                     for r in refs])
+    cum: dict = {}
+    last_val: dict = {}
+    tail_run: dict = {}
+    block_infos: list[dict] = []
+    for bm in metas:
+        info = {}
+        for p, n, first, last, lead, trail in bm:
+            off = cum.get(p, 0)
+            carry = tail_run.get(p, 0) if (p in last_val
+                                           and last_val[p] == first) else 0
+            info[p] = (off, carry)
+            uniform = lead == n
+            tail_run[p] = (carry + n) if uniform else trail
+            last_val[p] = last
+            cum[p] = off + n
+        block_infos.append(info)
+    out_refs = [
+        _block_rank.remote(
+            r, part_col, order_col, id_col,
+            {p: (off, carry, cum[p]) for p, (off, carry) in info.items()})
+        for r, info in zip(refs, block_infos)
+    ]
+    return ray.data.from_arrow_refs(out_refs)

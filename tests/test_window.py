@@ -1,0 +1,59 @@
+"""Distributed percent_rank (stages/window.py) vs a pandas reference,
+stressing tie runs that span sorted-block boundaries."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.stages.window import (
+    percent_rank,
+)
+
+
+def _reference(df: pd.DataFrame) -> dict[int, float]:
+    out = {}
+    for _, g in df.groupby("part"):
+        n = len(g)
+        r = g["val"].rank(ascending=False, method="min")
+        pct = (r - 1) / (n - 1) if n > 1 else pd.Series(0.0, index=g.index)
+        out.update(dict(zip(g["id"], pct)))
+    return out
+
+
+@pytest.mark.parametrize("n_vals", [3, 50])  # 3 -> giant cross-block tie runs
+def test_percent_rank_matches_pandas(ray_session, n_vals):
+    import ray.data as rd
+    rng = np.random.RandomState(11)
+    n = 5000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "part": rng.choice(["a", "b", "c"], n),
+        "val": rng.choice(np.linspace(0.0, 1.0, n_vals), n),
+    })
+    ds = rd.from_pandas(df).repartition(16)  # force many sorted blocks
+    got = percent_rank(ds, "part", "val", "id").to_pandas()
+    want = _reference(df)
+    assert len(got) == n
+    g = dict(zip(got["id"], got["pct"]))
+    for i in range(n):
+        assert abs(g[i] - want[i]) < 1e-12, (i, g[i], want[i])
+
+
+def test_percent_rank_single_row_partition(ray_session):
+    import ray.data as rd
+    df = pd.DataFrame({"id": [1, 2, 3], "part": ["x", "y", "y"],
+                       "val": [5.0, 1.0, 2.0]})
+    got = percent_rank(rd.from_pandas(df), "part", "val", "id").to_pandas()
+    g = dict(zip(got["id"], got["pct"]))
+    assert g[1] == 0.0          # singleton partition
+    assert g[3] == 0.0 and g[2] == 1.0   # desc order
+
+
+def test_percent_rank_empty(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    t = pa.table({"id": pa.array([], pa.int64()),
+                  "part": pa.array([], pa.string()),
+                  "val": pa.array([], pa.float64())})
+    got = percent_rank(rd.from_arrow(t), "part", "val", "id").to_pandas()
+    assert len(got) == 0
