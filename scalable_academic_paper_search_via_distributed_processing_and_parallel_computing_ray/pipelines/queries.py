@@ -350,11 +350,13 @@ def q_dedup_simhash(sf_dir: str) -> pa.Table:
 # ------------------------------------------------------------ text stats ---
 
 def q_lang_id(sf_dir: str) -> rd.Dataset:
-    """Heuristic language ID (rows-only: marker-set heuristic, not SQL)."""
-    from ..functions.textstats import lang_id
+    """Heuristic language ID (rows-only: marker-set heuristic, not SQL).
+    Vectorized: Arrow tokenize + is_in marker hits + bincount argmax
+    (stages/text.py batch twin of functions.textstats.lang_id)."""
+    from ..stages.text import batch_lang_id
 
     def f(b: pa.Table) -> pa.Table:
-        preds = [lang_id(t) for t in b["text"].to_pylist()]
+        preds = batch_lang_id(b["text"], b.num_rows)
         return pa.table({"doc_id": b["doc_id"],
                          "lang_pred": pa.array(preds, pa.string())})
 
@@ -364,17 +366,18 @@ def q_lang_id(sf_dir: str) -> rd.Dataset:
 
 def q_quality(sf_dir: str) -> rd.Dataset:
     """Quality features: token count, stop-word ratio, punctuation ratio,
-    mean token length (training-data filtering primitives)."""
-    from ..functions.textstats import quality_features
+    mean token length (training-data filtering primitives).  Vectorized
+    Arrow/numpy kernels — no per-row Python (round-1 weakness #4)."""
+    from ..stages.text import batch_quality
 
     def f(b: pa.Table) -> pa.Table:
-        rows = [quality_features(t) for t in b["text"].to_pylist()]
+        q = batch_quality(b["text"], b.num_rows)
         return pa.table({
             "doc_id": b["doc_id"],
-            "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
-            "stop_m": pa.array(round_m([r["stop_ratio"] for r in rows]), pa.int64()),
-            "punct_m": pa.array(round_m([r["punct_ratio"] for r in rows]), pa.int64()),
-            "mean_len_m": pa.array(round_m([r["mean_token_len"] for r in rows]), pa.int64()),
+            "n_tokens": pa.array(q["n_tokens"], pa.int64()),
+            "stop_m": pa.array(round_m(q["stop_ratio"]), pa.int64()),
+            "punct_m": pa.array(round_m(q["punct_ratio"]), pa.int64()),
+            "mean_len_m": pa.array(round_m(q["mean_token_len"]), pa.int64()),
         })
 
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
@@ -402,15 +405,16 @@ FROM t"""
 
 
 def q_token_count(sf_dir: str) -> rd.Dataset:
-    """Whitespace + BPE-ish token counting."""
-    from ..functions.textstats import bpe_token_count, ws_token_count
+    """Whitespace + BPE-ish token counting — pure RE2 count kernels, the
+    regex classes matching the SQL oracle's exactly."""
+    from ..stages.text import batch_token_counts
 
     def f(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
+        c = batch_token_counts(b["text"])
         return pa.table({
             "doc_id": b["doc_id"],
-            "ws_tokens": pa.array([ws_token_count(t) for t in texts], pa.int64()),
-            "bpe_tokens": pa.array([bpe_token_count(t) for t in texts], pa.int64()),
+            "ws_tokens": pa.array(c["ws_tokens"], pa.int64()),
+            "bpe_tokens": pa.array(c["bpe_tokens"], pa.int64()),
         })
 
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
@@ -424,16 +428,18 @@ FROM documents"""
 
 
 def q_fingerprint(sf_dir: str) -> rd.Dataset:
-    """SimHash + winnowing fingerprint per doc (rows-only)."""
-    from ..functions.textstats import rolling_fingerprint, simhash64
-    from ..functions.tokenize import tokenize_filtered
+    """SimHash + winnowing fingerprint per doc (rows-only).  Vectorized:
+    unique-token hashing via dictionary encode, per-doc bit majorities and
+    rolling-shingle distinct counts in numpy (stages/text.py)."""
+    from ..stages.text import batch_fingerprint
 
     def f(b: pa.Table) -> pa.Table:
-        toks = [tokenize_filtered(t) for t in b["text"].to_pylist()]
+        fp = batch_fingerprint(b["text"], b.num_rows)
         return pa.table({
             "doc_id": b["doc_id"],
-            "simhash_hex": pa.array([f"{simhash64(t):016x}" for t in toks], pa.string()),
-            "n_fp": pa.array([len(rolling_fingerprint(t)) for t in toks], pa.int64()),
+            "simhash_hex": pa.array([f"{s:016x}" for s in fp["simhash"]],
+                                    pa.string()),
+            "n_fp": pa.array(fp["n_fp"], pa.int64()),
         })
 
     return _read(sf_dir, "documents", ["doc_id", "text"]) \

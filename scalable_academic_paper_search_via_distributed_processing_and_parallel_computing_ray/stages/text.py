@@ -76,3 +76,132 @@ def term_counts(texts: pa.Array | pa.ChunkedArray) -> pa.Table:
     t = pa.table({"pidx": par, "term": flat})
     g = t.group_by(["pidx", "term"]).aggregate([("term", "count")])
     return g.rename_columns(["pidx", "term", "tf"])
+
+
+# ----------------------------------------------------- batch text stats ----
+# Vectorized twins of functions/textstats.py's per-string text-analysis
+# helpers (same division/rounding composition, so quantized outputs are
+# bit-identical): Arrow C++ kernels for tokenize / length / regex counts,
+# numpy bincount for per-doc reductions.  Only string hashing touches
+# Python, and only once per UNIQUE token via dictionary encoding.
+
+_LANG_ORDER = ("en", "de", "fr", "es")
+_CJK_PATTERN = "[一-鿿㐀-䶿]"
+_PUNCT_PATTERN = r"[^\w\s]"   # RE2 \w is ASCII — same class as the SQL oracle
+
+
+def _bincount(par: np.ndarray, n: int, weights=None,
+              mask: np.ndarray | None = None) -> np.ndarray:
+    if mask is not None:
+        par = par[mask]
+        weights = weights[mask] if weights is not None else None
+    return np.bincount(par, weights=weights, minlength=n)
+
+
+def batch_quality(texts: pa.Array | pa.ChunkedArray, n: int) -> dict:
+    """Per-doc quality features (functions.textstats.quality_features twin):
+    n_tokens, stop_ratio, punct_ratio, mean_token_len as numpy arrays."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, par = flat_tokens(texts, drop_stopwords=False)
+    parn = par.to_numpy(zero_copy_only=False)
+    n_tok = _bincount(parn, n)
+    stop = pc.is_in(flat, value_set=_STOP_ARR).to_numpy(zero_copy_only=False)
+    n_stop = _bincount(parn, n, mask=stop)
+    sum_len = _bincount(parn, n,
+                        weights=pc.utf8_length(flat).to_numpy())
+    n_chars = pc.utf8_length(texts).to_numpy()
+    n_punct = pc.count_substring_regex(texts, _PUNCT_PATTERN).to_numpy()
+    return {
+        "n_tokens": n_tok.astype(np.int64),
+        "stop_ratio": np.where(n_tok > 0, n_stop / np.maximum(n_tok, 1), 0.0),
+        "punct_ratio": np.where(n_chars > 0,
+                                n_punct / np.maximum(n_chars, 1), 0.0),
+        "mean_token_len": np.where(n_tok > 0,
+                                   sum_len / np.maximum(n_tok, 1), 0.0),
+    }
+
+
+def batch_token_counts(texts: pa.Array | pa.ChunkedArray) -> dict:
+    """Whitespace + BPE-ish token counts, pure RE2 counting kernels."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    return {
+        "ws_tokens": pc.count_substring_regex(texts, r"\S+")
+        .to_numpy().astype(np.int64),
+        "bpe_tokens": pc.count_substring_regex(texts, r"\w+|[^\w\s]")
+        .to_numpy().astype(np.int64),
+    }
+
+
+def batch_lang_id(texts: pa.Array | pa.ChunkedArray, n: int) -> np.ndarray:
+    """functions.textstats.lang_id twin: marker-hit argmax per doc with the
+    same fixed tie order, CJK-density zh override, 'und' fallback."""
+    from ..functions.textstats import _LANG_MARKERS
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, par = flat_tokens(texts, drop_stopwords=False)
+    parn = par.to_numpy(zero_copy_only=False)
+    hits = np.zeros((n, len(_LANG_ORDER)), dtype=np.int64)
+    for li, lang in enumerate(_LANG_ORDER):
+        m = pc.is_in(flat, value_set=pa.array(sorted(_LANG_MARKERS[lang]))) \
+            .to_numpy(zero_copy_only=False)
+        hits[:, li] = _bincount(parn, n, mask=m)
+    best = hits.argmax(axis=1)          # first max == fixed-order tie break
+    out = np.asarray(_LANG_ORDER, dtype=object)[best]
+    out[hits.max(axis=1) == 0] = "und"
+    out[_bincount(parn, n) == 0] = "und"
+    cjk = pc.count_substring_regex(texts, _CJK_PATTERN).to_numpy()
+    n_chars = pc.utf8_length(texts).to_numpy()
+    out[cjk * 4 >= np.maximum(1, n_chars)] = "zh"
+    return out
+
+
+def batch_fingerprint(texts: pa.Array | pa.ChunkedArray, n: int,
+                      window: int = 4, keep: int = 8) -> dict:
+    """Per-doc simhash (bit-identical to functions.textstats.simhash64) and
+    bottom-k sketch SIZE.  Token hashing runs once per unique token
+    (dictionary encode); the distinct-shingle count uses a vectorized
+    64-bit polynomial combine of token hashes instead of hashing the joined
+    shingle STRING — counts agree with the scalar path except for
+    astronomically unlikely (2^-64-scale) collisions; the scalar functions
+    remain the semantic truth for sketch VALUES."""
+    from ..functions.textstats import hash64
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, par = flat_tokens(texts, drop_stopwords=True)
+    parn = par.to_numpy(zero_copy_only=False)
+    enc = flat.dictionary_encode()
+    vocab = enc.dictionary.to_pylist()
+    vh = np.fromiter((hash64(t) for t in vocab), dtype=np.uint64,
+                     count=len(vocab))
+    th = vh[enc.indices.to_numpy(zero_copy_only=False)] \
+        if len(vocab) else np.zeros(0, np.uint64)
+    n_tok = _bincount(parn, n)
+
+    # simhash: per-doc per-bit majority over token-hash bits
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    cnt = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(cnt, parn, bits)
+    sig = (cnt * 2 > n_tok[:, None]).astype(np.uint64)
+    sim = (sig << shifts[None, :]).sum(axis=1)
+    sim[n_tok == 0] = 0
+
+    # distinct window-shingles per doc (vectorized rolling combine)
+    P = np.uint64(1099511628211)
+    n_fp = np.zeros(n, dtype=np.int64)
+    if th.size >= window:
+        code = th[: th.size - window + 1].copy()
+        for w in range(1, window):
+            code = code * P ^ th[w: th.size - window + 1 + w]
+        valid = parn[: th.size - window + 1] == parn[window - 1:]
+        vpar, vcode = parn[: th.size - window + 1][valid], code[valid]
+        if vcode.size:
+            order = np.lexsort((vcode, vpar))
+            sp, sc = vpar[order], vcode[order]
+            new = np.r_[True, (sp[1:] != sp[:-1]) | (sc[1:] != sc[:-1])]
+            n_fp = _bincount(sp, n, mask=new)
+    # scalar semantics: 0 < n_tok < window => ONE shingle (the whole doc)
+    n_fp[(n_tok > 0) & (n_tok < window)] = 1
+    return {"simhash": sim, "n_fp": np.minimum(n_fp, keep).astype(np.int64)}
