@@ -43,17 +43,46 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def exact_dedup(ds: Dataset, text_col: str = "text",
                 key_col: str = "doc_id") -> Dataset:
-    """Keep one row per distinct text: hash-partition on content hash, keep
-    the min-key row per group (reference D1 analog, deterministic survivor)."""
+    """Keep one row per distinct text, survivor = min key (reference D1
+    analog, deterministic).
+
+    Shape: the survivor-selection shuffle moves only (content_hash, key)
+    pairs through a partially-combined ``aggregate(Min)`` — never whole
+    rows into per-group pandas tasks (round-1 weakness #6) — then one hash
+    join ships each surviving row exactly once."""
+    import ray as _ray
+    from ray.data.aggregate import Min as _Min
+
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
                             batch_format="pyarrow")
+    keep = hashed.select_columns(["content_hash", key_col]) \
+        .groupby("content_hash") \
+        .aggregate(_Min(key_col, alias_name="__keep_key"))
+    # hash aggregates emit schema-less EMPTY blocks that break the join's
+    # key-field lookup — pin every block (incl. empties) to the key schema
+    key_type = ds.schema().base_schema.field(key_col).type
+    sch = pa.schema([("__keep_key", key_type)])
 
-    def first_by_key(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(key_col).head(1)
+    def pin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "__keep_key" not in b.column_names:
+            return sch.empty_table()
+        return b.select(["__keep_key"]).cast(sch)
 
-    out = hashed.groupby("content_hash").map_groups(first_by_key,
-                                                    batch_format="pandas")
-    return out.drop_columns(["content_hash"])
+    from .blocks import drop_empty_blocks
+    keep = drop_empty_blocks(keep.map_batches(pin, batch_format="pyarrow"))
+    npart = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    out = ds.join(keep, join_type="inner", num_partitions=npart,
+                  on=(key_col,), right_on=("__keep_key",))
+
+    # Ray's join drops the right-side key column itself in current
+    # versions; tolerate either behavior
+    def strip(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["__keep_key"]) \
+            if "__keep_key" in b.column_names else b
+
+    # the join ALSO emits schema-less empty partition blocks; scrub them so
+    # the output is safe to feed into further shuffles (chained dedups)
+    return drop_empty_blocks(out.map_batches(strip, batch_format="pyarrow"))
 
 
 # ------------------------------------------------------------ minhash-lsh ---
