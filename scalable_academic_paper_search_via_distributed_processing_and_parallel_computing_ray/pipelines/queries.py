@@ -499,10 +499,22 @@ ORDER BY query_id, rank"""
 
 
 def q_knn_ivf(sf_dir: str) -> pa.Table:
-    """IVF-bucketed approximate top-k (rows-only: approximate by design)."""
-    from ..stages.similarity import knn_ivf
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return knn_ivf(ds, _query_vectors(sf_dir), KNN_K, nlist=16, nprobe=4)
+    """IVF approximate top-k against a PERSISTED cell-partitioned index
+    (rows-only: approximate by design).  The index is built once per
+    fixture under /tmp (cache keyed on source row count) and each query
+    reads only its probed cells' parquet partitions."""
+    import pyarrow.parquet as _pq
+    from ..stages.similarity import build_ivf, ivf_search
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = _pq.ParquetFile(src).metadata.num_rows
+    idx_dir = f"/tmp/graft_ivf/{tag}-{n_rows}"
+    if not os.path.exists(os.path.join(idx_dir, "ivf_manifest.json")):
+        import shutil
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        build_ivf(ds, idx_dir, nlist=16)
+    return ivf_search(idx_dir, _query_vectors(sf_dir), KNN_K, nprobe=4)
 
 
 def q_embdup_cosine(sf_dir: str) -> pa.Table:

@@ -7,10 +7,13 @@
   GEMM, the shuffle carries k rows per (query, batch), never the corpus.
   (Reference analog: FAISS brute/IVF search ``semantic_index/search.py:34-40``.)
 
-* :func:`knn_ivf` — IVF-bucketed approximate variant: deterministic k-means
-  (numpy, fixed seed, driver-side fit on a sample — the reference fits KMeans
-  on a 1% sample the same way, ``calculate_fwci.py:56-63``), assignment +
-  per-bucket brute force over only ``nprobe`` probed lists.
+* :func:`build_ivf` / :func:`ivf_search` — PERSISTED IVF index: deterministic
+  k-means centroids (numpy, fixed seed, driver-side fit on a sample — the
+  reference fits on a sample the same way, ``calculate_fwci.py:56-63``),
+  vectors written as cell-partitioned parquet, queries reading only their
+  ``nprobe`` probed cells' files (the FAISS IVF build+save / load+search
+  cycle of ``semantic_index/build_index.py:36-48`` + ``search.py:34-40``,
+  re-expressed as a parquet layout).  :func:`knn_ivf` wraps build+search.
 """
 
 from __future__ import annotations
@@ -127,32 +130,93 @@ def kmeans_fit(sample: np.ndarray, nlist: int, iters: int = 10,
     return cent
 
 
-def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, nlist: int = 16,
-            nprobe: int = 4, sample_n: int = 2048,
-            id_col: str = "vec_id", vec_col: str = "embedding",
-            seed: int = 42) -> pa.Table:
-    """IVF approximate top-k: probe only the ``nprobe`` closest centroid
-    buckets per query.  With nprobe == nlist this is exactly knn_brute.
-    Returns (query_id, rank, vec_id, cos_m)."""
+def build_ivf(ds: Dataset, index_dir: str, nlist: int = 16,
+              sample_n: int = 2048, id_col: str = "vec_id",
+              vec_col: str = "embedding", seed: int = 42) -> dict:
+    """Build a PERSISTED IVF index: vectors written as parquet partitioned
+    by centroid cell (hive layout, ``cell=N/`` dirs), centroids + params in
+    a manifest committed LAST (readers key off it).  This is the on-disk
+    analog of the reference's FAISS IVF build+save
+    (``semantic_index/build_index.py:36-48``): queries then touch only
+    their probed cells' FILES — I/O-level pruning, not just a masked GEMM
+    (the round-1 knn_ivf still scanned every row per batch)."""
+    import json
+    import os
+
     import ray
 
     sample = ds.limit(sample_n).to_pandas()
-    smat = np.stack(sample[vec_col].to_numpy())
-    cent = kmeans_fit(smat, nlist, seed=seed)
-    q = _normalize(np.asarray(queries, dtype=np.float64))
-    # per-query probed cells
-    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]      # (nq, nprobe)
-    ref = ray.put((q, cent, probe))
-    nq = q.shape[0]
+    cent = kmeans_fit(np.stack(sample[vec_col].to_numpy()), nlist, seed=seed)
+    cref = ray.put(cent)
 
-    def local_topk(b: pa.Table) -> pa.Table:
-        qm, cm, pr = ray.get(ref)
-        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    def assign(b: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
         m = _normalize(np.stack(b[vec_col].to_numpy(zero_copy_only=False))
                        .astype(np.float64))
-        cell = np.argmax(m @ cm.T, axis=1)                      # IVF assignment
+        cell = np.argmax(m @ cm.T, axis=1).astype(np.int32)
+        return pa.table({id_col: b[id_col], vec_col: b[vec_col],
+                         "cell": pa.array(cell, pa.int32())})
+
+    os.makedirs(index_dir, exist_ok=True)
+    # cell data lives under cells/ so the manifest never pollutes the
+    # parquet dataset directory scan
+    ds.select_columns([id_col, vec_col]) \
+        .map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(os.path.join(index_dir, "cells"),
+                       partition_cols=["cell"])
+    manifest = {"nlist": int(cent.shape[0]), "dim": int(cent.shape[1]),
+                "seed": seed, "id_col": id_col, "vec_col": vec_col,
+                "centroids": cent.tolist()}
+    tmp = os.path.join(index_dir, "ivf_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "ivf_manifest.json"))
+    return manifest
+
+
+def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
+               nprobe: int = 4) -> pa.Table:
+    """Approximate top-k against a :func:`build_ivf` index.  Reads ONLY the
+    union of the queries' ``nprobe`` closest cells (parquet partition
+    pruning pushes the cell filter to file selection); each batch then
+    GEMMs against just the queries probing its cell.  With nprobe == nlist
+    results equal knn_brute.  Returns (query_id, rank, vec_id, cos_m)."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "ivf_manifest.json")) as f:
+        man = json.load(f)
+    cent = np.asarray(man["centroids"], dtype=np.float64)
+    id_col, vec_col = man["id_col"], man["vec_col"]
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]      # (nq, nprobe)
+    cells = sorted({int(c) for c in probe.reshape(-1)})
+    # open ONLY the probed cells' partition dirs (I/O pruning is explicit:
+    # Ray 2.49's read_parquet filter can't prune on virtual hive columns);
+    # hive inference re-attaches the cell column from the ``cell=N`` path
+    parts = []
+    for c in cells:
+        cdir = os.path.join(index_dir, "cells", f"cell={c}")
+        if not os.path.isdir(cdir):
+            continue  # empty cell: never written
+        parts.append(rd.read_parquet(cdir))
+    if not parts:
+        return _rank_quantized(pd.DataFrame(
+            {"query_id": [], "vec_id": [], "cos": []}), k)
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    ref = ray.put((q, probe))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        qm, pr = ray.get(ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = b["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(np.stack(b[vec_col].to_numpy(zero_copy_only=False))
+                       .astype(np.float64))
         rows_q, rows_v, rows_c = [], [], []
-        for qi in range(nq):
+        for qi in range(qm.shape[0]):
             mask = np.isin(cell, pr[qi])
             if not mask.any():
                 continue
@@ -170,3 +234,20 @@ def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, nlist: int = 16,
     merged = partials.groupby("query_id").map_groups(
         lambda g: _topk_merge(g, k), batch_format="pandas").to_pandas()
     return _rank_quantized(merged, k)
+
+
+def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, nlist: int = 16,
+            nprobe: int = 4, sample_n: int = 2048,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 42, index_dir: str | None = None) -> pa.Table:
+    """Convenience wrapper: build (or reuse — caller owns invalidation) the
+    persisted IVF index, then probe it.  ``index_dir=None`` -> fresh temp
+    dir."""
+    import os
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_")
+    if not os.path.exists(os.path.join(index_dir, "ivf_manifest.json")):
+        build_ivf(ds, index_dir, nlist, sample_n, id_col, vec_col, seed)
+    return ivf_search(index_dir, queries, k, nprobe)

@@ -103,3 +103,25 @@ def test_embed_stage_deterministic(ray_session):
     assert e1.equals(e2)
     v = np.asarray(e1["embedding"][0].as_py())
     assert v.size == EMBED_DIM and abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_ivf_index_persist_and_prune(ray_session, emb_ds, emb_mat, tmp_path):
+    """build_ivf writes cell-partitioned parquet + manifest; ivf_search
+    reuses the index without rebuilding and touches only probed cell dirs."""
+    import os
+    ids, m = emb_mat
+    idx = str(tmp_path / "ivf")
+    man = similarity.build_ivf(emb_ds, idx, nlist=8)
+    assert os.path.exists(os.path.join(idx, "ivf_manifest.json"))
+    cell_dirs = [d for d in os.listdir(os.path.join(idx, "cells"))
+                 if d.startswith("cell=")]
+    assert 1 < len(cell_dirs) <= 8
+    # row conservation across partitions
+    import pyarrow.parquet as pq
+    total = sum(pq.read_table(os.path.join(idx, "cells", d)).num_rows
+                for d in cell_dirs)
+    assert total == emb_ds.count()
+    # search from the persisted index only (no Dataset arg)
+    out = similarity.ivf_search(idx, m[:2], k=5, nprobe=8)
+    brute = similarity.knn_brute(emb_ds, m[:2], k=5)
+    assert out.to_pydict() == brute.to_pydict()  # full probe == exact
