@@ -317,6 +317,16 @@ def shingle_rows(batch: pa.Table, k: int = 3,
                      "shingle": pa.array(out_sh, pa.int64())})
 
 
+def _pin_arrow(*cols: str):
+    """map_batches fn factory: pin an aggregate's output to exactly these
+    columns as Arrow (non-empty blocks only; pair with drop_empty_blocks)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.select(list(cols))
+
+    return f
+
+
 def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
                         max_df: int = 64, text_col: str = "text") -> pa.Table:
     """Exact n-gram-set Jaccard >= threshold via shared-shingle candidate
@@ -324,31 +334,76 @@ def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
     dropped from candidate generation (hot-bucket cap; identical cap in the
     SQL oracle keeps the comparison exact).  Returns (a, b, jaccard_m) with
     jaccard_m = round(jaccard*1000) as int64.
-    """
+
+    Shape: everything is joins + pre-combined aggregates — the round-1
+    per-shingle ``map_groups`` paid a pandas task per bucket (~100k tiny
+    groups = minutes at sf0.1); the shingle self-join emits the same
+    bounded pair volume vectorized, and doc sizes reach the Jaccard
+    computation by joining them onto the pair table instead of a
+    driver-side dict of every doc."""
+    import ray as _ray
+    from .blocks import drop_empty_blocks
+
+    npart = max(8, int(_ray.cluster_resources().get("CPU", 8)))
     sh = ds.map_batches(lambda b: shingle_rows(b, k, text_col),
                         batch_format="pyarrow")
-    sh = sh.materialize()  # consumed twice (sizes + intersections)
-    sizes = sh.groupby("doc_id").aggregate(Count(alias_name="sz")).to_pandas()
-    size_map = dict(zip(sizes["doc_id"].astype(int), sizes["sz"].astype(int)))
+    sh = sh.materialize()  # consumed 3x (sizes + join sides)
 
-    def bounded_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) > max_df:
-            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-        return _pairs_from_groups(g)
+    sizes = drop_empty_blocks(
+        sh.groupby("doc_id").aggregate(Count(alias_name="sz"))
+        .map_batches(_pin_arrow("doc_id", "sz"), batch_format="pyarrow"))
+    active = drop_empty_blocks(
+        sh.groupby("shingle").aggregate(Count(alias_name="df"))
+        .filter(expr=f"df >= 2 and df <= {max_df}")
+        .map_batches(_pin_arrow("shingle"), batch_format="pyarrow"))
 
-    inter = sh.groupby("shingle").map_groups(bounded_pairs, batch_format="pandas") \
-              .groupby(["a", "b"]).aggregate(Count(alias_name="inter")).to_pandas()
-    rows = []
-    for a, b, n_int in zip(inter["a"], inter["b"], inter["inter"]):
-        a, b, n_int = int(a), int(b), int(n_int)
-        union = size_map[a] + size_map[b] - n_int
-        j = n_int / union if union else 1.0
-        if j >= threshold:
-            rows.append((a, b, int(np.floor(j * 1000 + 0.5))))
-    rows.sort()
-    return pa.table({"a": pa.array([r[0] for r in rows], pa.int64()),
-                     "b": pa.array([r[1] for r in rows], pa.int64()),
-                     "jaccard_m": pa.array([r[2] for r in rows], pa.int64())})
+    sh_act = sh.join(active, join_type="inner", num_partitions=npart,
+                     on=("shingle",))
+    right = sh_act.map_batches(
+        lambda b: pa.table({"shingle_b": b["shingle"], "doc_b": b["doc_id"]}),
+        batch_format="pyarrow")
+    paired = sh_act.join(right, join_type="inner", num_partitions=npart,
+                         on=("shingle",), right_on=("shingle_b",))
+
+    def ordered(b: pa.Table) -> pa.Table:
+        a = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a < bb
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(bb[keep], pa.int64())})
+
+    inter = drop_empty_blocks(
+        paired.map_batches(ordered, batch_format="pyarrow")
+        .groupby(["a", "b"]).aggregate(Count(alias_name="inter"))
+        .map_batches(_pin_arrow("a", "b", "inter"), batch_format="pyarrow"))
+
+    sz_a = sizes.map_batches(
+        lambda b: pa.table({"a": b["doc_id"], "sz_a": b["sz"]}),
+        batch_format="pyarrow")
+    sz_b = sizes.map_batches(
+        lambda b: pa.table({"b": b["doc_id"], "sz_b": b["sz"]}),
+        batch_format="pyarrow")
+    joined = inter.join(sz_a, join_type="inner", num_partitions=npart,
+                        on=("a",)) \
+        .join(sz_b, join_type="inner", num_partitions=npart, on=("b",))
+
+    def jac(b: pa.Table) -> pa.Table:
+        n_int = b["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = (b["sz_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+                 + b["sz_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+                 - n_int)
+        j = np.where(union > 0, n_int / np.maximum(union, 1), 1.0)
+        keep = j >= threshold
+        jm = np.floor(j[keep] * 1000 + 0.5).astype(np.int64)
+        return pa.table({"a": b["a"].filter(pa.array(keep)),
+                         "b": b["b"].filter(pa.array(keep)),
+                         "jaccard_m": pa.array(jm, pa.int64())})
+
+    out = joined.map_batches(jac, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    out["a"] = out["a"].astype(np.int64)
+    out["b"] = out["b"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # ------------------------------------------------- embedding cosine dedup ---
