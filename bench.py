@@ -122,7 +122,8 @@ def run_bench() -> dict:
 
     # ---- sample of the other pipelines at the raw sf dir
     names = () if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else (
-        "term_df", "dedup_exact", "knn_brute", "join_revenue", "sessionize")
+        "term_df", "dedup_exact", "knn_brute", "join_revenue", "sessionize",
+        "percentile_rank", "dedup_ngram", "embdup_lsh")
     for name in names:
         fn = dict(Q.registry()[0].items())[name]
         t0 = time.time()

@@ -704,8 +704,13 @@ def q_join_revenue(sf_dir: str) -> rd.Dataset:
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    # partition count follows the cluster, not a constant (round-1 audit #3)
-    npart = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    # partition count follows the DATA up to the cluster size (round-1
+    # audit #3: a hardcoded 8 under-parallelizes big inputs; round-2 bench:
+    # cpu-count partitions over-parallelize small ones — ~100k rows per
+    # partition amortizes the per-partition shuffle floor either way).
+    # count() on a pruned parquet read is metadata-only.
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    npart = max(8, min(cpus, li.count() // 100_000 + 1))
     joined = li.join(orders, join_type="inner", num_partitions=npart,
                      on=("l_orderkey",), right_on=("o_orderkey",))
 

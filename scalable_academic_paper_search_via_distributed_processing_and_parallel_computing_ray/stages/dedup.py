@@ -46,43 +46,46 @@ def exact_dedup(ds: Dataset, text_col: str = "text",
     """Keep one row per distinct text, survivor = min key (reference D1
     analog, deterministic).
 
-    Shape: the survivor-selection shuffle moves only (content_hash, key)
-    pairs through a partially-combined ``aggregate(Min)`` — never whole
-    rows into per-group pandas tasks (round-1 weakness #6) — then one hash
-    join ships each surviving row exactly once."""
+    Shape: ONE distributed sort on (content_hash, key) — the unavoidable
+    co-location of equal texts — then a vectorized first-of-run filter per
+    block, chained across block boundaries by O(blocks) metadata (each
+    block only needs the PREVIOUS block's last hash).  No per-group pandas
+    tasks (round-1 weakness #6: one task per distinct text = billions of
+    tasks at corpus scale) and no second all-to-all."""
     import ray as _ray
-    from ray.data.aggregate import Min as _Min
 
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
                             batch_format="pyarrow")
-    keep = hashed.select_columns(["content_hash", key_col]) \
-        .groupby("content_hash") \
-        .aggregate(_Min(key_col, alias_name="__keep_key"))
-    # hash aggregates emit schema-less EMPTY blocks that break the join's
-    # key-field lookup — pin every block (incl. empties) to the key schema
-    key_type = ds.schema().base_schema.field(key_col).type
-    sch = pa.schema([("__keep_key", key_type)])
+    s = hashed.sort(["content_hash", key_col]).materialize()
+    refs = [blk for bundle in s.iter_internal_ref_bundles()
+            for blk, m in bundle.blocks if (m.num_rows or 0) > 0]
+    if not refs:
+        return s
 
-    def pin(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "__keep_key" not in b.column_names:
-            return sch.empty_table()
-        return b.select(["__keep_key"]).cast(sch)
+    def to_arrow(blk) -> pa.Table:
+        return blk if isinstance(blk, pa.Table) \
+            else pa.Table.from_pandas(blk, preserve_index=False)
 
-    from .blocks import drop_empty_blocks
-    keep = drop_empty_blocks(keep.map_batches(pin, batch_format="pyarrow"))
-    npart = max(8, int(_ray.cluster_resources().get("CPU", 8)))
-    out = ds.join(keep, join_type="inner", num_partitions=npart,
-                  on=(key_col,), right_on=("__keep_key",))
+    @_ray.remote
+    def last_hash(blk):
+        blk = to_arrow(blk)
+        return blk["content_hash"][blk.num_rows - 1].as_py()
 
-    # Ray's join drops the right-side key column itself in current
-    # versions; tolerate either behavior
-    def strip(b: pa.Table) -> pa.Table:
-        return b.drop_columns(["__keep_key"]) \
-            if "__keep_key" in b.column_names else b
+    @_ray.remote
+    def first_of_run(blk, carry_hash):
+        # keep only the first row of each content_hash run; the leading run
+        # is dropped when it continues a run from an earlier block
+        blk = to_arrow(blk)
+        h = blk["content_hash"].to_numpy(zero_copy_only=False)
+        first = np.r_[True, h[1:] != h[:-1]]
+        if carry_hash is not None and len(h) and h[0] == carry_hash:
+            first[0] = False
+        return blk.filter(pa.array(first)).drop_columns(["content_hash"])
 
-    # the join ALSO emits schema-less empty partition blocks; scrub them so
-    # the output is safe to feed into further shuffles (chained dedups)
-    return drop_empty_blocks(out.map_batches(strip, batch_format="pyarrow"))
+    lasts = _ray.get([last_hash.remote(r) for r in refs])
+    carries = [None] + lasts[:-1]
+    out_refs = [first_of_run.remote(r, c) for r, c in zip(refs, carries)]
+    return _ray.data.from_arrow_refs(out_refs)
 
 
 # ------------------------------------------------------------ minhash-lsh ---
