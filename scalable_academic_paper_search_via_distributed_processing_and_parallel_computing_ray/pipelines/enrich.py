@@ -1,0 +1,154 @@
+"""Analytics enrichment: batch-precompute + point-serve FWCI and citation
+percentile per id (reference ``api/enrich.py:208-240``: ``/enrich`` answers
+from a preloaded analytics DataFrame; ``api/combined.py:100-126`` loads it
+once at startup).
+
+Ray-native split:
+
+* :func:`build_analytics` — the batch side: grouped-mean FWCI ratios
+  (A4+M11) and the distributed percent_rank (O3, ``stages/window.py``)
+  joined on id and written as HASH-BUCKETED parquet
+  (``bucket=<id % n>/``) with a manifest.  Bucketing is the point-lookup
+  index: a single id maps to one bucket directory.
+* :class:`EnrichServer` — the serving side: an actor that memoizes bucket
+  tables on first touch (lazy, O(touched buckets) memory) and answers
+  ``enrich([ids])`` without any per-request job — unlike the reference's
+  spark-submit-per-request ``/paper/{id}`` (``combined.py:227-278``).
+  Rank -> percentile conversion ``(1 - rank) * 100`` mirrors M12
+  (``enrich.py:228``).
+
+No HTTP framework ships in this sandbox; the server is exposed as a Ray
+actor with the same request/response shape the reference's FastAPI handler
+has — a web front is one ``@app.post`` wrapper away.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+N_BUCKETS = 64
+
+
+def build_analytics(sf_dir: str, out_dir: str,
+                    n_buckets: int = N_BUCKETS) -> dict:
+    """Precompute (event_id, fwci_m, pct_m, bucket) and write bucketed
+    parquet + manifest.  Returns the manifest."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.window import percent_rank
+    from .queries import round_m
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "ts", "value"])
+
+    # --- FWCI: value / mean(value) within (event_type, year) — J4+A4+M11
+    def year_cents(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.append_column("yr", pc.year(b["ts"]))
+        return b.append_column(
+            "vc", pa.array(round_m(b["value"].to_numpy(), 100), pa.int64()))
+
+    with_year = ds.map_batches(year_cents, batch_format="pyarrow")
+    base = with_year.groupby(["event_type", "yr"]) \
+        .aggregate(Sum("vc", alias_name="sv"), Count(alias_name="cv")) \
+        .to_pandas()
+    avg_map = {(r.event_type, int(r.yr)): (float(r.sv) / 100.0) / int(r.cv)
+               for r in base.itertuples()}
+    avg_ref = ray.put(avg_map)
+
+    def fwci(b: pa.Table) -> pa.Table:
+        m = ray.get(avg_ref)
+        et = b["event_type"].to_pylist()
+        yr = b["yr"].to_numpy()
+        val = b["value"].to_numpy()
+        avg = np.asarray([m[(e, int(y))] for e, y in zip(et, yr)])
+        fw = np.where(avg > 0, val / avg, 0.0)
+        return pa.table({"event_id": b["event_id"],
+                         "fwci_m": pa.array(round_m(fw), pa.int64())})
+
+    fwci_ds = with_year.map_batches(fwci, batch_format="pyarrow")
+
+    # --- percentile within event_type by value desc (O3, distributed)
+    pr = percent_rank(ds, "event_type", "value", "event_id")
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({"pr_id": b["event_id"],
+                         "pct_m": pa.array(round_m(b["pct"].to_numpy()),
+                                           pa.int64())})
+
+    pct_ds = pr.map_batches(quant, batch_format="pyarrow")
+
+    npart = max(8, min(int(ray.cluster_resources().get("CPU", 8)),
+                       ds.count() // 100_000 + 1))
+    joined = fwci_ds.join(pct_ds, join_type="inner", num_partitions=npart,
+                          on=("event_id",), right_on=("pr_id",))
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "bucket", pa.array((ids % n_buckets).astype(np.int32), pa.int32()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    joined.map_batches(bucketize, batch_format="pyarrow") \
+        .write_parquet(os.path.join(out_dir, "buckets"),
+                       partition_cols=["bucket"])
+    manifest = {"n_buckets": n_buckets, "source": sf_dir}
+    tmp = os.path.join(out_dir, "analytics_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, "analytics_manifest.json"))
+    return manifest
+
+
+@ray.remote
+class EnrichServer:
+    """Point-serving actor over a :func:`build_analytics` directory."""
+
+    def __init__(self, analytics_dir: str):
+        with open(os.path.join(analytics_dir,
+                               "analytics_manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.n_buckets = int(self.manifest["n_buckets"])
+        self.dir = analytics_dir
+        self._buckets: dict[int, dict[int, tuple[int, int]]] = {}
+
+    def _bucket(self, b: int) -> dict[int, tuple[int, int]]:
+        hit = self._buckets.get(b)
+        if hit is None:
+            import pyarrow.parquet as pq
+            bdir = os.path.join(self.dir, "buckets", f"bucket={b}")
+            hit = {}
+            if os.path.isdir(bdir):
+                t = pq.read_table(bdir,
+                                  columns=["event_id", "fwci_m", "pct_m"])
+                hit = {int(i): (int(f), int(p))
+                       for i, f, p in zip(t["event_id"].to_pylist(),
+                                          t["fwci_m"].to_pylist(),
+                                          t["pct_m"].to_pylist())}
+            self._buckets[b] = hit
+        return hit
+
+    def enrich(self, ids: list[int]) -> list[dict]:
+        """One record per requested id, reference response shape: missing
+        ids come back with null analytics (``enrich.py:236-238``)."""
+        out = []
+        for i in ids:
+            row = self._bucket(int(i) % self.n_buckets).get(int(i))
+            if row is None:
+                out.append({"event_id": int(i), "fwci": None,
+                            "citation_percentile": None})
+            else:
+                fwci_m, pct_m = row
+                out.append({
+                    "event_id": int(i),
+                    "fwci": fwci_m / 1000.0,
+                    # rank->percentile rescale, reference M12
+                    "citation_percentile": (1000 - pct_m) / 10.0,
+                })
+        return out
