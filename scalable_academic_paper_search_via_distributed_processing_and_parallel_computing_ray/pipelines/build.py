@@ -390,13 +390,24 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
         "build_secs": round(time.time() - t0, 3),
         "docs_per_sec": round(n_total / max(1e-9, time.time() - t0), 1),
     }
-    ckpt.write_json(os.path.join(index_dir, "manifest.json"), manifest)
-    # GC termdicts from superseded manifests (single-writer contract: only
-    # one build/extend may run at a time; a reader that opened the PREVIOUS
-    # manifest before this publish should re-open, same as any snapshot DB)
+    # remember the PREVIOUS generation's termdict before overwriting the
+    # manifest, so a reader that loaded the old manifest moments before
+    # this publish can still open its termdict (one-generation grace; a
+    # reader two extends behind must re-open — snapshot-DB semantics)
+    prev_td = None
+    mf_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(mf_path):
+        try:
+            # legacy manifests (no termdict_file key) used the fixed name
+            prev_td = ckpt.read_json(mf_path).get("termdict_file",
+                                                  "termdict.parquet")
+        except (OSError, ValueError):
+            prev_td = None
+    ckpt.write_json(mf_path, manifest)
+    keep = {td_name, prev_td}
     for f in os.listdir(index_dir):
-        if (f == "termdict.parquet" or
-                (f.startswith("termdict-") and f != td_name)):
+        if ((f == "termdict.parquet" or f.startswith("termdict-"))
+                and f not in keep):
             try:
                 os.unlink(os.path.join(index_dir, f))
             except OSError:

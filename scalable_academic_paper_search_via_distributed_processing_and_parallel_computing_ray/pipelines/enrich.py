@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -54,7 +55,10 @@ def build_analytics(sf_dir: str, out_dir: str,
         return b.append_column(
             "vc", pa.array(round_m(b["value"].to_numpy(), 100), pa.int64()))
 
-    with_year = ds.map_batches(year_cents, batch_format="pyarrow")
+    # consumed twice (grouped mean + fwci scoring pass) — materialize so
+    # the events scan and year/cent quantization run once
+    with_year = ds.map_batches(year_cents, batch_format="pyarrow") \
+        .materialize()
     base = with_year.groupby(["event_type", "yr"]) \
         .aggregate(Sum("vc", alias_name="sv"), Count(alias_name="cv")) \
         .to_pandas()
@@ -94,15 +98,34 @@ def build_analytics(sf_dir: str, out_dir: str,
         return b.append_column(
             "bucket", pa.array((ids % n_buckets).astype(np.int32), pa.int32()))
 
+    # versioned bucket dir + manifest-as-commit-point (same discipline as
+    # the index termdict): a rebuild never appends into live bucket dirs,
+    # and readers of the PREVIOUS generation keep working until the next
+    # rebuild GCs it (one-generation grace)
     os.makedirs(out_dir, exist_ok=True)
+    bdir_name = f"buckets-{uuid.uuid4().hex[:12]}"
     joined.map_batches(bucketize, batch_format="pyarrow") \
-        .write_parquet(os.path.join(out_dir, "buckets"),
+        .write_parquet(os.path.join(out_dir, bdir_name),
                        partition_cols=["bucket"])
-    manifest = {"n_buckets": n_buckets, "source": sf_dir}
-    tmp = os.path.join(out_dir, "analytics_manifest.json.tmp")
+    manifest = {"n_buckets": n_buckets, "source": sf_dir,
+                "buckets_dir": bdir_name}
+    mf_path = os.path.join(out_dir, "analytics_manifest.json")
+    prev = None
+    if os.path.exists(mf_path):
+        try:
+            with open(mf_path) as f:
+                prev = json.load(f).get("buckets_dir", "buckets")
+        except (OSError, ValueError):
+            prev = None
+    tmp = mf_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, os.path.join(out_dir, "analytics_manifest.json"))
+    os.replace(tmp, mf_path)
+    keep = {bdir_name, prev}
+    for d in os.listdir(out_dir):
+        if ((d == "buckets" or d.startswith("buckets-")) and d not in keep):
+            import shutil
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     return manifest
 
 
@@ -122,7 +145,9 @@ class EnrichServer:
         hit = self._buckets.get(b)
         if hit is None:
             import pyarrow.parquet as pq
-            bdir = os.path.join(self.dir, "buckets", f"bucket={b}")
+            bdir = os.path.join(self.dir,
+                                self.manifest.get("buckets_dir", "buckets"),
+                                f"bucket={b}")
             hit = {}
             if os.path.isdir(bdir):
                 t = pq.read_table(bdir,

@@ -507,8 +507,11 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
     from ..stages.similarity import build_ivf, ivf_search
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     src = os.path.join(sf_dir, "embeddings.parquet")
+    # cache key includes size+mtime so a regenerated fixture with the same
+    # row count invalidates the persisted index (stale-read class)
+    st = os.stat(src)
     n_rows = _pq.ParquetFile(src).metadata.num_rows
-    idx_dir = f"/tmp/graft_ivf/{tag}-{n_rows}"
+    idx_dir = f"/tmp/graft_ivf/{tag}-{n_rows}-{st.st_size}-{int(st.st_mtime)}"
     if not os.path.exists(os.path.join(idx_dir, "ivf_manifest.json")):
         import shutil
         shutil.rmtree(idx_dir, ignore_errors=True)

@@ -54,17 +54,17 @@ def exact_dedup(ds: Dataset, text_col: str = "text",
     tasks at corpus scale) and no second all-to-all."""
     import ray as _ray
 
+    from .blocks import as_arrow_block as to_arrow
+    from .blocks import nonempty_block_refs
+
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
                             batch_format="pyarrow")
     s = hashed.sort(["content_hash", key_col]).materialize()
-    refs = [blk for bundle in s.iter_internal_ref_bundles()
-            for blk, m in bundle.blocks if (m.num_rows or 0) > 0]
+    refs = nonempty_block_refs(s)
     if not refs:
-        return s
-
-    def to_arrow(blk) -> pa.Table:
-        return blk if isinstance(blk, pa.Table) \
-            else pa.Table.from_pandas(blk, preserve_index=False)
+        # empty input: same schema contract as the normal path (no
+        # internal content_hash column)
+        return s.drop_columns(["content_hash"])
 
     @_ray.remote
     def last_hash(blk):
@@ -450,18 +450,16 @@ def embedding_dup_pairs(ds: Dataset, threshold: float = 0.95,
     """
     import ray
 
+    from .blocks import nonempty_block_refs
+
     n = ds.count()
     num_tiles = max(1, -(-n // tile_rows))
     tiles = ds.select_columns([id_col, vec_col]) \
         .repartition(num_tiles).materialize()
-    refs = [blk for bundle in tiles.iter_internal_ref_bundles()
-            for blk, _meta in bundle.blocks]
+    refs = nonempty_block_refs(tiles)
 
     @ray.remote
     def tile_pairs(blk_a, blk_b, same: bool):
-        if blk_a.num_rows == 0 or blk_b.num_rows == 0:
-            return _pairs_table(np.zeros(0, np.int64), np.zeros(0, np.int64),
-                                np.zeros(0))
         ids_a, ma = _norm_rows(blk_a, id_col, vec_col)
         ids_b, mb = _norm_rows(blk_b, id_col, vec_col)
         cos = ma @ mb.T

@@ -249,5 +249,9 @@ def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, nlist: int = 16,
     if index_dir is None:
         index_dir = tempfile.mkdtemp(prefix="ivf_")
     if not os.path.exists(os.path.join(index_dir, "ivf_manifest.json")):
+        # no manifest = never committed; scrub any partial build first so a
+        # rebuild can't append a second copy of every vector into cells/
+        import shutil
+        shutil.rmtree(os.path.join(index_dir, "cells"), ignore_errors=True)
         build_ivf(ds, index_dir, nlist, sample_n, id_col, vec_col, seed)
     return ivf_search(index_dir, queries, k, nprobe)

@@ -33,6 +33,9 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from .blocks import as_arrow_block as _as_table
+from .blocks import nonempty_block_refs
+
 
 def _segments(parts: np.ndarray) -> list[tuple[int, int]]:
     """Contiguous (start, end) runs of equal partition key (sorted input)."""
@@ -51,13 +54,6 @@ def _run_len_from(v: np.ndarray, reverse: bool = False) -> int:
         v = v[::-1]
     diff = np.flatnonzero(v != v[0])
     return int(diff[0]) if diff.size else len(v)
-
-
-def _as_table(blk) -> pa.Table:
-    """Blocks may be Arrow or pandas depending on the upstream source."""
-    if isinstance(blk, pa.Table):
-        return blk
-    return pa.Table.from_pandas(blk, preserve_index=False)
 
 
 @ray.remote
@@ -100,9 +96,7 @@ def percent_rank(ds: Dataset, part_col: str, order_col: str, id_col: str,
     share the min rank, single-row partitions get 0.0."""
     s = ds.sort([part_col, order_col],
                 descending=[False, descending]).materialize()
-    # skip empty blocks by METADATA (shuffles emit schema-less empties)
-    refs = [blk for bundle in s.iter_internal_ref_bundles()
-            for blk, m in bundle.blocks if (m.num_rows or 0) > 0]
+    refs = nonempty_block_refs(s)
     if not refs:
         sch = ds.schema()
         id_type = sch.base_schema.field(id_col).type

@@ -25,11 +25,37 @@ def analytics_dir(ray_session, tmp_path_factory):
 
 
 def test_build_layout(analytics_dir):
-    assert os.path.exists(os.path.join(analytics_dir,
-                                       "analytics_manifest.json"))
-    buckets = [d for d in os.listdir(os.path.join(analytics_dir, "buckets"))
+    import json
+    mf = os.path.join(analytics_dir, "analytics_manifest.json")
+    assert os.path.exists(mf)
+    with open(mf) as f:
+        bdir = json.load(f)["buckets_dir"]
+    buckets = [d for d in os.listdir(os.path.join(analytics_dir, bdir))
                if d.startswith("bucket=")]
     assert len(buckets) > 1
+
+
+def test_rebuild_replaces_buckets(ray_session, tmp_path):
+    """A rebuild must not append into live bucket dirs (stale-read class)."""
+    import json
+    d = str(tmp_path / "an")
+    enrich.build_analytics(SF, d, n_buckets=8)
+    with open(os.path.join(d, "analytics_manifest.json")) as f:
+        first = json.load(f)["buckets_dir"]
+    enrich.build_analytics(SF, d, n_buckets=8)
+    with open(os.path.join(d, "analytics_manifest.json")) as f:
+        second = json.load(f)["buckets_dir"]
+    assert first != second
+    # previous generation kept for in-flight readers (one-generation grace)
+    assert os.path.isdir(os.path.join(d, first))
+    # a third build GCs the first generation
+    enrich.build_analytics(SF, d, n_buckets=8)
+    assert not os.path.isdir(os.path.join(d, first))
+    # serving still answers correctly after rebuilds
+    srv = enrich.EnrichServer.remote(d)
+    got = ray.get(srv.enrich.remote([0]))
+    assert got[0]["fwci"] is not None
+    ray.kill(srv)
 
 
 def test_enrich_matches_batch_pipelines(analytics_dir):
