@@ -837,6 +837,31 @@ SQL_FIRST_PER_GROUP = """SELECT c_mktsegment, min(c_custkey) AS c_custkey
 FROM customer GROUP BY 1"""
 
 
+def q_lookup_table(sf_dir: str) -> rd.Dataset:
+    """Join + dropDuplicates -> lookup table (reference J2,
+    ``create_lookup_table.py:30-38``: title join then
+    ``dropDuplicates(["paper_id"])`` written as a lookup parquet).  The
+    lineitem x orders join emits one row per line item; the distinct pass
+    collapses them to one (key, attribute) row per order — the same
+    many-to-one -> lookup shape."""
+    import ray as _ray
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    npart = max(8, min(cpus, li.count() // 100_000 + 1))
+    joined = li.join(orders, join_type="inner", num_partitions=npart,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    return _stable(
+        joined.groupby(["l_orderkey", "o_orderpriority"])
+        .aggregate(Count(alias_name="__n"))
+        .map_batches(lambda b: b.select(["l_orderkey", "o_orderpriority"]),
+                     batch_format="pyarrow"))
+
+
+SQL_LOOKUP_TABLE = """SELECT DISTINCT l.l_orderkey, o.o_orderpriority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+
+
 def q_window_top3(sf_dir: str) -> rd.Dataset:
     """Top-3 events per user by value (grouped window / rank)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
@@ -1008,6 +1033,7 @@ def registry():
         "semi_join": q_semi_join,
         "point_lookup": q_point_lookup,
         "first_per_group": q_first_per_group,
+        "lookup_table": q_lookup_table,
         "window_top3": q_window_top3,
         "sessionize": q_sessionize,
         "concat_project": q_concat_project,
@@ -1034,6 +1060,7 @@ def registry():
         "semi_join": SQL_SEMI_JOIN,
         "point_lookup": SQL_POINT_LOOKUP,
         "first_per_group": SQL_FIRST_PER_GROUP,
+        "lookup_table": SQL_LOOKUP_TABLE,
         "window_top3": SQL_WINDOW_TOP3,
         "sessionize": SQL_SESSIONIZE,
         "concat_project": SQL_CONCAT_PROJECT,

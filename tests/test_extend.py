@@ -70,3 +70,19 @@ def test_extend_does_not_rewrite_existing_segments(split_dirs):
         seg = os.path.join(d_base, "shards", f"shard-{sid:04d}", "seg")
         assert os.path.exists(os.path.join(seg, "_SUCCESS"))
         assert rec0["n_postings"] > 0
+
+
+def test_termdict_generation_grace(split_dirs):
+    """The manifest is the commit point for a VERSIONED termdict; an extend
+    keeps the previous generation's file (one-generation reader grace) and
+    GCs older ones."""
+    import json
+
+    d_base, _, _, _ = split_dirs
+    with open(os.path.join(d_base, "manifest.json")) as f:
+        cur = json.load(f)["termdict_file"]
+    assert cur.startswith("termdict-") and os.path.exists(
+        os.path.join(d_base, cur))
+    tds = [f for f in os.listdir(d_base) if f.startswith("termdict-")]
+    # base build + one extend: current + previous generation at most
+    assert cur in tds and len(tds) <= 2
