@@ -1,18 +1,24 @@
 """Deduplication operators for the large-scale training-data toolkit.
 
-All five operators follow the same Ray-Data shape: a vectorized
-``map_batches`` fingerprint stage, a ``groupby`` on the fingerprint (the one
-shuffle), and a cheap within-group resolution.  Survivor selection is
-deterministic (min key) everywhere — the reference's only dedup,
-``dropDuplicates(["paper_id"])`` (``create_lookup_table.py:34``), keeps an
-arbitrary row; we pin the survivor so results are testable.
+Every operator pays exactly ONE corpus-sized all-to-all and resolves the
+rest vectorized: exact dedup sorts on the content hash and keeps the first
+row of each run (block-boundary chained); MinHash/SimHash band into
+buckets and verify inside them; n-gram Jaccard self-joins on hot-capped
+shingles; embedding dedup tile-joins (exact) or LSH-bands (approximate).
+Survivor selection is deterministic (min key) everywhere — the reference's
+only dedup, ``dropDuplicates(["paper_id"])``
+(``create_lookup_table.py:34``), keeps an arbitrary row; we pin the
+survivor so results are testable.
 
 Scale notes baked into the design:
 * candidate generation never does all-pairs over the corpus — pairs only
-  form inside a bucket (hash / LSH band / simhash band / shared shingle);
-* hot buckets are bounded (``max_df`` shingle cap, band width) — the dropped
-  mass is the standard recall/cost dial, logged in the result;
-* final connected components run on the driver ONLY over candidate pairs,
+  form inside a bucket (hash / LSH band / simhash band / shared shingle),
+  except the exact tile join whose Omega(n^2) candidate checks are the
+  exact-similarity-join floor (documented there);
+* hot buckets are bounded (``max_df`` shingle cap, ``max_bucket`` LSH cap)
+  — the dropped mass is the standard recall/cost dial;
+* no step materializes anything corpus-sized on the driver; connected
+  components (minhash groups) run driver-side ONLY over candidate pairs,
   which are orders of magnitude smaller than the corpus (documented
   assumption; an iterative min-label-propagation groupby replaces it when
   pairs themselves overflow the driver).
