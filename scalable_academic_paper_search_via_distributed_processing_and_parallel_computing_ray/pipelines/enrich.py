@@ -39,57 +39,22 @@ N_BUCKETS = 64
 def build_analytics(sf_dir: str, out_dir: str,
                     n_buckets: int = N_BUCKETS) -> dict:
     """Precompute (event_id, fwci_m, pct_m, bucket) and write bucketed
-    parquet + manifest.  Returns the manifest."""
-    from ray.data.aggregate import Count, Sum
+    parquet + manifest.  Returns the manifest.
 
-    from ..stages.window import percent_rank
-    from .queries import round_m
+    The analytics VALUES come from the same driver-contract pipelines the
+    oracle gate verifies (``q_fwci_events``, ``q_percentile_rank``) — one
+    source of truth, so batch and serving can never drift."""
+    from .queries import q_fwci_events, q_percentile_rank
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["event_id", "event_type", "ts", "value"])
+    fwci_ds = q_fwci_events(sf_dir)                     # (event_id, fwci_m)
+    pct_ds = q_percentile_rank(sf_dir).map_batches(     # (pr_id, pct_m)
+        lambda b: pa.table({"pr_id": b["event_id"], "pct_m": b["pct_m"]}),
+        batch_format="pyarrow")
 
-    # --- FWCI: value / mean(value) within (event_type, year) — J4+A4+M11
-    def year_cents(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        b = b.append_column("yr", pc.year(b["ts"]))
-        return b.append_column(
-            "vc", pa.array(round_m(b["value"].to_numpy(), 100), pa.int64()))
-
-    # consumed twice (grouped mean + fwci scoring pass) — materialize so
-    # the events scan and year/cent quantization run once
-    with_year = ds.map_batches(year_cents, batch_format="pyarrow") \
-        .materialize()
-    base = with_year.groupby(["event_type", "yr"]) \
-        .aggregate(Sum("vc", alias_name="sv"), Count(alias_name="cv")) \
-        .to_pandas()
-    avg_map = {(r.event_type, int(r.yr)): (float(r.sv) / 100.0) / int(r.cv)
-               for r in base.itertuples()}
-    avg_ref = ray.put(avg_map)
-
-    def fwci(b: pa.Table) -> pa.Table:
-        m = ray.get(avg_ref)
-        et = b["event_type"].to_pylist()
-        yr = b["yr"].to_numpy()
-        val = b["value"].to_numpy()
-        avg = np.asarray([m[(e, int(y))] for e, y in zip(et, yr)])
-        fw = np.where(avg > 0, val / avg, 0.0)
-        return pa.table({"event_id": b["event_id"],
-                         "fwci_m": pa.array(round_m(fw), pa.int64())})
-
-    fwci_ds = with_year.map_batches(fwci, batch_format="pyarrow")
-
-    # --- percentile within event_type by value desc (O3, distributed)
-    pr = percent_rank(ds, "event_type", "value", "event_id")
-
-    def quant(b: pa.Table) -> pa.Table:
-        return pa.table({"pr_id": b["event_id"],
-                         "pct_m": pa.array(round_m(b["pct"].to_numpy()),
-                                           pa.int64())})
-
-    pct_ds = pr.map_batches(quant, batch_format="pyarrow")
-
+    n_rows = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]).count()
     npart = max(8, min(int(ray.cluster_resources().get("CPU", 8)),
-                       ds.count() // 100_000 + 1))
+                       n_rows // 100_000 + 1))
     joined = fwci_ds.join(pct_ds, join_type="inner", num_partitions=npart,
                           on=("event_id",), right_on=("pr_id",))
 
@@ -145,9 +110,16 @@ class EnrichServer:
         hit = self._buckets.get(b)
         if hit is None:
             import pyarrow.parquet as pq
-            bdir = os.path.join(self.dir,
-                                self.manifest.get("buckets_dir", "buckets"),
-                                f"bucket={b}")
+            root = os.path.join(self.dir,
+                                self.manifest.get("buckets_dir", "buckets"))
+            if not os.path.isdir(root):
+                # generation GC'd (server fell two rebuilds behind): fail
+                # LOUDLY — returning {} would silently serve null analytics
+                # for ids that exist
+                raise RuntimeError(
+                    f"analytics generation {root} no longer exists "
+                    f"(superseded by newer builds); restart EnrichServer")
+            bdir = os.path.join(root, f"bucket={b}")
             hit = {}
             if os.path.isdir(bdir):
                 t = pq.read_table(bdir,

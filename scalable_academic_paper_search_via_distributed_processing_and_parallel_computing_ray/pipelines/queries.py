@@ -511,7 +511,16 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
     # row count invalidates the persisted index (stale-read class)
     st = os.stat(src)
     n_rows = _pq.ParquetFile(src).metadata.num_rows
-    idx_dir = f"/tmp/graft_ivf/{tag}-{n_rows}-{st.st_size}-{int(st.st_mtime)}"
+    root = "/tmp/graft_ivf"
+    key = f"{tag}-{n_rows}-{st.st_size}-{int(st.st_mtime)}"
+    idx_dir = os.path.join(root, key)
+    if not os.path.exists(idx_dir) and os.path.isdir(root):
+        # GC superseded indexes for this fixture (old size/mtime keys
+        # would otherwise accumulate a full corpus copy each)
+        import shutil
+        for d in os.listdir(root):
+            if d.startswith(f"{tag}-") and d != key:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     if not os.path.exists(os.path.join(idx_dir, "ivf_manifest.json")):
         import shutil
         shutil.rmtree(idx_dir, ignore_errors=True)

@@ -588,6 +588,23 @@ def embedding_dup_pairs_lsh(ds: Dataset, threshold: float = 0.9,
                   * np.sign(cos[ai, bi])).astype(np.int64))
         return pd.DataFrame({"a": ids[ai], "b": ids[bi], "cos_m": cos_m})
 
+    bands = bands.materialize()  # consumed twice (cap audit + buckets)
+    # no silent caps: count the buckets the max_bucket dial drops so
+    # recall loss is OBSERVABLE (logged + stamped in the result metadata)
+    hot = bands.select_columns(["band", "key"]).groupby(["band", "key"]) \
+        .aggregate(Count(alias_name="sz")) \
+        .filter(expr=f"sz > {max_bucket}")
+    n_hot = hot.count()
+    if n_hot:
+        import logging
+        logging.getLogger(__name__).warning(
+            "embedding_dup_pairs_lsh: %d bucket(s) over max_bucket=%d were "
+            "dropped from candidate generation; pairs confined to hot "
+            "buckets are lost (raise max_bucket or bits_per_band)",
+            n_hot, max_bucket)
+    meta = {b"dropped_hot_buckets": str(int(n_hot)).encode(),
+            b"max_bucket": str(max_bucket).encode()}
+
     pairs = bands.groupby(["band", "key"]) \
         .map_groups(bucket_pairs, batch_format="pandas")
     out = pairs.groupby(["a", "b"]) \
@@ -595,7 +612,9 @@ def embedding_dup_pairs_lsh(ds: Dataset, threshold: float = 0.9,
     if len(out) == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
-                         "cos_m": pa.array([], pa.int64())})
+                         "cos_m": pa.array([], pa.int64())}) \
+            .replace_schema_metadata(meta)
     out = out.sort_values(["a", "b"]).reset_index(drop=True)
     out["cos_m"] = out["cos_m"].astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(meta)
