@@ -353,10 +353,16 @@ def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
     import ray as _ray
     from .blocks import drop_empty_blocks
 
-    npart = max(8, int(_ray.cluster_resources().get("CPU", 8)))
     sh = ds.map_batches(lambda b: shingle_rows(b, k, text_col),
                         batch_format="pyarrow")
     sh = sh.materialize()  # consumed 3x (sizes + join sides)
+    # data-adaptive partition count: this plan chains THREE JoinOperators,
+    # each spawning num_partitions shuffle-aggregator actors CONCURRENTLY —
+    # at npart=cpus the 3x actor pool starves the map tasks and the plan
+    # can deadlock (observed at 32 CPUs); ~500k shingle rows per partition
+    # keeps actor count modest at small scale and still grows with data
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    npart = max(8, min(cpus, sh.count() // 500_000 + 1))
 
     sizes = drop_empty_blocks(
         sh.groupby("doc_id").aggregate(Count(alias_name="sz"))
@@ -366,8 +372,11 @@ def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
         .filter(expr=f"df >= 2 and df <= {max_df}")
         .map_batches(_pin_arrow("shingle"), batch_format="pyarrow"))
 
+    # materialized: consumed as BOTH sides of the pair self-join — lazy,
+    # the active-shingle join would execute twice (and chaining three
+    # JoinOperators into one plan multiplies concurrent shuffle actors)
     sh_act = sh.join(active, join_type="inner", num_partitions=npart,
-                     on=("shingle",))
+                     on=("shingle",)).materialize()
     right = sh_act.map_batches(
         lambda b: pa.table({"shingle_b": b["shingle"], "doc_b": b["doc_id"]}),
         batch_format="pyarrow")
