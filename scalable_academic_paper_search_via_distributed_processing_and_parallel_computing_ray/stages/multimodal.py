@@ -114,3 +114,65 @@ class FrameSampler:
             "frame": pa.array(frames, pa.int32()),
             "feature": pa.ListArray.from_arrays(offs, pa.array(flat, pa.float32())),
         })
+
+
+class ResizeMedia:
+    """Binary -> binary transcode stage (image resize / audio resample by
+    ``media_type``), meta JSON updated with the target params.
+
+    Stub kernel (same contract as :class:`DecodeMedia`): a real PIL
+    ``Image.resize`` / torchaudio ``Resample`` drops in per actor; the fake
+    produces a deterministic payload of the RIGHT characteristic size
+    (images scale by area ratio, audio by rate ratio) so downstream
+    batch-size/memory behavior matches a real transcode.  Actor pool:
+    target params + codec probe resolve once in ``__init__``.
+    """
+
+    def __init__(self, target_px: int = 224, target_rate: int = 16_000,
+                 require_real: bool = False):
+        self.target_px = target_px
+        self.target_rate = target_rate
+        try:
+            import PIL.Image  # noqa: F401
+            self.codec = "pil"
+        except ImportError:
+            self.codec = "fake"
+        if require_real and self.codec == "fake":
+            raise NotImplementedError(
+                "no real media codec available in this environment; "
+                "ResizeMedia runs with the deterministic fake transcoder")
+
+    def _fake_resize(self, payload: bytes, media_type: str) -> bytes:
+        # deterministic stand-in: sample the payload down to the size a
+        # real transcode would produce (224x224 image ~ fixed size; audio
+        # scales by rate ratio), keeping bytes payload-dependent
+        if media_type == "image":
+            out_len = max(16, self.target_px * self.target_px // 1024)
+        else:  # audio/video: assume 48k source -> rate ratio
+            out_len = max(16, int(len(payload) * self.target_rate / 48_000))
+        idx = np.linspace(0, max(0, len(payload) - 1), out_len).astype(np.int64)
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        return (arr[idx].tobytes() if arr.size else b"\0" * out_len)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+        payloads = batch["payload"].to_pylist()
+        mtypes = batch["media_type"].to_pylist()
+        metas = batch["meta"].to_pylist()
+        out_p, out_m = [], []
+        for p, mt, mj in zip(payloads, mtypes, metas):
+            out_p.append(self._fake_resize(p, mt))
+            try:
+                meta = json.loads(mj) if mj else {}
+            except ValueError:
+                meta = {}
+            meta["resized"] = {"target_px": self.target_px,
+                               "target_rate": self.target_rate,
+                               "codec": self.codec}
+            out_m.append(json.dumps(meta, sort_keys=True))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "payload": pa.array(out_p, pa.binary()),
+            "media_type": batch["media_type"],
+            "meta": pa.array(out_m, pa.string()),
+        })

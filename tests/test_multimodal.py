@@ -63,3 +63,45 @@ def test_decode_in_ray_pipeline(ray_session):
                          concurrency=2).to_pandas()
     assert len(out) == 16
     assert set(out.columns) >= {"media_id", "n_bytes", "feature"}
+
+
+import pytest
+
+
+@pytest.fixture()
+def media_ds(ray_session):
+    import ray.data as rd
+    return rd.from_arrow(_media_batch(16))
+
+
+def test_resize_media_stage(ray_session, media_ds):
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.stages.multimodal import (
+        DecodeMedia,
+        ResizeMedia,
+    )
+    resized = media_ds.map_batches(
+        ResizeMedia, fn_constructor_kwargs={"target_px": 64},
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 2))
+    out = resized.materialize()
+    rows = out.take_all()
+    import json
+    for r in rows:
+        assert isinstance(r["payload"], bytes) and len(r["payload"]) >= 16
+        meta = json.loads(r["meta"])
+        assert meta["resized"]["target_px"] == 64
+    # resized payloads still decode downstream (binary->binary->features)
+    feats = out.map_batches(DecodeMedia, batch_format="pyarrow",
+                            batch_size=16, concurrency=(1, 2)).take_all()
+    assert len(feats) == len(rows)
+    assert all(len(f["feature"]) == 32 for f in feats)
+
+
+def test_resize_media_deterministic(ray_session, media_ds):
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.stages.multimodal import (
+        ResizeMedia,
+    )
+    def run():
+        return {r["media_id"]: r["payload"] for r in media_ds.map_batches(
+            ResizeMedia, batch_format="pyarrow", batch_size=16,
+            concurrency=(1, 2)).take_all()}
+    assert run() == run()
