@@ -362,7 +362,16 @@ def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
     # can deadlock (observed at 32 CPUs); ~500k shingle rows per partition
     # keeps actor count modest at small scale and still grows with data
     cpus = int(_ray.cluster_resources().get("CPU", 8))
-    npart = max(8, min(cpus, sh.count() // 500_000 + 1))
+    n_sh = sh.count()
+    npart = max(8, min(cpus, n_sh // 500_000 + 1))
+
+    def _empty_pairs() -> pa.Table:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard_m": pa.array([], pa.int64())})
+
+    if n_sh == 0:
+        return _empty_pairs()
 
     sizes = drop_empty_blocks(
         sh.groupby("doc_id").aggregate(Count(alias_name="sz"))
@@ -371,6 +380,10 @@ def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
         sh.groupby("shingle").aggregate(Count(alias_name="df"))
         .filter(expr=f"df >= 2 and df <= {max_df}")
         .map_batches(_pin_arrow("shingle"), batch_format="pyarrow"))
+    if active.count() == 0:
+        # no shared (non-hot) shingle anywhere => no candidate pairs; the
+        # joins below would also choke on an all-empty (schema-less) side
+        return _empty_pairs()
 
     # materialized: consumed as BOTH sides of the pair self-join — lazy,
     # the active-shingle join would execute twice (and chaining three
