@@ -871,6 +871,40 @@ SQL_LOOKUP_TABLE = """SELECT DISTINCT l.l_orderkey, o.o_orderpriority
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
 
 
+def q_asof_join(sf_dir: str) -> rd.Dataset:
+    """Point-in-time (AS-OF) join, a beyond-reference custom operator
+    (stages/asof.py: tagged union -> one sort -> block-carry forward
+    fill): for each event, the timestamp of the same user's most recent
+    STRICTLY earlier 'purchase' event.  Events with no prior purchase drop
+    out (inner as-of)."""
+    from ..stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def probe_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "ts_us": b["ts"].cast(pa.int64())})
+
+    def ref_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.equal(b["event_type"], "purchase"))
+        return pa.table({"user_id": b["user_id"],
+                         "ts_us": b["ts"].cast(pa.int64())})
+
+    probe = ev.map_batches(probe_rows, batch_format="pyarrow")
+    ref = ev.map_batches(ref_rows, batch_format="pyarrow")
+    return asof_join(probe, ref, key_col="user_id", time_col="ts_us",
+                     probe_id_col="event_id", ref_value_col="ts_us",
+                     id_out="event_id", val_out="prev_purchase_us")
+
+
+SQL_ASOF_JOIN = """SELECT e.event_id,
+  CAST(max(epoch_us(p.ts)) AS BIGINT) AS prev_purchase_us
+FROM events e JOIN events p
+  ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts < e.ts
+GROUP BY e.event_id"""
+
+
 def q_window_top3(sf_dir: str) -> rd.Dataset:
     """Top-3 events per user by value (grouped window / rank)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
@@ -919,6 +953,41 @@ SQL_SESSIONIZE = """SELECT user_id,
   count(*) AS n_events,
   CAST(sum(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_m
 FROM events GROUP BY 1, 2"""
+
+
+def q_sliding_window(sf_dir: str) -> rd.Dataset:
+    """SLIDING 1-hour windows every 30 min (overlap 2): each event expands
+    to its two containing windows inside ``map_batches`` (flat-map shape),
+    then one grouped aggregate — the streaming-window pattern Ray Data
+    lacks natively, as a batch pipeline (SURVEY.md §2.9 extension of
+    sessionize's tumbling windows)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        slot = (us // 1_800_000_000) * 1800
+        vm = round_m(b["value"].to_numpy())
+        uid = b["user_id"].to_numpy()
+        return pa.table({
+            "user_id": pa.array(np.concatenate([uid, uid]), pa.int64()),
+            "window_start_s": pa.array(
+                np.concatenate([slot, slot - 1800]), pa.int64()),
+            "value_m": pa.array(np.concatenate([vm, vm]), pa.int64()),
+        })
+
+    return _stable(
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["user_id", "window_start_s"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_m", alias_name="sum_value_m")))
+
+
+SQL_SLIDING_WINDOW = """SELECT user_id,
+  (CAST(floor(epoch(ts) / 1800) AS BIGINT) - k) * 1800 AS window_start_s,
+  count(*) AS n_events,
+  CAST(sum(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_m
+FROM events CROSS JOIN (VALUES (0), (1)) s(k)
+GROUP BY 1, 2"""
 
 
 def q_concat_project(sf_dir: str) -> rd.Dataset:
@@ -1043,8 +1112,10 @@ def registry():
         "point_lookup": q_point_lookup,
         "first_per_group": q_first_per_group,
         "lookup_table": q_lookup_table,
+        "asof_join": q_asof_join,
         "window_top3": q_window_top3,
         "sessionize": q_sessionize,
+        "sliding_window": q_sliding_window,
         "concat_project": q_concat_project,
         "struct_project": q_struct_project,
         "sample_seeded": q_sample_seeded,
@@ -1070,8 +1141,10 @@ def registry():
         "point_lookup": SQL_POINT_LOOKUP,
         "first_per_group": SQL_FIRST_PER_GROUP,
         "lookup_table": SQL_LOOKUP_TABLE,
+        "asof_join": SQL_ASOF_JOIN,
         "window_top3": SQL_WINDOW_TOP3,
         "sessionize": SQL_SESSIONIZE,
+        "sliding_window": SQL_SLIDING_WINDOW,
         "concat_project": SQL_CONCAT_PROJECT,
         "struct_project": SQL_STRUCT_PROJECT,
         # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,

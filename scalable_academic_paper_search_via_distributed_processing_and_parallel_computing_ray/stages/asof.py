@@ -1,0 +1,134 @@
+"""Distributed AS-OF join (the classic time-series point-in-time lookup).
+
+Ray Data has no as-of/range join; this operator expresses it with the same
+sort + block-boundary-carry machinery as ``stages/window.py``:
+
+1. tag the two inputs (probe rows carry an id, reference rows carry the
+   value to look up) and UNION them;
+2. ONE distributed sort on (key, time, tag) — probes sort before
+   references at equal time, which gives strict ``reference.time <
+   probe.time`` semantics;
+3. per sorted block, a vectorized forward-fill assigns every probe row the
+   last reference value seen; block boundaries chain through O(blocks x
+   keys) driver metadata (each block receives the previous blocks' last
+   reference value per key).
+
+All heavy data moves exactly once (the sort); the carry records are tiny.
+Probes with no earlier reference are dropped (inner as-of).  The reference
+system has no as-of operator at all — this is part of the beyond-reference
+training-data toolkit (task brief: "custom operators ... as-of join").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from .blocks import as_arrow_block, nonempty_block_refs
+
+_PROBE, _REF = 0, 1  # probe first at equal time => strict "<" match
+
+
+def _tag_probe(id_col: str, key_col: str, time_col: str):
+    def f(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "__key": b[key_col].cast(pa.int64()),
+            "__t": b[time_col].cast(pa.int64()),
+            "__tag": pa.array(np.full(n, _PROBE, np.int8)),
+            "__id": b[id_col].cast(pa.int64()),
+            # 0 placeholder, NOT null: a null in an int64 column upcasts
+            # the numpy view to float64 and breaks exact value carry
+            "__val": pa.array(np.zeros(n, np.int64)),
+        })
+    return f
+
+
+def _tag_ref(key_col: str, time_col: str, value_col: str):
+    def f(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "__key": b[key_col].cast(pa.int64()),
+            "__t": b[time_col].cast(pa.int64()),
+            "__tag": pa.array(np.full(n, _REF, np.int8)),
+            "__id": pa.array(np.zeros(n, np.int64)),
+            "__val": b[value_col].cast(pa.int64()),
+        })
+    return f
+
+
+@ray.remote
+def _block_last_ref(blk) -> dict:
+    """{key: last reference __val in this block} (None-free)."""
+    blk = as_arrow_block(blk)
+    keys = blk["__key"].to_numpy(zero_copy_only=False)
+    tags = blk["__tag"].to_numpy(zero_copy_only=False)
+    vals = blk["__val"].to_numpy(zero_copy_only=False)
+    out: dict = {}
+    ref = tags == _REF
+    for k, v in zip(keys[ref], vals[ref]):  # later rows overwrite: sorted
+        out[int(k)] = int(v)
+    return out
+
+
+@ray.remote
+def _block_fill(blk, carry: dict, id_out: str, val_out: str) -> pa.Table:
+    blk = as_arrow_block(blk)
+    keys = blk["__key"].to_numpy(zero_copy_only=False)
+    tags = blk["__tag"].to_numpy(zero_copy_only=False)
+    ids = blk["__id"].to_numpy(zero_copy_only=False)
+    vals = blk["__val"].to_numpy(zero_copy_only=False)
+    n = len(keys)
+    idx = np.arange(n, dtype=np.int64)
+    is_ref = tags == _REF
+    # per-key-run forward fill via the segment-offset accumulate trick:
+    # contribution = seg*n + idx for refs (monotone within a segment and
+    # always above every earlier segment's), -1 for non-refs; after
+    # maximum.accumulate, a value >= seg*n means "a ref exists earlier in
+    # MY segment" and decodes back to its row index.
+    seg = np.cumsum(np.r_[True, keys[1:] != keys[:-1]]) - 1
+    contrib = np.where(is_ref, seg * n + idx, -1)
+    ff = np.maximum.accumulate(contrib)
+    in_seg = ff >= seg * n
+    last_ref_idx = np.where(in_seg, ff - seg * n, 0)
+    filled = vals[last_ref_idx]
+    # rows with no in-segment ref fall back to the cross-block carry
+    seg_keys = keys[np.r_[True, keys[1:] != keys[:-1]]]
+    carry_per_seg = np.array(
+        [carry.get(int(k), np.iinfo(np.int64).min) for k in seg_keys],
+        dtype=np.int64)
+    carry_vals = carry_per_seg[seg]
+    out_vals = np.where(in_seg, filled, carry_vals)
+    keep = (~is_ref) & (in_seg | (carry_vals != np.iinfo(np.int64).min))
+    return pa.table({id_out: pa.array(ids[keep].astype(np.int64), pa.int64()),
+                     val_out: pa.array(out_vals[keep], pa.int64())})
+
+
+def asof_join(probe: Dataset, ref: Dataset, key_col: str, time_col: str,
+              probe_id_col: str, ref_value_col: str,
+              id_out: str = "id", val_out: str = "asof_value") -> Dataset:
+    """For each probe row, the ``ref_value_col`` of the LATEST reference
+    row with the same key and STRICTLY earlier time.  Returns
+    ``(id_out, val_out)``; probes with no earlier reference are dropped.
+    Key and id must be integer-castable; time and value are carried as
+    int64 (cast timestamps to epoch units upstream)."""
+    tagged = probe.map_batches(_tag_probe(probe_id_col, key_col, time_col),
+                               batch_format="pyarrow") \
+        .union(ref.map_batches(_tag_ref(key_col, time_col, ref_value_col),
+                               batch_format="pyarrow"))
+    s = tagged.sort(["__key", "__t", "__tag"]).materialize()
+    refs = nonempty_block_refs(s)
+    if not refs:
+        return ray.data.from_arrow(pa.schema(
+            [(id_out, pa.int64()), (val_out, pa.int64())]).empty_table())
+    metas = ray.get([_block_last_ref.remote(r) for r in refs])
+    carries: list[dict] = []
+    acc: dict = {}
+    for m in metas:
+        carries.append(dict(acc))
+        acc.update(m)
+    out_refs = [_block_fill.remote(r, c, id_out, val_out)
+                for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(out_refs)
