@@ -61,16 +61,18 @@ def _tag_ref(key_col: str, time_col: str, value_col: str):
 
 @ray.remote
 def _block_last_ref(blk) -> dict:
-    """{key: last reference __val in this block} (None-free)."""
+    """{key: last reference __val in this block} — O(unique keys) work:
+    rows are sorted by key, so each key's last ref is its run's last row."""
     blk = as_arrow_block(blk)
     keys = blk["__key"].to_numpy(zero_copy_only=False)
     tags = blk["__tag"].to_numpy(zero_copy_only=False)
     vals = blk["__val"].to_numpy(zero_copy_only=False)
-    out: dict = {}
     ref = tags == _REF
-    for k, v in zip(keys[ref], vals[ref]):  # later rows overwrite: sorted
-        out[int(k)] = int(v)
-    return out
+    rk, rv = keys[ref], vals[ref]
+    if rk.size == 0:
+        return {}
+    last = np.r_[rk[1:] != rk[:-1], True]
+    return dict(zip(rk[last].tolist(), rv[last].tolist()))
 
 
 @ray.remote
