@@ -24,7 +24,7 @@ import re
 from html import unescape
 from html.parser import HTMLParser
 
-EXTRACTOR_VERSION = "htx-2"
+EXTRACTOR_VERSION = "htx-3"  # htx-3: exact HTMLParser CDATA parity + "</ name>" end tags
 
 _SKIP_CONTENT = {"script", "style", "template", "noscript"}
 _BLOCK = {
@@ -88,8 +88,9 @@ _MARKUP_RE = re.compile(
       | !\[CDATA\[.*?(?:\]\]>|$)                     # CDATA
       | ![^>]*>                                      # doctype / other decls
       | \?[^>]*>                                     # processing instruction
-      | (?P<close>/)?
-        (?P<tag>[a-zA-Z][a-zA-Z0-9:._-]*)            # tag name
+      | (?:(?P<close>/)\s*)?                         # '</ name>' is a valid
+        (?P<tag>[a-zA-Z][a-zA-Z0-9:._-]*)            # end tag (HTMLParser);
+                                                     # '< name' is NOT a start tag
         (?:[^>"']|"[^"]*"|'[^']*')*                  # attrs (quote-aware)
         >
     )""",
@@ -98,13 +99,43 @@ _MARKUP_RE = re.compile(
 
 _RAWTEXT = {"script", "style"}  # HTML5 raw-text: only own end tag terminates
 
+# HTMLParser's CDATA machinery, mirrored exactly: candidate terminators are
+# "</" + optional space + the element name; at a candidate, the next ">" is
+# located and the strict end-tag pattern is tried at the candidate start —
+# a real end tag of the SAME element leaves raw-text mode, anything else
+# (wrong name, junk before ">") is swallowed as raw data THROUGH that ">".
+# (The general _MARKUP_RE must not be used here: raw-text like
+# "<b</script>" would parse as one tag with "</script" inside its attrs
+# and the real terminator would be missed.)
+_RAW_CANDIDATE = {t: re.compile(rf"</\s*{t}", re.I) for t in _RAWTEXT}
+_ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
+
+def _scan_rawtext(html: str, pos: int, tag: str) -> int:
+    """Position just past ``tag``'s terminating end tag (len(html) if the
+    element never terminates — content to EOF is dropped, like the parser
+    left in cdata mode at close())."""
+    pat = _RAW_CANDIDATE[tag]
+    n = len(html)
+    while True:
+        m = pat.search(html, pos)
+        if m is None:
+            return n
+        gt = html.find(">", m.start() + 1)
+        if gt == -1:
+            return n
+        pos = gt + 1
+        m3 = _ENDTAG_RE.match(html, m.start())
+        if m3 and m3.group(1).lower() == tag:
+            return pos
+
 
 def _fast_html_to_text(html: str) -> str:
     blocks: list[str] = []
     buf: list[str] = []
     skip_depth = 0          # <template>/<noscript> nesting (parsed normally)
-    rawtext: str | None = None  # inside <script>/<style> until matching close
     pos = 0
+    n = len(html)
 
     def flush() -> None:
         if buf:
@@ -113,21 +144,20 @@ def _fast_html_to_text(html: str) -> str:
             if block:
                 blocks.append(block)
 
-    for m in _MARKUP_RE.finditer(html):
-        tag = m.group("tag")
-        if rawtext is not None:
-            # inside raw-text content nothing is markup except the matching
-            # end tag; drop everything (skip-content contract)
-            pos = m.end()
-            if tag is not None and m.group("close") and tag.lower() == rawtext:
-                rawtext = None
-            continue
+    while pos < n:
+        m = _MARKUP_RE.search(html, pos)
+        if m is None:
+            if skip_depth == 0:
+                seg = html[pos:]
+                buf.append(unescape(seg) if "&" in seg else seg)
+            break
         if m.start() > pos and skip_depth == 0:
             seg = html[pos:m.start()]
             # unescape BEFORE whitespace collapse (like HTMLParser's
             # convert_charrefs) so whitespace-valued refs collapse too
             buf.append(unescape(seg) if "&" in seg else seg)
         pos = m.end()
+        tag = m.group("tag")
         if tag is None:
             continue  # comment / doctype / PI
         tag = tag.lower()
@@ -139,14 +169,11 @@ def _fast_html_to_text(html: str) -> str:
         else:
             if not m.group(0).endswith("/>"):
                 if tag in _RAWTEXT:
-                    rawtext = tag
+                    pos = _scan_rawtext(html, pos, tag)
                 elif tag in _SKIP_CONTENT:
                     skip_depth += 1
             if tag in _BLOCK:
                 flush()
-    if pos < len(html) and skip_depth == 0 and rawtext is None:
-        seg = html[pos:]
-        buf.append(unescape(seg) if "&" in seg else seg)
     flush()
     return "\n".join(blocks)
 
