@@ -15,7 +15,6 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.textstats import token_hashes
-from ..functions.tokenize import tokenize_filtered
 
 EMBED_DIM = 64
 
@@ -36,16 +35,29 @@ class EmbedDocs:
             return "fake-hash-projection"
 
     def _encode(self, texts: list[str]) -> np.ndarray:
+        """Batch-vectorized hashed bag-of-words: Arrow tokenize, string
+        hashing paid once per UNIQUE token (dictionary encode), one
+        scatter-add.  Bit-identical to the per-doc loop it replaced —
+        the accumulated values are exact (+/-1 sums in float64), so
+        accumulation order cannot change the result."""
+        import pyarrow as pa
+
+        from .text import flat_tokens
+
         out = np.zeros((len(texts), self.dim), dtype=np.float64)
-        for i, t in enumerate(texts):
-            toks = tokenize_filtered(t)
-            if not toks:
-                out[i, 0] = 1.0
-                continue
-            h = token_hashes(toks)
-            idx = (h % np.uint64(self.dim)).astype(np.int64)
-            sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
-            np.add.at(out[i], idx, sign)
+        flat, par = flat_tokens(pa.array(texts, pa.string()),
+                                drop_stopwords=True)
+        parn = par.to_numpy(zero_copy_only=False)
+        enc = flat.dictionary_encode()
+        vocab = enc.dictionary.to_pylist()
+        if vocab:
+            vh = token_hashes(vocab)
+            th = vh[enc.indices.to_numpy(zero_copy_only=False)]
+            idx = (th % np.uint64(self.dim)).astype(np.int64)
+            sign = np.where((th >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+            np.add.at(out, (parn, idx), sign)
+        empty = np.bincount(parn, minlength=len(texts)) == 0
+        out[empty, 0] = 1.0
         norms = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
         return (out / norms).astype(np.float32)
 
