@@ -82,15 +82,23 @@ class _TextExtractor(HTMLParser):
 # than HTMLParser, which dominated index-build phase 1 (~105us/doc).
 # _TextExtractor is kept as the executable spec; tests assert byte-equality
 # of both implementations over the whole fixture corpus.
+# End-tag semantics mirror html.parser empirically (asserted by the fuzz
+# tests): '</name ...>' fires an end tag and consumes to the FIRST '>'
+# (quotes do NOT protect; tagfind_tolerant path); '</ name >' (spaces, no
+# junk) also fires (endtagfind); '</' + anything else up to '>' is a bogus
+# comment consumed SILENTLY (no event — so no block flush, no skip-depth
+# change); '</' with no '>' at all is literal text.  Start tags require the
+# name immediately after '<' and are quote-aware.
 _MARKUP_RE = re.compile(
     r"""<(?:
         !--.*?(?:-->|$)                              # comment
       | !\[CDATA\[.*?(?:\]\]>|$)                     # CDATA
       | ![^>]*>                                      # doctype / other decls
       | \?[^>]*>                                     # processing instruction
-      | (?:(?P<close>/)\s*)?                         # '</ name>' is a valid
-        (?P<tag>[a-zA-Z][a-zA-Z0-9:._-]*)            # end tag (HTMLParser);
-                                                     # '< name' is NOT a start tag
+      | /(?P<endtag>[a-zA-Z][^\t\n\r\f\ />\x00]*)[^>]*>   # </name [junk]>
+      | /\s*(?P<endtag2>[a-zA-Z][-.a-zA-Z0-9:_]*)\s*>    # </ name >
+      | /[^>]*>                                      # bogus comment (silent)
+      | (?P<tag>[a-zA-Z][a-zA-Z0-9:._-]*)            # start tag
         (?:[^>"']|"[^"]*"|'[^']*')*                  # attrs (quote-aware)
         >
     )""",
@@ -99,35 +107,21 @@ _MARKUP_RE = re.compile(
 
 _RAWTEXT = {"script", "style"}  # HTML5 raw-text: only own end tag terminates
 
-# HTMLParser's CDATA machinery, mirrored exactly: candidate terminators are
-# "</" + optional space + the element name; at a candidate, the next ">" is
-# located and the strict end-tag pattern is tried at the candidate start —
-# a real end tag of the SAME element leaves raw-text mode, anything else
-# (wrong name, junk before ">") is swallowed as raw data THROUGH that ">".
-# (The general _MARKUP_RE must not be used here: raw-text like
-# "<b</script>" would parse as one tag with "</script" inside its attrs
-# and the real terminator would be missed.)
-_RAW_CANDIDATE = {t: re.compile(rf"</\s*{t}", re.I) for t in _RAWTEXT}
-_ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# Python 3.11 HTMLParser CDATA machinery: inside <script>/<style> the ONLY
+# thing that ends raw-text mode is a full "</ \s* name \s* >" match — a
+# candidate with junk before ">" ("</script foo>") is plain raw data, and
+# the general _MARKUP_RE must not be used (raw-text like "<b</script>"
+# would parse as one tag with "</script" inside its attrs and the real
+# terminator would be missed).
+_RAW_END = {t: re.compile(rf"</\s*{t}\s*>", re.I) for t in _RAWTEXT}
 
 
 def _scan_rawtext(html: str, pos: int, tag: str) -> int:
     """Position just past ``tag``'s terminating end tag (len(html) if the
     element never terminates — content to EOF is dropped, like the parser
     left in cdata mode at close())."""
-    pat = _RAW_CANDIDATE[tag]
-    n = len(html)
-    while True:
-        m = pat.search(html, pos)
-        if m is None:
-            return n
-        gt = html.find(">", m.start() + 1)
-        if gt == -1:
-            return n
-        pos = gt + 1
-        m3 = _ENDTAG_RE.match(html, m.start())
-        if m3 and m3.group(1).lower() == tag:
-            return pos
+    m = _RAW_END[tag].search(html, pos)
+    return m.end() if m else len(html)
 
 
 def _fast_html_to_text(html: str) -> str:
@@ -157,23 +151,25 @@ def _fast_html_to_text(html: str) -> str:
             # convert_charrefs) so whitespace-valued refs collapse too
             buf.append(unescape(seg) if "&" in seg else seg)
         pos = m.end()
+        end_tag = m.group("endtag") or m.group("endtag2")
+        if end_tag is not None:
+            end_tag = end_tag.lower()
+            if end_tag in _SKIP_CONTENT and skip_depth > 0:
+                skip_depth -= 1
+            if end_tag in _BLOCK:
+                flush()
+            continue
         tag = m.group("tag")
         if tag is None:
-            continue  # comment / doctype / PI
+            continue  # comment / doctype / PI / bogus '</...>' comment
         tag = tag.lower()
-        if m.group("close"):
-            if tag in _SKIP_CONTENT and skip_depth > 0:
-                skip_depth -= 1
-            if tag in _BLOCK:
-                flush()
-        else:
-            if not m.group(0).endswith("/>"):
-                if tag in _RAWTEXT:
-                    pos = _scan_rawtext(html, pos, tag)
-                elif tag in _SKIP_CONTENT:
-                    skip_depth += 1
-            if tag in _BLOCK:
-                flush()
+        if not m.group(0).endswith("/>"):
+            if tag in _RAWTEXT:
+                pos = _scan_rawtext(html, pos, tag)
+            elif tag in _SKIP_CONTENT:
+                skip_depth += 1
+        if tag in _BLOCK:
+            flush()
     flush()
     return "\n".join(blocks)
 

@@ -5,6 +5,7 @@ import pyarrow.parquet as pq
 
 from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.functions.extract import (
     html_to_text,
+    html_to_text_reference,
 )
 
 
@@ -110,3 +111,22 @@ def test_malformed_html():
 def test_empty_and_nontext():
     assert html_to_text(b"") == ""
     assert html_to_text(b"<html><head><script>x</script></head></html>") == ""
+
+
+def test_fast_scanner_bogus_markup_parity():
+    """Deterministic harsh-alphabet fuzz: raw-text terminators with junk,
+    spaced / bogus / empty end tags, stray '</' — forms the structured
+    generator never produces but real crawled HTML contains.  3 000 docs,
+    byte-equality against the HTMLParser spec."""
+    import random
+    rng = random.Random(7)
+    frag = ["<script>", "</script>", "<style>", "</style>", "<b", "</scr",
+            "ipt>", ">", "<", "</", "<p>", "</p>", "</ p>", "</p >",
+            "</ p x>", "</p x>", "<div>", "&#233;", "&amp;", "text ",
+            "a<b ", "</script foo>", "</ script>", "<!-- c -->", "x", " ",
+            "\n", '"q"', "'s'", "<br/>", "</scriptty>", "<script src='a'>",
+            "</>", "</ >", "</1>", "</&", "<noscript>", "</noscript>",
+            "</ noscript>", "<template>", "</template>"]
+    for _ in range(3000):
+        doc = "".join(rng.choice(frag) for _ in range(rng.randint(1, 16)))
+        assert html_to_text(doc) == html_to_text_reference(doc), repr(doc)
