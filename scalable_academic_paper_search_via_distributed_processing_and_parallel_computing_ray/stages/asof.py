@@ -99,11 +99,14 @@ def _block_fill(blk, carry: dict, id_out: str, val_out: str) -> pa.Table:
     # rows with no in-segment ref fall back to the cross-block carry
     seg_keys = keys[np.r_[True, keys[1:] != keys[:-1]]]
     carry_per_seg = np.array(
-        [carry.get(int(k), np.iinfo(np.int64).min) for k in seg_keys],
-        dtype=np.int64)
+        [carry.get(int(k), 0) for k in seg_keys], dtype=np.int64)
+    # separate VALIDITY mask instead of an in-band sentinel: any int64
+    # value (incl. INT64_MIN) is a legitimate carried reference value
+    carry_ok_seg = np.array([int(k) in carry for k in seg_keys], dtype=bool)
     carry_vals = carry_per_seg[seg]
+    carry_ok = carry_ok_seg[seg]
     out_vals = np.where(in_seg, filled, carry_vals)
-    keep = (~is_ref) & (in_seg | (carry_vals != np.iinfo(np.int64).min))
+    keep = (~is_ref) & (in_seg | carry_ok)
     return pa.table({id_out: pa.array(ids[keep].astype(np.int64), pa.int64()),
                      val_out: pa.array(out_vals[keep], pa.int64())})
 

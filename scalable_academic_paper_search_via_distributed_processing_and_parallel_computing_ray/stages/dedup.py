@@ -373,9 +373,6 @@ def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
     if n_sh == 0:
         return _empty_pairs()
 
-    sizes = drop_empty_blocks(
-        sh.groupby("doc_id").aggregate(Count(alias_name="sz"))
-        .map_batches(_pin_arrow("doc_id", "sz"), batch_format="pyarrow"))
     active = drop_empty_blocks(
         sh.groupby("shingle").aggregate(Count(alias_name="df"))
         .filter(expr=f"df >= 2 and df <= {max_df}")
@@ -384,6 +381,12 @@ def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
         # no shared (non-hot) shingle anywhere => no candidate pairs; the
         # joins below would also choke on an all-empty (schema-less) side
         return _empty_pairs()
+
+    # computed only AFTER the early return — a shared-nothing corpus
+    # shouldn't pay the per-doc sizes shuffle for a discarded result
+    sizes = drop_empty_blocks(
+        sh.groupby("doc_id").aggregate(Count(alias_name="sz"))
+        .map_batches(_pin_arrow("doc_id", "sz"), batch_format="pyarrow"))
 
     # materialized: consumed as BOTH sides of the pair self-join — lazy,
     # the active-shingle join would execute twice (and chaining three

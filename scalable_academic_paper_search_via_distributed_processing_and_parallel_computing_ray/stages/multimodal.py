@@ -132,15 +132,15 @@ class ResizeMedia:
                  require_real: bool = False):
         self.target_px = target_px
         self.target_rate = target_rate
-        try:
-            import PIL.Image  # noqa: F401
-            self.codec = "pil"
-        except ImportError:
-            self.codec = "fake"
-        if require_real and self.codec == "fake":
+        # the resize KERNEL is always the deterministic fake in this repo
+        # (a real PIL/torchaudio kernel replaces _fake_resize wholesale);
+        # the codec field must say so even when PIL merely IMPORTS, or the
+        # provenance stamped into meta below lies about the payload bytes
+        self.codec = "fake"
+        if require_real:
             raise NotImplementedError(
-                "no real media codec available in this environment; "
-                "ResizeMedia runs with the deterministic fake transcoder")
+                "no real media transcode kernel is wired in this "
+                "environment; ResizeMedia runs the deterministic fake")
 
     def _fake_resize(self, payload: bytes, media_type: str) -> bytes:
         # deterministic stand-in: sample the payload down to the size a
@@ -165,6 +165,8 @@ class ResizeMedia:
             try:
                 meta = json.loads(mj) if mj else {}
             except ValueError:
+                meta = {}
+            if not isinstance(meta, dict):  # valid JSON but not an object
                 meta = {}
             meta["resized"] = {"target_px": self.target_px,
                                "target_rate": self.target_rate,
