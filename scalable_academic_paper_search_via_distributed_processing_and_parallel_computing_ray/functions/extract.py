@@ -16,6 +16,18 @@ Contract
 * character/entity references are unescaped;
 * within a block, whitespace runs collapse to a single space and the block
   is stripped; empty blocks are dropped; blocks join with ``"\\n"``.
+
+Parity domain: the fast scanner byte-matches the HTMLParser spec over
+well-formed markup, raw-text (<script>/<style>) pathologies, and the
+bogus-end-tag classes ('</ name junk>', '</>', stray '</') — all asserted
+by tests (incl. a 3k-doc harsh-alphabet fuzz).  DEEPER malformed-markup
+recovery ('<!-' fragments, '<' inside start-tag attrs, tags unterminated
+at EOF) follows the scanner's regex semantics rather than CPython's
+recovery heuristics; both sides only disagree about junk characters.
+Determinism (same bytes -> same text across pipeline, oracle and re-runs)
+is unaffected: every production path, INCLUDING the brute-force BM25
+oracle, calls this scanner — ``_TextExtractor`` exists only as the test
+spec.
 """
 
 from __future__ import annotations
