@@ -905,6 +905,74 @@ FROM events e JOIN events p
 GROUP BY e.event_id"""
 
 
+def q_range_join(sf_dir: str) -> rd.Dataset:
+    """Bounded-interval RANGE join (the other custom-operator family the
+    task brief names next to as-of): for each event, the count of the same
+    user's events in the strictly-preceding hour.
+
+    Shape: a non-equi time-range join becomes an EQUI join on coarse time
+    buckets — each probe row expands to the two 1-hour buckets its window
+    can overlap (flat-map in ``map_batches``), joins references on
+    (user, bucket), then an exact vectorized interval filter and one
+    grouped count.  Join volume is corpus x 2 instead of corpus x corpus;
+    the bucket width is the range bound, so every true pair co-locates."""
+    import ray as _ray
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    W = 3_600_000_000  # 1 hour in us
+
+    def probe_rows(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        uid = b["user_id"].to_numpy()
+        eid = b["event_id"].to_numpy()
+        bkt = us // W
+        # key fuses (user, bucket) — probe looks at its own and the
+        # previous bucket, which together cover [t - W, t]
+        k = np.concatenate([uid * (1 << 20) + (bkt % (1 << 20)),
+                            uid * (1 << 20) + ((bkt - 1) % (1 << 20))])
+        return pa.table({
+            "pk": pa.array(k, pa.int64()),
+            "p_event_id": pa.array(np.concatenate([eid, eid]), pa.int64()),
+            "p_uid": pa.array(np.concatenate([uid, uid]), pa.int64()),
+            "p_us": pa.array(np.concatenate([us, us]), pa.int64()),
+        })
+
+    def ref_rows(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        uid = b["user_id"].to_numpy()
+        bkt = us // W
+        return pa.table({
+            "rk": pa.array(uid * (1 << 20) + (bkt % (1 << 20)), pa.int64()),
+            "r_uid": pa.array(uid, pa.int64()),
+            "r_us": pa.array(us, pa.int64()),
+        })
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    npart = max(8, min(cpus, ev.count() // 100_000 + 1))
+    joined = ev.map_batches(probe_rows, batch_format="pyarrow") \
+        .join(ev.map_batches(ref_rows, batch_format="pyarrow"),
+              join_type="inner", num_partitions=npart,
+              on=("pk",), right_on=("rk",))
+
+    def in_range(b: pa.Table) -> pa.Table:
+        dt = b["p_us"].to_numpy() - b["r_us"].to_numpy()
+        # exact user check guards the (astronomically rare at fixture
+        # scale, possible at 10^12 rows) fused-bucket-key wraparound
+        keep = ((dt > 0) & (dt <= W)
+                & (b["p_uid"].to_numpy() == b["r_uid"].to_numpy()))
+        return pa.table({"event_id": b["p_event_id"].filter(pa.array(keep))})
+
+    return _stable(
+        joined.map_batches(in_range, batch_format="pyarrow")
+        .groupby("event_id").aggregate(Count(alias_name="n_prev_hour")))
+
+
+SQL_RANGE_JOIN = """SELECT e.event_id, count(*) AS n_prev_hour
+FROM events e JOIN events p
+  ON p.user_id = e.user_id
+ AND p.ts < e.ts AND p.ts >= e.ts - INTERVAL 1 HOUR
+GROUP BY e.event_id"""
+
+
 def q_window_top3(sf_dir: str) -> rd.Dataset:
     """Top-3 events per user by value (grouped window / rank)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
@@ -1113,6 +1181,7 @@ def registry():
         "first_per_group": q_first_per_group,
         "lookup_table": q_lookup_table,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "window_top3": q_window_top3,
         "sessionize": q_sessionize,
         "sliding_window": q_sliding_window,
@@ -1142,6 +1211,7 @@ def registry():
         "first_per_group": SQL_FIRST_PER_GROUP,
         "lookup_table": SQL_LOOKUP_TABLE,
         "asof_join": SQL_ASOF_JOIN,
+        "range_join": SQL_RANGE_JOIN,
         "window_top3": SQL_WINDOW_TOP3,
         "sessionize": SQL_SESSIONIZE,
         "sliding_window": SQL_SLIDING_WINDOW,
