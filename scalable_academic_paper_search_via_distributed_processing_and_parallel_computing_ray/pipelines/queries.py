@@ -974,18 +974,27 @@ GROUP BY e.event_id"""
 
 
 def q_window_top3(sf_dir: str) -> rd.Dataset:
-    """Top-3 events per user by value (grouped window / rank)."""
+    """Top-3 events per user by value (grouped window / rank).
+
+    Scale-safe shape: ONE distributed sort + block-boundary rank carry
+    (``stages.window.grouped_topk``) — no per-group pandas task, so a user
+    with millions of events costs the same as one with three (round-2
+    verdict item 1)."""
+    from ..stages.window import grouped_topk
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    top = grouped_topk(ds, "user_id", ["value", "event_id"], 3,
+                       descending=[True, False])
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame({"user_id": g["user_id"],
-                             "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                             "event_id": g["event_id"],
-                             "value_m": round_m(g["value"].to_numpy())})
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "rank": b["rank"],
+                         "event_id": b["event_id"],
+                         "value_m": pa.array(
+                             round_m(b["value"].to_numpy(zero_copy_only=False)),
+                             pa.int64())})
 
-    return ds.groupby("user_id").map_groups(top3, batch_format="pandas")
+    return top.map_batches(fmt, batch_format="pyarrow")
 
 
 SQL_WINDOW_TOP3 = """SELECT user_id,

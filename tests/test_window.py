@@ -6,6 +6,7 @@ import pandas as pd
 import pytest
 
 from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.stages.window import (
+    grouped_topk,
     percent_rank,
 )
 
@@ -47,6 +48,59 @@ def test_percent_rank_single_row_partition(ray_session):
     g = dict(zip(got["id"], got["pct"]))
     assert g[1] == 0.0          # singleton partition
     assert g[3] == 0.0 and g[2] == 1.0   # desc order
+
+
+def _topk_reference(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    rows = []
+    for p, g in df.groupby("part"):
+        g = g.sort_values(["val", "id"], ascending=[False, True]).head(k)
+        for r, (_, row) in enumerate(g.iterrows(), 1):
+            rows.append((row["part"], int(row["id"]), r))
+    return pd.DataFrame(rows, columns=["part", "id", "rank"]) \
+        .sort_values(["part", "rank"]).reset_index(drop=True)
+
+
+def test_grouped_topk_hot_key_spans_blocks(ray_session):
+    """One key holds 80% of all rows (spanning many sorted blocks); the
+    per-block rank-offset carry must keep emitting exactly k of it."""
+    import ray.data as rd
+    rng = np.random.RandomState(7)
+    n = 4000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "part": np.where(rng.rand(n) < 0.8, "hot",
+                         rng.choice(["a", "b", "c"], n)),
+        "val": rng.rand(n),
+    })
+    ds = rd.from_pandas(df).repartition(16)
+    got = grouped_topk(ds, "part", ["val", "id"], 3,
+                       descending=[True, False]).to_pandas()
+    got = got[["part", "id", "rank"]].sort_values(["part", "rank"]) \
+        .reset_index(drop=True)
+    want = _topk_reference(df, 3)
+    pd.testing.assert_frame_equal(got.astype({"rank": np.int64}), want)
+
+
+def test_grouped_topk_k_larger_than_groups(ray_session):
+    import ray.data as rd
+    df = pd.DataFrame({"id": [1, 2, 3], "part": ["x", "y", "y"],
+                       "val": [5.0, 1.0, 2.0]})
+    got = grouped_topk(rd.from_pandas(df), "part", ["val"], 10) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(got) == 3
+    assert dict(zip(got["id"], got["rank"])) == {1: 1, 2: 2, 3: 1}
+
+
+def test_grouped_topk_empty(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    t = pa.table({"id": pa.array([], pa.int64()),
+                  "part": pa.array([], pa.string()),
+                  "val": pa.array([], pa.float64())})
+    got = grouped_topk(rd.from_arrow(t), "part", ["val"], 3)
+    assert got.count() == 0
+    # (Ray's to_pandas drops columns on 0-row datasets; check schema instead)
+    assert set(got.schema().names) == {"id", "part", "val", "rank"}
 
 
 def test_percent_rank_empty(ray_session):
