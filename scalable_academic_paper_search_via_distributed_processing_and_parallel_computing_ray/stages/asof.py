@@ -9,9 +9,17 @@ sort + block-boundary-carry machinery as ``stages/window.py``:
    references at equal time, which gives strict ``reference.time <
    probe.time`` semantics;
 3. per sorted block, a vectorized forward-fill assigns every probe row the
-   last reference value seen; block boundaries chain through O(blocks x
-   keys) driver metadata (each block receives the previous blocks' last
-   reference value per key).
+   last reference value seen; block boundaries chain through O(1)-per-block
+   driver metadata.
+
+The carry is O(1) per block, NOT a per-key prefix map (the round-2 shape
+accumulated every key ever seen and shipped the full dict to every block):
+the global sort makes each key's rows contiguous, so the ONLY key of a
+block that can have references in earlier blocks is its FIRST key — every
+other key's run starts inside the block.  Each block's metadata is just
+``(first_key, last_key, last-ref-value-of-last_key)``, and the driver
+chains a single boundary entry forward.  Carry size is independent of key
+cardinality — billions of keys cost the same as ten.
 
 All heavy data moves exactly once (the sort); the carry records are tiny.
 Probes with no earlier reference are dropped (inner as-of).  The reference
@@ -60,19 +68,20 @@ def _tag_ref(key_col: str, time_col: str, value_col: str):
 
 
 @ray.remote
-def _block_last_ref(blk) -> dict:
-    """{key: last reference __val in this block} — O(unique keys) work:
-    rows are sorted by key, so each key's last ref is its run's last row."""
+def _block_boundary_meta(blk) -> tuple:
+    """(first_key, last_key, has_ref_for_last, last_ref_val) — the only
+    state a LATER block can need from this one is the latest reference
+    value of its LAST key (the single key whose sorted run may continue
+    across the boundary)."""
     blk = as_arrow_block(blk)
     keys = blk["__key"].to_numpy(zero_copy_only=False)
     tags = blk["__tag"].to_numpy(zero_copy_only=False)
-    vals = blk["__val"].to_numpy(zero_copy_only=False)
-    ref = tags == _REF
-    rk, rv = keys[ref], vals[ref]
-    if rk.size == 0:
-        return {}
-    last = np.r_[rk[1:] != rk[:-1], True]
-    return dict(zip(rk[last].tolist(), rv[last].tolist()))
+    first, last = int(keys[0]), int(keys[-1])
+    ref_last = (tags == _REF) & (keys == last)
+    if ref_last.any():
+        vals = blk["__val"].to_numpy(zero_copy_only=False)
+        return first, last, True, int(vals[np.flatnonzero(ref_last)[-1]])
+    return first, last, False, 0
 
 
 @ray.remote
@@ -128,12 +137,21 @@ def asof_join(probe: Dataset, ref: Dataset, key_col: str, time_col: str,
     if not refs:
         return ray.data.from_arrow(pa.schema(
             [(id_out, pa.int64()), (val_out, pa.int64())]).empty_table())
-    metas = ray.get([_block_last_ref.remote(r) for r in refs])
+    metas = ray.get([_block_boundary_meta.remote(r) for r in refs])
     carries: list[dict] = []
-    acc: dict = {}
-    for m in metas:
-        carries.append(dict(acc))
-        acc.update(m)
+    # single chained boundary entry: (key, value known?, value).  A block's
+    # carry is non-empty only when its first key's run started earlier AND
+    # some earlier block held a reference for it.
+    bk: int | None = None
+    has = False
+    bv = 0
+    for first, last, m_has, m_v in metas:
+        carries.append({first: bv} if (has and bk == first) else {})
+        if m_has:
+            has, bv = True, m_v
+        elif not (bk == last and has):
+            has, bv = False, 0
+        bk = last
     out_refs = [_block_fill.remote(r, c, id_out, val_out)
                 for r, c in zip(refs, carries)]
     return ray.data.from_arrow_refs(out_refs)

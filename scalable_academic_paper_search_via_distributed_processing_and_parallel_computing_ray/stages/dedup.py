@@ -29,7 +29,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
@@ -98,9 +97,17 @@ def exact_dedup(ds: Dataset, text_col: str = "text",
 
 
 class MinHashBands:
-    """docs -> (doc_id, band, band_hash) rows, ``num_bands`` per doc.
+    """docs -> (doc_id, band, band_hash, sig) rows, ``num_bands`` per doc.
 
-    Actor-pool stage: permutation params are built once per actor.
+    Actor-pool stage: permutation params are built once per actor.  The
+    FULL signature rides each band row (as ``fixed_size_list<int32>`` —
+    minhash values are mod-Mersenne31, so they fit 32 bits losslessly) so
+    that Jaccard can be estimated INSIDE the band bucket with no second
+    corpus pass, exactly as :class:`HyperplaneBands` carries the vector.
+    Cost: ``num_bands x num_perm x 4`` bytes/doc through one shuffle
+    (8 KB/doc at the defaults) against a whole extra pass over the corpus
+    plus a driver-held id->signature map — the same measured tradeoff
+    written up in :func:`embedding_dup_pairs_lsh`.
     """
 
     def __init__(self, num_perm: int = 128, num_bands: int = 16,
@@ -128,37 +135,91 @@ class MinHashBands:
         for r in range(self.rows_per_band):
             acc = (acc * np.uint64(1099511628211)) ^ bands[:, :, r]
         band_hash = (acc & np.uint64((1 << 63) - 1)).astype(np.int64)
+        sig_rep = np.repeat(sigs.astype(np.int32), self.num_bands, axis=0)
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig_rep.reshape(-1), pa.int32()), self.num_perm)
         return pa.table({
             "doc_id": pa.array(np.repeat(doc_ids, self.num_bands), pa.int64()),
             "band": pa.array(np.tile(np.arange(self.num_bands, dtype=np.int32), n),
                              pa.int32()),
             "band_hash": pa.array(band_hash.reshape(-1), pa.int64()),
+            "sig": sig_col,
         })
 
 
-def _pairs_from_groups(g: pd.DataFrame) -> pd.DataFrame:
-    """All (a < b) pairs within one bucket."""
-    ids = np.sort(g["doc_id"].to_numpy())
-    ids = np.unique(ids)
-    if ids.size < 2:
-        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-    ai, bi = np.triu_indices(ids.size, k=1)
-    return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+def minhash_verified_pairs(ds: Dataset, threshold: float = 0.8,
+                           num_perm: int = 128, num_bands: int = 16,
+                           shingle_k: int = 3, text_col: str = "text",
+                           max_bucket: int = 4096,
+                           concurrency=(2, 8)) -> pa.Table:
+    """Verified near-dup pairs via MinHash+LSH: docs sharing a
+    (band, band_hash) bucket are candidates, and the signature-estimated
+    Jaccard (``mean(sig_a == sig_b)``) is verified INSIDE the bucket —
+    signatures ride the banding shuffle, so there is no second corpus pass
+    and the driver only ever sees verified pairs.
 
-
-def candidate_pairs_minhash(ds: Dataset, num_perm: int = 128,
-                            num_bands: int = 16, shingle_k: int = 3,
-                            concurrency=(2, 8)) -> Dataset:
-    """LSH candidate pairs: same (band, band_hash) bucket => candidate."""
+    ``max_bucket`` bounds the per-bucket B^2 verify cost (the one
+    quadratic hazard a skewed corpus can detonate — e.g. boilerplate pages
+    whose band collides corpus-wide); dropped buckets are counted and
+    stamped in the result metadata (``dropped_hot_buckets``), mirroring
+    :func:`embedding_dup_pairs_lsh`.  Pairs confined to a hot bucket are
+    still found via any colder band they share.  Returns (a, b, est_m)
+    sorted, est_m = round(estimate * 1000).
+    """
     bands = ds.map_batches(MinHashBands,
                            fn_constructor_kwargs={"num_perm": num_perm,
                                                   "num_bands": num_bands,
-                                                  "shingle_k": shingle_k},
+                                                  "shingle_k": shingle_k,
+                                                  "text_col": text_col},
                            batch_format="pyarrow", concurrency=concurrency)
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        _pairs_from_groups, batch_format="pandas")
-    # distinct pairs (a doc pair can collide in several bands)
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+    bands = bands.materialize()  # consumed twice (cap audit + buckets)
+    hot = bands.select_columns(["band", "band_hash"]) \
+        .groupby(["band", "band_hash"]) \
+        .aggregate(Count(alias_name="sz")) \
+        .filter(expr=f"sz > {max_bucket}")
+    n_hot = hot.count()
+    if n_hot:
+        import logging
+        logging.getLogger(__name__).warning(
+            "minhash_verified_pairs: %d bucket(s) over max_bucket=%d were "
+            "dropped from candidate generation; pairs confined to hot "
+            "buckets are lost (raise max_bucket or num_bands)",
+            n_hot, max_bucket)
+    meta = {b"dropped_hot_buckets": str(int(n_hot)).encode(),
+            b"max_bucket": str(max_bucket).encode()}
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id")
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                              "b": pd.Series(dtype=np.int64),
+                              "est_m": pd.Series(dtype=np.int64)})
+        if ids.size < 2 or ids.size > max_bucket:
+            return empty
+        sigs = np.stack(g["sig"].to_numpy())  # (B, num_perm) int32
+        ai, bi = np.triu_indices(ids.size, k=1)
+        est = (sigs[ai] == sigs[bi]).mean(axis=1)
+        keep = est >= threshold
+        if not keep.any():
+            return empty
+        a, b_ = ids[ai[keep]], ids[bi[keep]]
+        lo, hi = np.minimum(a, b_), np.maximum(a, b_)
+        est_m = np.floor(est[keep] * 1000 + 0.5).astype(np.int64)
+        return pd.DataFrame({"a": lo, "b": hi, "est_m": est_m})
+
+    pairs = bands.groupby(["band", "band_hash"]) \
+        .map_groups(bucket_pairs, batch_format="pandas")
+    out = pairs.groupby(["a", "b"]) \
+        .aggregate(Min("est_m", alias_name="est_m")).to_pandas()
+    if len(out) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "est_m": pa.array([], pa.int64())}) \
+            .replace_schema_metadata(meta)
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    out["est_m"] = out["est_m"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(meta)
 
 
 def _union_find_groups(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -181,39 +242,17 @@ def _union_find_groups(pairs: list[tuple[int, int]]) -> dict[int, int]:
 
 def minhash_dedup_groups(ds: Dataset, threshold: float = 0.8,
                          num_perm: int = 128, num_bands: int = 16,
-                         shingle_k: int = 3,
-                         text_col: str = "text") -> pa.Table:
-    """Near-dup groups via MinHash+LSH: candidates from band buckets, then
-    signature-estimated Jaccard >= threshold, then connected components.
-    Returns (doc_id, group_id) for docs in a group (group_id = min doc_id).
+                         shingle_k: int = 3, text_col: str = "text",
+                         max_bucket: int = 4096) -> pa.Table:
+    """Near-dup groups via MinHash+LSH: in-bucket-verified pairs
+    (:func:`minhash_verified_pairs` — signatures ride the shuffle, hot
+    buckets capped), then connected components over the (small) verified
+    pair set on the driver.  Returns (doc_id, group_id) for docs in a
+    group (group_id = min doc_id).
     """
-    cand = candidate_pairs_minhash(ds, num_perm, num_bands, shingle_k)
-    pairs = cand.to_pandas()  # candidate set — small by construction
-    if len(pairs) == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "group_id": pa.array([], pa.int64())})
-    # verify with signature Jaccard estimate over only the candidate docs
-    need = sorted(int(x) for x in (set(pairs["a"]) | set(pairs["b"])))
-    mh = MinHashBands(num_perm, num_bands, shingle_k, text_col)
-
-    def sig_batch(b: pa.Table) -> pa.Table:
-        keep = pc.is_in(b["doc_id"], value_set=pa.array(need, pa.int64()))
-        b = b.filter(keep)
-        sigs = [mh.signature(t) for t in b[text_col].to_pylist()]
-        return pa.table({
-            "doc_id": b["doc_id"],
-            "sig": pa.array([s.astype(np.int64).tolist() for s in sigs],
-                            pa.list_(pa.int64())),
-        })
-
-    sig_tbl = ds.map_batches(sig_batch, batch_format="pyarrow").to_pandas()
-    sig_map = {int(r.doc_id): np.asarray(r.sig, dtype=np.int64)
-               for r in sig_tbl.itertuples()}
-    verified = []
-    for a, b_ in zip(pairs["a"], pairs["b"]):
-        est = float((sig_map[int(a)] == sig_map[int(b_)]).mean())
-        if est >= threshold:
-            verified.append((int(a), int(b_)))
+    pairs = minhash_verified_pairs(ds, threshold, num_perm, num_bands,
+                                   shingle_k, text_col, max_bucket)
+    verified = list(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
     groups = _union_find_groups(verified)
     if not groups:
         return pa.table({"doc_id": pa.array([], pa.int64()),

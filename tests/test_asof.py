@@ -46,6 +46,33 @@ def test_asof_matches_pandas(ray_session):
     assert got == want and len(want) > n_p // 2
 
 
+@pytest.mark.parametrize("seed", range(5))
+def test_asof_many_keys_stress(ray_session, seed):
+    """Key cardinality ~ row count (each key 1-3 rows), 16 blocks — the
+    regime where the round-2 per-key prefix carry exploded; the O(1)
+    boundary carry must stay exact, incl. runs that span blocks."""
+    import ray.data as rd
+    rng = np.random.RandomState(100 + seed)
+    n_p, n_r, n_k = 3000, 3000, 2500
+    probe = pd.DataFrame({
+        "pid": np.arange(n_p, dtype=np.int64),
+        "key": rng.randint(0, n_k, n_p).astype(np.int64),
+        "t": rng.randint(0, 1000, n_p).astype(np.int64),
+    })
+    ref = pd.DataFrame({
+        "key": rng.randint(0, n_k, n_r).astype(np.int64),
+        "t": rng.randint(0, 1000, n_r).astype(np.int64),
+        "v": rng.randint(0, 10**9, n_r).astype(np.int64),
+    })
+    got_ds = asof_join(rd.from_pandas(probe).repartition(16),
+                       rd.from_pandas(ref).repartition(16),
+                       key_col="key", time_col="t",
+                       probe_id_col="pid", ref_value_col="v")
+    got = dict(zip(*[got_ds.to_pandas()[c] for c in ("id", "asof_value")]))
+    want = _reference(probe, ref)
+    assert got == want
+
+
 def test_asof_no_reference_rows(ray_session):
     import ray.data as rd
     probe = pd.DataFrame({"pid": [1], "key": [1], "t": [10]})

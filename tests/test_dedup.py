@@ -67,6 +67,25 @@ def test_minhash_groups(dup_ds):
     assert 12 not in all_grouped and 13 not in all_grouped
 
 
+def test_minhash_hot_bucket_cap(ray_session):
+    """A corpus-wide identical doc makes every band bucket hot; with
+    max_bucket below the corpus size those buckets are dropped, the drop
+    count is stamped in the result metadata, and no B^2 blow-up happens."""
+    import ray.data as rd
+    rows = [{"doc_id": i, "text": BASE[0]} for i in range(50)]
+    ds = rd.from_items(rows)
+    t = dedup.minhash_verified_pairs(ds, threshold=0.5, num_bands=8,
+                                     max_bucket=10)
+    md = t.schema.metadata
+    assert int(md[b"dropped_hot_buckets"]) > 0
+    assert t.num_rows == 0  # every bucket hot -> no pairs emitted
+    # with the cap lifted the same corpus yields all 50*49/2 pairs
+    t2 = dedup.minhash_verified_pairs(ds, threshold=0.5, num_bands=8,
+                                      max_bucket=4096)
+    assert t2.num_rows == 50 * 49 // 2
+    assert int(t2.schema.metadata[b"dropped_hot_buckets"]) == 0
+
+
 def test_simhash_pairs(dup_ds):
     t = dedup.simhash_dedup_pairs(dup_ds, max_hamming=6)
     pairs = set(zip(t["a"].to_pylist(), t["b"].to_pylist()))
