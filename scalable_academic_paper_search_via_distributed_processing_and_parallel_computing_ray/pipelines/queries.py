@@ -24,6 +24,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
@@ -150,29 +151,39 @@ def q_tfidf(sf_dir: str) -> rd.Dataset:
     """Per-(doc, term) TF-IDF with the Spark-IDF formula ``ln((N+1)/(df+1))``
     (reference A3 + M8: ``LexicalIndexer.scala:45-53`` HashingTF+IDF —
     collision-free and uncapped here, keyed by term string).  The df side is
-    pre-aggregated, collected small (one row per term) and broadcast into
-    the scoring pass via ``ray.put`` — the broadcast-join idiom for small
-    sides (SURVEY.md §2.4 J4); at web scale the dictionary is the index's
-    termdict table, still O(vocab) not O(corpus)."""
+    pre-aggregated, kept in the OBJECT STORE as an Arrow (term, idf) table
+    (a Ray task concatenates the df blocks — the full dictionary never
+    lands on the driver as Python objects), and looked up per batch with
+    ``pc.index_in`` + ``take`` — the broadcast-join idiom for small sides
+    (SURVEY.md §2.4 J4) at Arrow speed, O(vocab) footprint either way."""
     import ray as _ray
-    df_tbl = q_term_df(sf_dir).to_pandas()
+
+    from ..stages.blocks import as_arrow_block
+
     n_docs = int(_read(sf_dir, "documents", ["doc_id"]).count())
-    idf = {t: float(np.log((n_docs + 1.0) / (d + 1.0)))
-           for t, d in zip(df_tbl["term"], df_tbl["df"])}
-    idf_ref = _ray.put(idf)
+
+    @_ray.remote
+    def idf_table(n: int, *blocks) -> pa.Table:
+        t = pa.concat_tables([as_arrow_block(b) for b in blocks])
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "term": t["term"],
+            "idf": pa.array(np.log((n + 1.0) / (df + 1.0)), pa.float64()),
+        })
+
+    idf_ref = idf_table.remote(n_docs, *q_term_df(sf_dir).to_arrow_refs())
 
     def f(b: pa.Table) -> pa.Table:
-        idf_map = _ray.get(idf_ref)   # zero-copy from local object store
+        idf_tbl = _ray.get(idf_ref)   # zero-copy from local object store
         tc = term_counts(b["text"])
         pidx = tc["pidx"].to_numpy()
-        terms = tc["term"].to_pylist()
         tf = tc["tf"].to_numpy().astype(np.float64)
         doc_ids = b["doc_id"].to_numpy()[pidx]
-        idfs = np.fromiter((idf_map[t] for t in terms), dtype=np.float64,
-                           count=len(terms))
+        pos = pc.index_in(tc["term"], value_set=idf_tbl["term"])
+        idfs = pc.take(idf_tbl["idf"], pos).to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
-            "term": pa.array(terms, pa.string()),
+            "term": tc["term"],
             "tfidf_m": pa.array(round_m(tf * idfs), pa.int64()),
         })
 
@@ -529,6 +540,34 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
     return ivf_search(idx_dir, _query_vectors(sf_dir), KNN_K, nprobe=4)
 
 
+def q_knn_ivf_pq(sf_dir: str) -> pa.Table:
+    """IVFPQ approximate top-k (rows-only: approximate by design): probed
+    cells are scanned as uint8 PQ codes (8 bytes/vector vs 256 raw —
+    reference IVFPQ intent, ``semantic_index/build_index.py:37-39``), and
+    the id-sorted raw store is read only for the ADC shortlist's exact
+    re-rank."""
+    import pyarrow.parquet as _pq
+    from ..stages.similarity import build_ivf, ivf_search
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    n_rows = _pq.ParquetFile(src).metadata.num_rows
+    root = "/tmp/graft_ivfpq"
+    key = f"{tag}-{n_rows}-{st.st_size}-{int(st.st_mtime)}"
+    idx_dir = os.path.join(root, key)
+    if not os.path.exists(idx_dir) and os.path.isdir(root):
+        import shutil
+        for d in os.listdir(root):
+            if d.startswith(f"{tag}-") and d != key:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    if not os.path.exists(os.path.join(idx_dir, "ivf_manifest.json")):
+        import shutil
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        build_ivf(ds, idx_dir, nlist=16, pq_m=8)
+    return ivf_search(idx_dir, _query_vectors(sf_dir), KNN_K, nprobe=4)
+
+
 def q_embdup_cosine(sf_dir: str) -> pa.Table:
     """Embedding near-dup pairs, cosine >= threshold."""
     from ..stages.dedup import embedding_dup_pairs
@@ -710,21 +749,33 @@ FROM events"""
 
 
 def q_join_revenue(sf_dir: str) -> rd.Dataset:
-    """lineitem x orders hash join + grouped revenue (J1/J3 + A4).  Revenue
-    is rounded to int per ROW before summing so the sum is order-exact."""
+    """lineitem x orders join + grouped revenue (J1/J3 + A4).  Revenue
+    is rounded to int per ROW before summing so the sum is order-exact.
+
+    The pipeline PICKS the join strategy: orders is a narrow unique-keyed
+    (orderkey -> priority) map, so while it fits the broadcast threshold
+    the lineitem side streams through a zero-shuffle ``index_in`` lookup
+    (``stages.joins.broadcast_lookup_join``); past the threshold it falls
+    back to the hash join with data-adaptive partitioning."""
     import ray as _ray
+
+    from ..stages.joins import broadcast_lookup_join
+
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    # partition count follows the DATA up to the cluster size (round-1
-    # audit #3: a hardcoded 8 under-parallelizes big inputs; round-2 bench:
-    # cpu-count partitions over-parallelize small ones — ~100k rows per
-    # partition amortizes the per-partition shuffle floor either way).
-    # count() on a pruned parquet read is metadata-only.
-    cpus = int(_ray.cluster_resources().get("CPU", 8))
-    npart = max(8, min(cpus, li.count() // 100_000 + 1))
-    joined = li.join(orders, join_type="inner", num_partitions=npart,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = broadcast_lookup_join(li, orders, "l_orderkey", "o_orderkey",
+                                   ["o_orderpriority"])
+    if joined is None:
+        # partition count follows the DATA up to the cluster size (round-1
+        # audit #3: a hardcoded 8 under-parallelizes big inputs; round-2
+        # bench: cpu-count partitions over-parallelize small ones — ~100k
+        # rows per partition amortizes the per-partition shuffle floor
+        # either way).  count() on a pruned parquet read is metadata-only.
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        npart = max(8, min(cpus, li.count() // 100_000 + 1))
+        joined = li.join(orders, join_type="inner", num_partitions=npart,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
 
     def rev(b: pa.Table) -> pa.Table:
         r = b["l_extendedprice"].to_numpy() * (1 - b["l_discount"].to_numpy()) * 10000
@@ -1176,6 +1227,7 @@ def registry():
         "fingerprint": q_fingerprint,
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_pq": q_knn_ivf_pq,
         "embdup_cosine": q_embdup_cosine,
         "embdup_lsh": q_embdup_lsh,
         "multimodal_decode": q_multimodal_decode,
@@ -1227,7 +1279,8 @@ def registry():
         "concat_project": SQL_CONCAT_PROJECT,
         "struct_project": SQL_STRUCT_PROJECT,
         # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
-        # lang_id, fingerprint, knn_ivf, embdup_lsh, multimodal_decode,
+        # lang_id, fingerprint, knn_ivf, knn_ivf_pq, embdup_lsh,
+        # multimodal_decode,
         # sample_seeded
     }
     return queries, oracle

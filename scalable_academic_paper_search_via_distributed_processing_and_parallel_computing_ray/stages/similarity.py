@@ -130,16 +130,74 @@ def kmeans_fit(sample: np.ndarray, nlist: int, iters: int = 10,
     return cent
 
 
+def _kmeans_euclid(x: np.ndarray, ks: int, iters: int = 10,
+                   seed: int = 0) -> np.ndarray:
+    """Deterministic Lloyd's k-means, EUCLIDEAN objective, no row
+    normalization (for PQ sub-vectors — normalizing 8-dim slices would
+    destroy the magnitudes that make the codebook reconstructive)."""
+    rng = np.random.RandomState(seed)
+    ks = min(ks, x.shape[0])
+    cent = x[rng.choice(x.shape[0], ks, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((x ** 2).sum(1)[:, None] - 2.0 * (x @ cent.T)
+              + (cent ** 2).sum(1)[None, :])
+        assign = np.argmin(d2, axis=1)
+        for c in range(ks):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_fit(sample: np.ndarray, m: int, ks: int = 256,
+           seed: int = 42) -> np.ndarray:
+    """Product-quantizer codebooks (m, ks, dim/m) fit on NORMALIZED sample
+    vectors — the reference trains FAISS IVF**PQ** with m=64, nbits=8
+    (``semantic_index/build_index.py:37-39``); this is the same sketch with
+    numpy k-means per subspace (nbits=8 -> ks=256 -> uint8 codes)."""
+    x = _normalize(sample.astype(np.float64))
+    d = x.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by pq_m {m}"
+    dsub = d // m
+    return np.stack([
+        _kmeans_euclid(x[:, i * dsub:(i + 1) * dsub], ks, seed=seed + i)
+        for i in range(m)
+    ])  # (m, ks, dsub)
+
+
+def pq_encode(vecs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Normalized vectors (n, d) -> uint8 codes (n, m): per subspace, the
+    euclidean-nearest codebook entry."""
+    m, ks, dsub = codebooks.shape
+    n = vecs.shape[0]
+    codes = np.empty((n, m), dtype=np.uint8)
+    for i in range(m):
+        sub = vecs[:, i * dsub:(i + 1) * dsub]
+        cb = codebooks[i]
+        d2 = (cb ** 2).sum(1)[None, :] - 2.0 * (sub @ cb.T)  # +|x|^2 const
+        codes[:, i] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
 def build_ivf(ds: Dataset, index_dir: str, nlist: int = 16,
               sample_n: int = 2048, id_col: str = "vec_id",
-              vec_col: str = "embedding", seed: int = 42) -> dict:
+              vec_col: str = "embedding", seed: int = 42,
+              pq_m: int | None = None, pq_ks: int = 256) -> dict:
     """Build a PERSISTED IVF index: vectors written as parquet partitioned
     by centroid cell (hive layout, ``cell=N/`` dirs), centroids + params in
     a manifest committed LAST (readers key off it).  This is the on-disk
     analog of the reference's FAISS IVF build+save
     (``semantic_index/build_index.py:36-48``): queries then touch only
     their probed cells' FILES — I/O-level pruning, not just a masked GEMM
-    (the round-1 knn_ivf still scanned every row per batch)."""
+    (the round-1 knn_ivf still scanned every row per batch).
+
+    With ``pq_m`` set, the scanned cell files hold uint8 PQ codes instead
+    of raw vectors (``pq_m`` bytes/vector — the reference's IVFPQ stores
+    64 bytes/vector the same way), and the raw vectors move to a separate
+    ``raw/`` per-cell store sorted by id that only the exact RE-RANK of a
+    query's shortlist ever touches (id-filtered reads prune on row-group
+    statistics).  At 100 TB the ADC scan reads ~pq_m/(4*dim) of the raw
+    footprint; the re-rank reads O(shortlist) rows."""
     import json
     import os
 
@@ -147,26 +205,60 @@ def build_ivf(ds: Dataset, index_dir: str, nlist: int = 16,
 
     sample = ds.limit(sample_n).to_pandas()
     cent = kmeans_fit(np.stack(sample[vec_col].to_numpy()), nlist, seed=seed)
-    cref = ray.put(cent)
+    codebooks = (pq_fit(np.stack(sample[vec_col].to_numpy()), pq_m, pq_ks,
+                        seed=seed) if pq_m else None)
+    cref = ray.put((cent, codebooks))
 
     def assign(b: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
+        cm, _ = ray.get(cref)
         m = _normalize(np.stack(b[vec_col].to_numpy(zero_copy_only=False))
                        .astype(np.float64))
         cell = np.argmax(m @ cm.T, axis=1).astype(np.int32)
         return pa.table({id_col: b[id_col], vec_col: b[vec_col],
                          "cell": pa.array(cell, pa.int32())})
 
+    def assign_codes(b: pa.Table) -> pa.Table:
+        cm, cb = ray.get(cref)
+        m = _normalize(np.stack(b[vec_col].to_numpy(zero_copy_only=False))
+                       .astype(np.float64))
+        cell = np.argmax(m @ cm.T, axis=1).astype(np.int32)
+        codes = pq_encode(m, cb)
+        code_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1), pa.uint8()), codes.shape[1])
+        return pa.table({id_col: b[id_col], "code": code_col,
+                         "cell": pa.array(cell, pa.int32())})
+
     os.makedirs(index_dir, exist_ok=True)
     # cell data lives under cells/ so the manifest never pollutes the
     # parquet dataset directory scan
-    ds.select_columns([id_col, vec_col]) \
-        .map_batches(assign, batch_format="pyarrow") \
-        .write_parquet(os.path.join(index_dir, "cells"),
-                       partition_cols=["cell"])
+    src = ds.select_columns([id_col, vec_col])
+    # min_rows_per_file coalesces task outputs so a many-block input does
+    # not fragment into one tiny file per (task, cell) — per-file footers
+    # would otherwise dwarf the column payload on small corpora and bloat
+    # the file-listing metadata at large ones
+    if pq_m:
+        # two streaming passes over the (cheaply re-readable) source beat
+        # materializing the corpus in the object store between two sinks
+        src.map_batches(assign_codes, batch_format="pyarrow") \
+            .write_parquet(os.path.join(index_dir, "cells"),
+                           partition_cols=["cell"],
+                           min_rows_per_file=65536)
+        src.map_batches(assign, batch_format="pyarrow") \
+            .sort([id_col]) \
+            .write_parquet(os.path.join(index_dir, "raw"),
+                           partition_cols=["cell"],
+                           min_rows_per_file=65536)
+    else:
+        src.map_batches(assign, batch_format="pyarrow") \
+            .write_parquet(os.path.join(index_dir, "cells"),
+                           partition_cols=["cell"],
+                           min_rows_per_file=65536)
     manifest = {"nlist": int(cent.shape[0]), "dim": int(cent.shape[1]),
                 "seed": seed, "id_col": id_col, "vec_col": vec_col,
                 "centroids": cent.tolist()}
+    if pq_m:
+        manifest["pq"] = {"m": int(pq_m), "ks": int(codebooks.shape[1]),
+                          "codebooks": codebooks.tolist()}
     tmp = os.path.join(index_dir, "ivf_manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -174,13 +266,64 @@ def build_ivf(ds: Dataset, index_dir: str, nlist: int = 16,
     return manifest
 
 
+def _pq_rerank(index_dir: str, man: dict, q: np.ndarray,
+               shortlist: pd.DataFrame, k: int) -> pa.Table:
+    """Exact re-rank of an ADC shortlist: one Ray task per involved cell
+    reads the id-SORTED raw store with an ``id in shortlist`` filter
+    (row-group statistics prune the scan), then a tiny driver GEMM scores
+    the fetched rows exactly.  I/O is O(shortlist), not O(probed cells)."""
+    import os
+
+    import ray
+
+    id_col, vec_col = man["id_col"], man["vec_col"]
+
+    @ray.remote
+    def fetch(cdir: str, ids: list):
+        import pyarrow.dataset as pads
+        dset = pads.dataset(cdir, format="parquet")
+        return dset.to_table(columns=[id_col, vec_col],
+                             filter=pads.field(id_col).isin(ids))
+
+    by_cell = shortlist.groupby("cell")["vec_id"]
+    parts = ray.get([
+        fetch.remote(os.path.join(index_dir, "raw", f"cell={int(c)}"),
+                     sorted(int(v) for v in ids))
+        for c, ids in by_cell])
+    need = {int(v): set() for v in shortlist["vec_id"]}
+    for qi, vid in zip(shortlist["query_id"], shortlist["vec_id"]):
+        need[int(vid)].add(int(qi))
+    rows_q, rows_v, rows_c = [], [], []
+    for t in parts:
+        if not t.num_rows:
+            continue
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(np.stack(t[vec_col].to_numpy(zero_copy_only=False))
+                       .astype(np.float64))
+        cos = q @ m.T                                      # (nq, n_fetch)
+        for j, vid in enumerate(ids):
+            for qi in need.get(int(vid), ()):
+                rows_q.append(qi)
+                rows_v.append(int(vid))
+                rows_c.append(float(cos[qi, j]))
+    merged = pd.DataFrame({"query_id": rows_q, "vec_id": rows_v,
+                           "cos": rows_c})
+    return _rank_quantized(merged, k)
+
+
 def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
-               nprobe: int = 4) -> pa.Table:
+               nprobe: int = 4, rerank: int | None = None) -> pa.Table:
     """Approximate top-k against a :func:`build_ivf` index.  Reads ONLY the
     union of the queries' ``nprobe`` closest cells (parquet partition
     pruning pushes the cell filter to file selection); each batch then
     GEMMs against just the queries probing its cell.  With nprobe == nlist
-    results equal knn_brute.  Returns (query_id, rank, vec_id, cos_m)."""
+    results equal knn_brute.  Returns (query_id, rank, vec_id, cos_m).
+
+    On a PQ index (``build_ivf(pq_m=...)``) the probed cells' uint8 codes
+    are scanned with per-query ADC lookup tables, the per-query top
+    ``rerank`` (default ``max(4k, 32)``) candidates form a shortlist, and
+    the raw store is read ONLY for shortlist ids for an exact re-rank —
+    the FAISS IVFPQ search shape (``semantic_index/search.py:34-40``)."""
     import json
     import os
 
@@ -194,6 +337,55 @@ def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]      # (nq, nprobe)
     cells = sorted({int(c) for c in probe.reshape(-1)})
+
+    if man.get("pq"):
+        cb = np.asarray(man["pq"]["codebooks"], dtype=np.float64)
+        m_, ks_, dsub = cb.shape
+        # per-query ADC tables: lut[qi, i, code] = q_sub_i . codebook[i, code]
+        lut = np.einsum("qid,ikd->qik", q.reshape(q.shape[0], m_, dsub), cb)
+        nshort = rerank if rerank is not None else max(4 * k, 32)
+        parts = []
+        for c in cells:
+            cdir = os.path.join(index_dir, "cells", f"cell={c}")
+            if os.path.isdir(cdir):
+                parts.append(rd.read_parquet(cdir))
+        if not parts:
+            return _rank_quantized(pd.DataFrame(
+                {"query_id": [], "vec_id": [], "cos": []}), k)
+        ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        ref = ray.put((lut, probe))
+
+        def local_adc(b: pa.Table) -> pa.Table:
+            lt, pr = ray.get(ref)
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cell = b["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+            codes = np.stack(b["code"].to_numpy(zero_copy_only=False)) \
+                .astype(np.int64)                           # (n, m)
+            out_q, out_v, out_c, out_s = [], [], [], []
+            cols = np.arange(codes.shape[1])
+            for qi in range(lt.shape[0]):
+                mask = np.isin(cell, pr[qi])
+                if not mask.any():
+                    continue
+                sub = codes[mask]
+                adc = lt[qi][cols[None, :], sub].sum(axis=1)  # (nsub,)
+                keep = np.argsort(-adc)[:nshort]
+                out_q.extend([qi] * keep.size)
+                out_v.extend(ids[mask][keep].tolist())
+                out_c.extend(cell[mask][keep].tolist())
+                out_s.extend(adc[keep].tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "vec_id": pa.array(out_v, pa.int64()),
+                             "cell": pa.array(out_c, pa.int64()),
+                             "adc": pa.array(out_s, pa.float64())})
+
+        cand = ds.map_batches(local_adc, batch_format="pyarrow").to_pandas()
+        if not len(cand):
+            return _rank_quantized(pd.DataFrame(
+                {"query_id": [], "vec_id": [], "cos": []}), k)
+        shortlist = (cand.sort_values("adc", ascending=False)
+                     .groupby("query_id", sort=False).head(nshort))
+        return _pq_rerank(index_dir, man, q, shortlist, k)
     # open ONLY the probed cells' partition dirs (I/O pruning is explicit:
     # Ray 2.49's read_parquet filter can't prune on virtual hive columns);
     # hive inference re-attaches the cell column from the ``cell=N`` path
@@ -239,7 +431,8 @@ def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
 def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, nlist: int = 16,
             nprobe: int = 4, sample_n: int = 2048,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            seed: int = 42, index_dir: str | None = None) -> pa.Table:
+            seed: int = 42, index_dir: str | None = None,
+            pq_m: int | None = None, rerank: int | None = None) -> pa.Table:
     """Convenience wrapper: build (or reuse — caller owns invalidation) the
     persisted IVF index, then probe it.  ``index_dir=None`` -> fresh temp
     dir."""
@@ -253,5 +446,6 @@ def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, nlist: int = 16,
         # rebuild can't append a second copy of every vector into cells/
         import shutil
         shutil.rmtree(os.path.join(index_dir, "cells"), ignore_errors=True)
-        build_ivf(ds, index_dir, nlist, sample_n, id_col, vec_col, seed)
-    return ivf_search(index_dir, queries, k, nprobe)
+        build_ivf(ds, index_dir, nlist, sample_n, id_col, vec_col, seed,
+                  pq_m=pq_m)
+    return ivf_search(index_dir, queries, k, nprobe, rerank=rerank)

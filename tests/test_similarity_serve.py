@@ -125,3 +125,77 @@ def test_ivf_index_persist_and_prune(ray_session, emb_ds, emb_mat, tmp_path):
     out = similarity.ivf_search(idx, m[:2], k=5, nprobe=8)
     brute = similarity.knn_brute(emb_ds, m[:2], k=5)
     assert out.to_pydict() == brute.to_pydict()  # full probe == exact
+
+
+def test_ivf_pq_shrinks_and_reranks_exact(ray_session, emb_ds, emb_mat,
+                                          tmp_path):
+    """PQ cells hold uint8 codes: >=4x smaller on disk than raw-vector
+    cells; with full probe + a shortlist covering the corpus the exact
+    re-rank reproduces brute-force results exactly."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    ids, m = emb_mat
+    raw_idx = str(tmp_path / "ivf_raw")
+    pq_idx = str(tmp_path / "ivf_pq")
+    # x16 corpus so per-file parquet footer overhead (dominant at 500
+    # rows) amortizes and the on-disk ratio reflects the column payloads
+    big = rd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]) \
+        .union(*[rd.read_parquet(f"{SF}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+                 for _ in range(15)])
+    similarity.build_ivf(big, raw_idx, nlist=8)
+    man = similarity.build_ivf(big, pq_idx, nlist=8, pq_m=8)
+    assert man["pq"]["m"] == 8 and man["pq"]["ks"] <= 256
+
+    def tree_size(d):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(d) for f in fs)
+
+    raw_sz = tree_size(os.path.join(raw_idx, "cells"))
+    pq_sz = tree_size(os.path.join(pq_idx, "cells"))
+    assert pq_sz * 4 <= raw_sz, (pq_sz, raw_sz)
+    # raw store exists for re-rank and conserves every row
+    total = sum(pq.read_table(os.path.join(pq_idx, "raw", d)).num_rows
+                for d in os.listdir(os.path.join(pq_idx, "raw")))
+    assert total == 16 * 500
+    # exactness: a fresh single-copy PQ index, full probe + corpus-wide
+    # shortlist -> the exact re-rank reproduces brute force
+    one_idx = str(tmp_path / "ivf_pq_one")
+    similarity.build_ivf(emb_ds, one_idx, nlist=8, pq_m=8)
+    n = emb_ds.count()
+
+    brute = similarity.knn_brute(emb_ds, m[:2], k=5)
+    out = similarity.ivf_search(one_idx, m[:2], k=5, nprobe=8, rerank=n)
+    assert out.to_pydict() == brute.to_pydict()
+
+
+def test_ivf_pq_default_rerank_recall(ray_session, emb_ds, emb_mat,
+                                      tmp_path):
+    """Default shortlist (4k) with full probe: ADC is approximate, but the
+    exact re-rank must put the query vector itself at rank 1 and recall@5
+    vs brute should be high on this fixture."""
+    ids, m = emb_mat
+    idx = str(tmp_path / "ivf_pq2")
+    queries = m[:4]
+    out = similarity.knn_ivf(emb_ds, queries, k=5, nlist=8, nprobe=8,
+                             index_dir=idx, pq_m=8)
+    brute = similarity.knn_brute(emb_ds, queries, k=5)
+
+    def by_q(t):
+        d = {}
+        for qid, r, v in zip(t["query_id"].to_pylist(),
+                             t["rank"].to_pylist(), t["vec_id"].to_pylist()):
+            d.setdefault(qid, set()).add(v)
+            if r == 1:
+                d.setdefault((qid, "first"), v)
+        return d
+
+    g, b = by_q(out), by_q(brute)
+    hits = tot = 0
+    for qi in range(4):
+        assert g[(qi, "first")] == int(ids[qi])  # self is always rank 1
+        hits += len(g[qi] & b[qi]); tot += len(b[qi])
+    assert hits / tot >= 0.8, (hits, tot)
