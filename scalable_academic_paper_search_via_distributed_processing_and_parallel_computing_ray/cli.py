@@ -31,6 +31,76 @@ def _ray_session(num_cpus: int | None):
     return ray, owned
 
 
+def _serve_loop(ray, args, stdin, stdout) -> int:
+    """Dispatch newline-delimited JSON requests against long-lived serving
+    state (search actor pool + optional enrich actor).  Ops mirror the
+    reference's three endpoints:
+
+      {"op": "search", "query": "...", "k": 10, "mode": "or"}  -> /search
+      {"op": "fetch", "doc_id": 7}                             -> /paper/{id}
+      {"op": "enrich", "ids": [3, 9]}                          -> /enrich
+      {"op": "stats"} | {"op": "quit"}
+
+    One JSON object per response line; malformed requests answer
+    {"error": ...} and the loop continues (a serving front must not die on
+    a bad request)."""
+    from .pipelines.serve import DistributedSearcher
+    searcher = DistributedSearcher(args.index, num_actors=args.actors,
+                                   lazy=args.lazy)
+    enrich_actor = None
+    if args.analytics:
+        from .pipelines.enrich import EnrichServer
+        enrich_actor = EnrichServer.remote(args.analytics)
+
+    def respond(obj) -> None:
+        stdout.write(json.dumps(obj) + "\n")
+        stdout.flush()
+
+    try:
+        for line in stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+                op = req.get("op")
+                if op == "quit":
+                    respond({"ok": True})
+                    break
+                elif op == "search":
+                    hits = searcher.search(req["query"],
+                                           int(req.get("k", 10)),
+                                           req.get("mode", "or"),
+                                           req.get("method", "auto"))
+                    respond({"results": [
+                        {"rank": i, "doc_id": h.doc_id,
+                         "score": round(h.score, 6)}
+                        for i, h in enumerate(hits, 1)]})
+                elif op == "fetch":
+                    from .pipelines.query import fetch_doc
+                    doc = fetch_doc(args.index, int(req["doc_id"]))
+                    respond({"doc": json.loads(json.dumps(doc, default=str))})
+                elif op == "enrich":
+                    if enrich_actor is None:
+                        respond({"error": "no --analytics dir configured"})
+                    else:
+                        respond({"results": ray.get(
+                            enrich_actor.enrich.remote(
+                                [int(i) for i in req["ids"]]))})
+                elif op == "stats":
+                    respond({"actors": ray.get(
+                        [a.stats.remote() for a in searcher.actors])})
+                else:
+                    respond({"error": f"unknown op: {op!r}"})
+            except Exception as exc:  # noqa: BLE001 — serve must not die
+                respond({"error": f"{type(exc).__name__}: {exc}"})
+    finally:
+        searcher.shutdown()
+        if enrich_actor is not None:
+            ray.kill(enrich_actor)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ray-bm25")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -66,6 +136,19 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--k", type=int, default=10)
     d.add_argument("--lazy", action="store_true",
                    help="actors open lazily (on-demand row-group reads)")
+
+    v = sub.add_parser(
+        "serve", help="long-lived JSON front: one request per stdin line, "
+        "one JSON response per stdout line (the reference serves /search, "
+        "/paper/{id} and /enrich over FastAPI, api/combined.py:159-278 + "
+        "api/enrich.py:208-240 — no web framework ships in this sandbox, "
+        "so the same request/response shapes speak newline-delimited JSON; "
+        "an HTTP wrapper is one @app.post per op)")
+    v.add_argument("--index", required=True)
+    v.add_argument("--actors", type=int, default=2)
+    v.add_argument("--analytics", default=None,
+                   help="analytics dir for the enrich op (pipelines.enrich)")
+    v.add_argument("--lazy", action="store_true")
 
     f = sub.add_parser("fetch", help="point lookup by doc_id -> JSON "
                        "(reference /paper/{id} + fetch_paper_job analog)")
@@ -113,6 +196,8 @@ def main(argv: list[str] | None = None) -> int:
                                       "score": round(h.score, 6)}))
             finally:
                 ds.shutdown()
+        elif args.cmd == "serve":
+            return _serve_loop(ray, args, sys.stdin, sys.stdout)
         elif args.cmd == "fetch":
             from .pipelines.query import fetch_doc
             doc = fetch_doc(args.index, args.doc_id)

@@ -78,8 +78,12 @@ def ws_token_count(text: str) -> int:
     return len(text.split())
 
 
-# BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
-_BPE_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+# BPE-ish pre-tokenizer: words, numbers, or single non-space symbols.
+# ASCII \w deliberately: the vectorized twin (stages.text, RE2 kernels)
+# and the DuckDB oracle ([a-zA-Z0-9_]) are both ASCII-classed, so the
+# scalar must match or the "vectorized twins" parity breaks on non-ASCII
+# text (e.g. "café" = 1 Unicode word but 2 ASCII runs + 1 symbol).
+_BPE_RE = re.compile(r"\w+|[^\w\s]", re.ASCII)
 
 
 def bpe_token_count(text: str) -> int:

@@ -1198,10 +1198,43 @@ FROM s WHERE dtype IS NOT NULL"""
 
 def q_sample_seeded(sf_dir: str) -> pa.Table:
     """Seeded sample (reference O4 ``sample(fraction=0.01, seed=42)``) —
-    rows-only: RNG streams differ across engines by construction."""
+    rows-only: RNG streams differ across engines by construction, so no
+    value hash can match; instead the output carries MULTIPLE invariants
+    of the sampled id set (count, min/max, sum, xor) computed by a
+    distributed aggregate — a wrong sample (out-of-range ids, duplicated
+    rows, drifting RNG) perturbs them, a bare count would not."""
     ds = _read(sf_dir, "events", ["event_id"]).random_sample(0.05, seed=42)
-    n = ds.count()
-    return pa.table({"n_sampled": pa.array([n], pa.int64())})
+
+    def sketch(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64()),
+                             "sm": pa.array([], pa.int64()),
+                             "xr": pa.array([], pa.int64())})
+        return pa.table({"n": pa.array([ids.size], pa.int64()),
+                         "mn": pa.array([int(ids.min())], pa.int64()),
+                         "mx": pa.array([int(ids.max())], pa.int64()),
+                         "sm": pa.array([int(ids.sum())], pa.int64()),
+                         "xr": pa.array([int(np.bitwise_xor.reduce(ids))],
+                                        pa.int64())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pa.table({"n_sampled": pa.array([0], pa.int64()),
+                         "min_id": pa.array([0], pa.int64()),
+                         "max_id": pa.array([0], pa.int64()),
+                         "sum_id": pa.array([0], pa.int64()),
+                         "xor_id": pa.array([0], pa.int64())})
+    return pa.table({
+        "n_sampled": pa.array([int(parts["n"].sum())], pa.int64()),
+        "min_id": pa.array([int(parts["mn"].min())], pa.int64()),
+        "max_id": pa.array([int(parts["mx"].max())], pa.int64()),
+        "sum_id": pa.array([int(parts["sm"].sum())], pa.int64()),
+        "xor_id": pa.array([int(np.bitwise_xor.reduce(
+            parts["xr"].to_numpy().astype(np.int64)))], pa.int64()),
+    })
 
 
 # ====================================================================== #

@@ -321,7 +321,19 @@ def simhash_dedup_pairs(ds: Dataset, max_hamming: int = 3,
     identically in each; the groupby(a, b) Min collapses them.
     Returns (a, b, hamming) sorted.  Scale dial: hot 16-bit buckets bound
     pair generation — for bigger corpora widen bands (4x32-bit over two
-    simhash halves) the same way."""
+    simhash halves) the same way.
+
+    RECALL CONTRACT: 4 bands over 64 bits guarantee candidate generation
+    only for ``max_hamming <= 3`` (pigeonhole).  Larger values are
+    accepted but return a verified SUBSET (pairs that happen to share a
+    band) — a warning is emitted; full recall at hamming h needs h+1
+    bands."""
+    if max_hamming > 3:
+        import logging
+        logging.getLogger(__name__).warning(
+            "simhash_dedup_pairs: max_hamming=%d exceeds the 4-band "
+            "pigeonhole guarantee (<=3); result is a verified subset "
+            "(pairs sharing at least one 16-bit band)", max_hamming)
     sigs = ds.map_batches(SimHashStage,
                           fn_constructor_kwargs={"text_col": text_col},
                           batch_format="pyarrow", concurrency=(1, 4))
@@ -543,13 +555,19 @@ def embedding_dup_pairs(ds: Dataset, threshold: float = 0.95,
 
     outs = [tile_pairs.remote(refs[i], refs[j], i == j)
             for i in range(len(refs)) for j in range(i, len(refs))]
-    parts = [t for t in ray.get(outs) if t.num_rows]
-    if not parts:
+    # pair volume is output-bounded but NOT a-priori bounded at loose
+    # thresholds: keep the per-tile results in the OBJECT STORE (Dataset
+    # over the refs, distributed sort) instead of one blocking driver-side
+    # ray.get + concat; only the final sorted table lands on the driver —
+    # the documented contract of returning a pa.Table (callers needing
+    # bigger-than-driver outputs should consume `.sort` output as a
+    # Dataset via this same shape).
+    pairs_ds = ray.data.from_arrow_refs(outs)
+    if pairs_ds.count() == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
                          "cos_m": pa.array([], pa.int64())})
-    out = pa.concat_tables(parts).to_pandas() \
-        .sort_values(["a", "b"]).reset_index(drop=True)
+    out = pairs_ds.sort(["a", "b"]).to_pandas()
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

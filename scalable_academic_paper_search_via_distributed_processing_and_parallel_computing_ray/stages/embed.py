@@ -20,12 +20,34 @@ EMBED_DIM = 64
 
 
 class EmbedDocs:
-    """(doc_id, text) -> + embedding: list<float32>[dim]."""
+    """(doc_id, text) -> + embedding: list<float32>[dim].
 
-    def __init__(self, dim: int = EMBED_DIM, batch_hint: int = 2048):
+    ``device`` mirrors the reference's per-task device pick
+    (``embed_generator.py:29-34``: cuda if available, float16 to fit):
+    None auto-selects (cuda when a GPU framework is importable, else
+    cpu); an explicit "cuda:N"/"cpu" pins it.  The fake model ignores the
+    device but records the resolved choice so placement is testable
+    without hardware; pair with ``map_batches(..., num_gpus=1)`` via
+    :func:`embed_docs` to actually reserve the GPU."""
+
+    def __init__(self, dim: int = EMBED_DIM, batch_hint: int = 2048,
+                 device: str | None = None):
         self.dim = dim
         self.batch_hint = batch_hint  # reference encodes 2048 per call
+        self.device = self._resolve_device(device)
         self.model = self._load_model()
+
+    @staticmethod
+    def _resolve_device(device: str | None) -> str:
+        if device is not None:
+            return device
+        try:
+            import torch  # noqa: F401  (absent in sandbox)
+            if torch.cuda.is_available():
+                return "cuda"
+        except ImportError:
+            pass
+        return "cpu"
 
     def _load_model(self):
         try:
@@ -68,3 +90,24 @@ class EmbedDocs:
                                   dtype=np.int32))
         col = pa.ListArray.from_arrays(offs, pa.array(emb.reshape(-1), pa.float32()))
         return pa.table({"doc_id": batch["doc_id"], "embedding": col})
+
+
+def embed_docs(ds, *, dim: int = EMBED_DIM, batch_size: int = 2048,
+               concurrency=(1, 4), num_gpus: float | None = None,
+               device: str | None = None, num_cpus: float | None = None):
+    """The embed actor pool with resource placement plumbed through:
+    ``num_gpus`` reserves GPU slots per actor (reference ST1 runs one
+    model per GPU; pass ``num_gpus=1, concurrency=n_gpus``), ``device``
+    pins the framework device inside the actor.  CPU-only clusters just
+    omit both."""
+    kwargs = {}
+    if num_gpus is not None:
+        kwargs["num_gpus"] = num_gpus
+    if num_cpus is not None:
+        kwargs["num_cpus"] = num_cpus
+    return ds.map_batches(
+        EmbedDocs,
+        fn_constructor_kwargs={"dim": dim, "batch_hint": batch_size,
+                               "device": device},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **kwargs)

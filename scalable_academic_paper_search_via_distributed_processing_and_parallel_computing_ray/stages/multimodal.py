@@ -57,7 +57,14 @@ class DecodeMedia:
     ``__init__`` (real-library probe), batches only run the kernel.
     """
 
-    def __init__(self, feature_dim: int = FEATURE_DIM, require_real: bool = False):
+    def __init__(self, feature_dim: int = FEATURE_DIM,
+                 require_real: bool = False, device: str | None = None):
+        # device pass-through (reference picks cuda per task and halves
+        # precision to fit, api/working.py:40-50); the fake codec records
+        # the choice so GPU placement is testable without hardware.  Pair
+        # with map_batches(..., num_gpus=1) to reserve the slot.
+        from .embed import EmbedDocs
+        self.device = EmbedDocs._resolve_device(device)
         self.feature_dim = feature_dim
         self.codec = None
         try:  # real decoder if the environment has one

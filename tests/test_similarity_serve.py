@@ -199,3 +199,28 @@ def test_ivf_pq_default_rerank_recall(ray_session, emb_ds, emb_mat,
         assert g[(qi, "first")] == int(ids[qi])  # self is always rank 1
         hits += len(g[qi] & b[qi]); tot += len(b[qi])
     assert hits / tot >= 0.8, (hits, tot)
+
+
+def test_device_passthrough_and_gpu_plumbing(ray_session):
+    """Reference ST1 picks a device per task; the actor pools plumb it:
+    constructor receives the device, and embed_docs forwards num_gpus to
+    map_batches (0 here — no GPU in this sandbox, the parameter path is
+    what's under test)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.stages.embed import (
+        EmbedDocs,
+        embed_docs,
+    )
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.stages.multimodal import (
+        DecodeMedia,
+    )
+    assert EmbedDocs(device="cuda:0").device == "cuda:0"
+    assert EmbedDocs().device == "cpu"          # no GPU framework here
+    assert DecodeMedia(device="cuda:1").device == "cuda:1"
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2],
+                                      "text": ["alpha beta", "gamma"]}))
+    out = embed_docs(ds, num_gpus=0, device="cpu", concurrency=1).to_pandas()
+    assert len(out) == 2 and len(out["embedding"][0]) == 64

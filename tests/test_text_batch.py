@@ -73,3 +73,21 @@ def test_batch_fingerprint_matches_scalar(corpus):
         toks = tokenize_filtered(txt)
         assert int(got["simhash"][i]) == ts.simhash64(toks), (i, txt[:40])
         assert got["n_fp"][i] == len(ts.rolling_fingerprint(toks)), (i, txt[:40])
+
+
+def test_bpe_twins_agree_on_non_ascii():
+    """Scalar and vectorized BPE counters share ASCII \\w semantics (the
+    RE2 kernel and the SQL oracle are ASCII-classed; the scalar must
+    match — advice round 2)."""
+    import pyarrow as pa
+
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.functions import (
+        textstats as ts,
+    )
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.stages.text import (
+        batch_token_counts,
+    )
+    texts = ["café naïve", "日本語 text", "años 1999!", "plain ascii"]
+    got = batch_token_counts(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        assert got["bpe_tokens"][i] == ts.bpe_token_count(t), t
