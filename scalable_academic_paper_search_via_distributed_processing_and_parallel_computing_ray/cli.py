@@ -137,6 +137,19 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--lazy", action="store_true",
                    help="actors open lazily (on-demand row-group reads)")
 
+    c = sub.add_parser("clean", help="training-data cleaning pipeline: "
+                       "quality filter -> exact dedup -> optional MinHash "
+                       "near-dup removal -> partitioned parquet + manifest")
+    c.add_argument("--input", required=True,
+                   help="parquet file/dir with (doc_id, text)")
+    c.add_argument("--out", required=True)
+    c.add_argument("--min-tokens", type=int, default=5)
+    c.add_argument("--max-stop-m", type=int, default=700)
+    c.add_argument("--max-punct-m", type=int, default=300)
+    c.add_argument("--near-dup", action="store_true")
+    c.add_argument("--buckets", type=int, default=16)
+    c.add_argument("--drop-text", action="store_true")
+
     v = sub.add_parser(
         "serve", help="long-lived JSON front: one request per stdin line, "
         "one JSON response per stdout line (the reference serves /search, "
@@ -196,6 +209,18 @@ def main(argv: list[str] | None = None) -> int:
                                       "score": round(h.score, 6)}))
             finally:
                 ds.shutdown()
+        elif args.cmd == "clean":
+            import ray.data as rd
+
+            from .pipelines import corpus
+            ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+            cleaned = corpus.clean_corpus(
+                ds, min_tokens=args.min_tokens, max_stop_m=args.max_stop_m,
+                max_punct_m=args.max_punct_m, near_dup=args.near_dup)
+            m = corpus.write_clean_corpus(cleaned, args.out,
+                                          n_buckets=args.buckets,
+                                          drop_text=args.drop_text)
+            print(json.dumps(m))
         elif args.cmd == "serve":
             return _serve_loop(ray, args, sys.stdin, sys.stdout)
         elif args.cmd == "fetch":

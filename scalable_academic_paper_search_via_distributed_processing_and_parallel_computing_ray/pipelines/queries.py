@@ -424,6 +424,41 @@ SELECT doc_id,
 FROM t"""
 
 
+def q_corpus_clean(sf_dir: str) -> rd.Dataset:
+    """Composite cleaning pipeline (pipelines/corpus.py): quality filter
+    -> exact dedup, ORACLED end-to-end; the optional MinHash near-dup
+    stage is exercised by tests + the rows-only ``dedup_minhash``."""
+    from .corpus import clean_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = clean_corpus(ds, min_tokens=5, max_stop_m=700, max_punct_m=300)
+    return out.select_columns(["doc_id", "n_tokens", "stop_m", "punct_m"])
+
+
+SQL_CORPUS_CLEAN = f"""WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '{_TOK_SQL}'),
+                     x -> x <> '') AS at
+  FROM documents
+),
+q AS (
+  SELECT doc_id, text,
+    len(at) AS n_tokens,
+    CASE WHEN len(at) = 0 THEN 0 ELSE
+      CAST(ROUND((CAST(len(list_filter(at, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                  / len(at)) * 1000) AS BIGINT) END AS stop_m,
+    CASE WHEN length(text) = 0 THEN 0 ELSE
+      CAST(ROUND((CAST(length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g')) AS DOUBLE)
+                  / length(text)) * 1000) AS BIGINT) END AS punct_m
+  FROM t
+),
+f AS (SELECT * FROM q
+      WHERE n_tokens >= 5 AND stop_m <= 700 AND punct_m <= 300)
+SELECT doc_id, n_tokens, stop_m, punct_m
+FROM f
+WHERE doc_id IN (SELECT min(doc_id) FROM f GROUP BY text)"""
+
+
 def q_token_count(sf_dir: str) -> rd.Dataset:
     """Whitespace + BPE-ish token counting — pure RE2 count kernels, the
     regex classes matching the SQL oracle's exactly."""
@@ -1256,6 +1291,7 @@ def registry():
         "dedup_simhash": q_dedup_simhash,
         "lang_id": q_lang_id,
         "quality": q_quality,
+        "corpus_clean": q_corpus_clean,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "knn_brute": q_knn_brute,
@@ -1293,6 +1329,7 @@ def registry():
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram": SQL_DEDUP_NGRAM,
         "quality": SQL_QUALITY,
+        "corpus_clean": SQL_CORPUS_CLEAN,
         "token_count": SQL_TOKEN_COUNT,
         "knn_brute": SQL_KNN_BRUTE,
         "embdup_cosine": SQL_EMBDUP,
