@@ -370,7 +370,9 @@ def q_dedup_simhash(sf_dir: str) -> pa.Table:
 # ------------------------------------------------------------ text stats ---
 
 def q_lang_id(sf_dir: str) -> rd.Dataset:
-    """Heuristic language ID (rows-only: marker-set heuristic, not SQL).
+    """Heuristic language ID, ORACLED (round 3): marker-hit counts,
+    first-max tie order, zh CJK-density override and und fallback are all
+    SQL-expressible, so the rows-only check is upgraded to value-exact.
     Vectorized: Arrow tokenize + is_in marker hits + bincount argmax
     (stages/text.py batch twin of functions.textstats.lang_id)."""
     from ..stages.text import batch_lang_id
@@ -382,6 +384,39 @@ def q_lang_id(sf_dir: str) -> rd.Dataset:
 
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(f, batch_format="pyarrow")
+
+
+def _sql_lang_id() -> str:
+    from ..functions.textstats import _LANG_MARKERS
+
+    def mk(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang]))
+
+    return f"""WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '{_TOK_SQL}'),
+                     x -> x <> '') AS at
+  FROM documents
+),
+h AS (
+  SELECT doc_id, text,
+    len(list_filter(at, x -> x IN ({mk('en')}))) AS en,
+    len(list_filter(at, x -> x IN ({mk('de')}))) AS de,
+    len(list_filter(at, x -> x IN ({mk('fr')}))) AS fr,
+    len(list_filter(at, x -> x IN ({mk('es')}))) AS es
+  FROM t
+)
+SELECT doc_id,
+  CASE
+    WHEN length(regexp_replace(text, '[^一-鿿㐀-䶿]', '', 'g')) * 4
+         >= greatest(1, length(text)) THEN 'zh'
+    WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+    WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+    WHEN de >= fr AND de >= es THEN 'de'
+    WHEN fr >= es THEN 'fr'
+    ELSE 'es'
+  END AS lang_pred
+FROM h"""
 
 
 def q_quality(sf_dir: str) -> rd.Dataset:
@@ -1330,6 +1365,7 @@ def registry():
         "dedup_ngram": SQL_DEDUP_NGRAM,
         "quality": SQL_QUALITY,
         "corpus_clean": SQL_CORPUS_CLEAN,
+        "lang_id": _sql_lang_id(),
         "token_count": SQL_TOKEN_COUNT,
         "knn_brute": SQL_KNN_BRUTE,
         "embdup_cosine": SQL_EMBDUP,
@@ -1349,7 +1385,7 @@ def registry():
         "concat_project": SQL_CONCAT_PROJECT,
         "struct_project": SQL_STRUCT_PROJECT,
         # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
-        # lang_id, fingerprint, knn_ivf, knn_ivf_pq, embdup_lsh,
+        # fingerprint, knn_ivf, knn_ivf_pq, embdup_lsh,
         # multimodal_decode,
         # sample_seeded
     }
