@@ -123,7 +123,8 @@ def run_bench() -> dict:
     # ---- sample of the other pipelines at the raw sf dir
     names = () if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else (
         "term_df", "dedup_exact", "knn_brute", "join_revenue", "sessionize",
-        "percentile_rank", "dedup_ngram", "embdup_lsh")
+        "percentile_rank", "dedup_ngram", "embdup_lsh", "window_top3",
+        "dedup_minhash", "corpus_clean")
     for name in names:
         fn = dict(Q.registry()[0].items())[name]
         t0 = time.time()
