@@ -117,9 +117,11 @@ def q_term_df(sf_dir: str) -> rd.Dataset:
         g = tc.group_by("term").aggregate([("pidx", "count")])
         return g.rename_columns(["term", "df_part"])
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(f, batch_format="pyarrow") \
-        .groupby("term").aggregate(Sum("df_part", alias_name="df"))
+    from ..stages.groupagg import sorted_groupby_agg
+    return sorted_groupby_agg(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(f, batch_format="pyarrow"),
+        ["term"], [("df_part", "sum", "df")])
 
 
 SQL_TERM_DF = f"""WITH {_CTE_TOKS}
@@ -136,9 +138,11 @@ def q_vocab_top20(sf_dir: str) -> rd.Dataset:
         g = tc.group_by("term").aggregate([("tf", "sum")])
         return g.rename_columns(["term", "tf_part"])
 
-    agg = _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(f, batch_format="pyarrow") \
-        .groupby("term").aggregate(Sum("tf_part", alias_name="total_tf"))
+    from ..stages.groupagg import sorted_groupby_agg
+    agg = sorted_groupby_agg(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(f, batch_format="pyarrow"),
+        ["term"], [("tf_part", "sum", "total_tf")])
     return agg.sort(["total_tf", "term"], descending=[True, False]).limit(20)
 
 
@@ -1139,11 +1143,12 @@ def q_sessionize(sf_dir: str) -> rd.Dataset:
                          "window_start_s": pa.array(wstart, pa.int64()),
                          "value_m": pa.array(vm, pa.int64())})
 
-    return _stable(
-        ds.map_batches(win, batch_format="pyarrow")
-        .groupby(["user_id", "window_start_s"])
-        .aggregate(Count(alias_name="n_events"),
-                   Sum("value_m", alias_name="sum_value_m")))
+    from ..stages.groupagg import sorted_groupby_agg
+    return sorted_groupby_agg(
+        ds.map_batches(win, batch_format="pyarrow"),
+        ["user_id", "window_start_s"],
+        [("value_m", "count", "n_events"),
+         ("value_m", "sum", "sum_value_m")])
 
 
 SQL_SESSIONIZE = """SELECT user_id,
@@ -1173,11 +1178,12 @@ def q_sliding_window(sf_dir: str) -> rd.Dataset:
             "value_m": pa.array(np.concatenate([vm, vm]), pa.int64()),
         })
 
-    return _stable(
-        ds.map_batches(expand, batch_format="pyarrow")
-        .groupby(["user_id", "window_start_s"])
-        .aggregate(Count(alias_name="n_events"),
-                   Sum("value_m", alias_name="sum_value_m")))
+    from ..stages.groupagg import sorted_groupby_agg
+    return sorted_groupby_agg(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        ["user_id", "window_start_s"],
+        [("value_m", "count", "n_events"),
+         ("value_m", "sum", "sum_value_m")])
 
 
 SQL_SLIDING_WINDOW = """SELECT user_id,

@@ -172,10 +172,11 @@ def minhash_verified_pairs(ds: Dataset, threshold: float = 0.8,
                                                   "shingle_k": shingle_k,
                                                   "text_col": text_col},
                            batch_format="pyarrow", concurrency=concurrency)
+    from .groupagg import sorted_groupby_agg
     bands = bands.materialize()  # consumed twice (cap audit + buckets)
-    hot = bands.select_columns(["band", "band_hash"]) \
-        .groupby(["band", "band_hash"]) \
-        .aggregate(Count(alias_name="sz")) \
+    hot = sorted_groupby_agg(
+        bands.select_columns(["band", "band_hash"]),
+        ["band", "band_hash"], [("band", "count", "sz")]) \
         .filter(expr=f"sz > {max_bucket}")
     n_hot = hot.count()
     if n_hot:
@@ -188,29 +189,35 @@ def minhash_verified_pairs(ds: Dataset, threshold: float = 0.8,
     meta = {b"dropped_hot_buckets": str(int(n_hot)).encode(),
             b"max_bucket": str(max_bucket).encode()}
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                              "b": pd.Series(dtype=np.int64),
-                              "est_m": pd.Series(dtype=np.int64)})
+    _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "est_m": pa.array([], pa.int64())})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        # pyarrow group format: a pandas DataFrame per tiny bucket costs
+        # ~10x the conversion overhead at ~100k buckets (measured; same
+        # lesson as the round-1 per-bucket map_groups)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, uidx = np.unique(ids, return_index=True)
         if ids.size < 2 or ids.size > max_bucket:
-            return empty
-        sigs = np.stack(g["sig"].to_numpy())  # (B, num_perm) int32
+            return _EMPTY_PAIRS
+        sigs = np.stack(g["sig"].to_numpy(zero_copy_only=False)[uidx])
         ai, bi = np.triu_indices(ids.size, k=1)
         est = (sigs[ai] == sigs[bi]).mean(axis=1)
         keep = est >= threshold
         if not keep.any():
-            return empty
+            return _EMPTY_PAIRS
         a, b_ = ids[ai[keep]], ids[bi[keep]]
         lo, hi = np.minimum(a, b_), np.maximum(a, b_)
         est_m = np.floor(est[keep] * 1000 + 0.5).astype(np.int64)
-        return pd.DataFrame({"a": lo, "b": hi, "est_m": est_m})
+        return pa.table({"a": pa.array(lo, pa.int64()),
+                         "b": pa.array(hi, pa.int64()),
+                         "est_m": pa.array(est_m, pa.int64())})
 
     pairs = bands.groupby(["band", "band_hash"]) \
-        .map_groups(bucket_pairs, batch_format="pandas")
-    out = pairs.groupby(["a", "b"]) \
-        .aggregate(Min("est_m", alias_name="est_m")).to_pandas()
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    out = sorted_groupby_agg(pairs, ["a", "b"],
+                             [("est_m", "min", "est_m")]).to_pandas()
     if len(out) == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
@@ -273,11 +280,12 @@ class SimHashStage:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .text import batch_simhash64
         doc_ids = batch["doc_id"]
-        sims = np.fromiter(
-            (ts.simhash64(tokenize_filtered(t)) & ((1 << 63) - 1)
-             for t in batch[self.text_col].to_pylist()),
-            dtype=np.int64, count=batch.num_rows)
+        # vectorized twin of ts.simhash64(tokenize_filtered(t)) — the
+        # per-doc Python loop was the stage's dominant cost (~1.5 ms/doc)
+        sims = (batch_simhash64(batch[self.text_col], batch.num_rows)
+                & np.uint64((1 << 63) - 1)).astype(np.int64)
         cols = {"doc_id": doc_ids, "simhash": pa.array(sims, pa.int64())}
         for band in range(4):
             cols[f"band{band}"] = pa.array(
@@ -290,23 +298,27 @@ def _band_verified_pairs(max_hamming: int):
     """map_groups fn: one band bucket (doc_id, simhash) -> verified near-dup
     pairs.  The bucket already holds every colliding doc's full simhash, so
     hamming is verified HERE — nothing corpus-sized ever reaches the driver
-    (round-1 weakness: a global doc_id->simhash dict on the driver)."""
+    (round-1 weakness: a global doc_id->simhash dict on the driver).
+    pyarrow group format — pandas-per-tiny-bucket conversion was ~10x the
+    useful work at ~100k buckets."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        sims = g["simhash"].to_numpy().astype(np.int64)[order]
+    def f(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, uidx = np.unique(ids, return_index=True)
         if ids.size < 2:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64),
-                                 "hamming": pd.Series(dtype=np.int64)})
+            return empty
+        sims = g["simhash"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[uidx]
         ai, bi = np.triu_indices(ids.size, k=1)
         h = ts.hamming64_vec(sims[ai], sims[bi])
         keep = h <= max_hamming
-        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
-                             "hamming": h[keep]})
+        return pa.table({"a": pa.array(ids[ai][keep], pa.int64()),
+                         "b": pa.array(ids[bi][keep], pa.int64()),
+                         "hamming": pa.array(h[keep].astype(np.int64),
+                                             pa.int64())})
 
     return f
 
@@ -337,19 +349,32 @@ def simhash_dedup_pairs(ds: Dataset, max_hamming: int = 3,
     sigs = ds.map_batches(SimHashStage,
                           fn_constructor_kwargs={"text_col": text_col},
                           batch_format="pyarrow", concurrency=(1, 4))
-    # consumed 4x below (one groupby per band); without materialize the
-    # per-doc simhash stage re-executes on every consumption
-    sigs = sigs.materialize()
-    pair_parts = [
-        sigs.select_columns(["doc_id", "simhash", f"band{band}"])
-            .groupby(f"band{band}")
-            .map_groups(_band_verified_pairs(max_hamming),
-                        batch_format="pandas")
-        for band in range(4)
-    ]
-    allp = pair_parts[0].union(*pair_parts[1:])
-    out = allp.groupby(["a", "b"]) \
-        .aggregate(Min("hamming", alias_name="hamming")).to_pandas()
+
+    def explode(b: pa.Table) -> pa.Table:
+        """sig row -> 4 (band, band_val) rows: ONE shuffle covers all
+        bands (the previous one-groupby-PER-band paid 4x the shuffle
+        stage fixed cost — measured ~2 s each at any size)."""
+        n = b.num_rows
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        sim = b["simhash"].to_numpy(zero_copy_only=False)
+        vals = np.concatenate([
+            b[f"band{band}"].to_numpy(zero_copy_only=False).astype(np.int64)
+            for band in range(4)])
+        return pa.table({
+            "doc_id": pa.array(np.tile(doc, 4), pa.int64()),
+            "simhash": pa.array(np.tile(sim, 4), pa.int64()),
+            "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), n),
+                             pa.int32()),
+            "band_val": pa.array(vals, pa.int64()),
+        })
+
+    allp = sigs.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["band", "band_val"]) \
+        .map_groups(_band_verified_pairs(max_hamming),
+                    batch_format="pyarrow")
+    from .groupagg import sorted_groupby_agg
+    out = sorted_groupby_agg(allp, ["a", "b"],
+                             [("hamming", "min", "hamming")]).to_pandas()
     if len(out) == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
@@ -424,8 +449,13 @@ def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
     if n_sh == 0:
         return _empty_pairs()
 
+    # grouped counts via ONE sort + per-block reduceat (stages/groupagg):
+    # Ray's hash/sort aggregate pays ~20s per million grouped rows in its
+    # reduce phase (measured in groupagg.py's header) — the sort-based
+    # exact replacement is ~20x faster and bit-identical
+    from .groupagg import sorted_groupby_agg
     active = drop_empty_blocks(
-        sh.groupby("shingle").aggregate(Count(alias_name="df"))
+        sorted_groupby_agg(sh, ["shingle"], [("shingle", "count", "df")])
         .filter(expr=f"df >= 2 and df <= {max_df}")
         .map_batches(_pin_arrow("shingle"), batch_format="pyarrow"))
     if active.count() == 0:
@@ -436,30 +466,48 @@ def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
     # computed only AFTER the early return — a shared-nothing corpus
     # shouldn't pay the per-doc sizes shuffle for a discarded result
     sizes = drop_empty_blocks(
-        sh.groupby("doc_id").aggregate(Count(alias_name="sz"))
+        sorted_groupby_agg(sh, ["doc_id"], [("doc_id", "count", "sz")])
         .map_batches(_pin_arrow("doc_id", "sz"), batch_format="pyarrow"))
 
     # materialized: consumed as BOTH sides of the pair self-join — lazy,
     # the active-shingle join would execute twice (and chaining three
-    # JoinOperators into one plan multiplies concurrent shuffle actors)
-    sh_act = sh.join(active, join_type="inner", num_partitions=npart,
-                     on=("shingle",)).materialize()
+    # JoinOperators into one plan multiplies concurrent shuffle actors).
+    # The active-shingle side is a bare key set: while it fits the
+    # broadcast threshold a per-batch is_in semi-filter replaces the
+    # shuffle join entirely (each extra JoinOperator costs a full actor
+    # pool + exchange); past the threshold, the hash join comes back
+    from .joins import broadcast_semi_filter
+    sh_act = broadcast_semi_filter(sh, active, "shingle", "shingle")
+    if sh_act is None:
+        sh_act = sh.join(active, join_type="inner", num_partitions=npart,
+                         on=("shingle",))
+    sh_act = sh_act.materialize()
     right = sh_act.map_batches(
         lambda b: pa.table({"shingle_b": b["shingle"], "doc_b": b["doc_id"]}),
         batch_format="pyarrow")
     paired = sh_act.join(right, join_type="inner", num_partitions=npart,
                          on=("shingle",), right_on=("shingle_b",))
 
-    def ordered(b: pa.Table) -> pa.Table:
+    def ordered_combine(b: pa.Table) -> pa.Table:
+        """a < b ordering + LOCAL partial combine: the join co-locates a
+        shingle's rows, so a near-dup pair repeats once per shared shingle
+        mostly WITHIN one batch — np.unique here collapses that before the
+        shuffle (pre-aggregation pattern; measured ~no cross-batch dups
+        left)."""
         a = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = a < bb
-        return pa.table({"a": pa.array(a[keep], pa.int64()),
-                         "b": pa.array(bb[keep], pa.int64())})
+        a, bb = a[keep], bb[keep]
+        pairs = np.stack([a, bb], axis=1)
+        up, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table({"a": pa.array(up[:, 0], pa.int64()),
+                         "b": pa.array(up[:, 1], pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
 
     inter = drop_empty_blocks(
-        paired.map_batches(ordered, batch_format="pyarrow")
-        .groupby(["a", "b"]).aggregate(Count(alias_name="inter"))
+        sorted_groupby_agg(
+            paired.map_batches(ordered_combine, batch_format="pyarrow"),
+            ["a", "b"], [("n", "sum", "inter")])
         .map_batches(_pin_arrow("a", "b", "inter"), batch_format="pyarrow"))
 
     sz_a = sizes.map_batches(
@@ -468,9 +516,17 @@ def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
     sz_b = sizes.map_batches(
         lambda b: pa.table({"b": b["doc_id"], "sz_b": b["sz"]}),
         batch_format="pyarrow")
-    joined = inter.join(sz_a, join_type="inner", num_partitions=npart,
-                        on=("a",)) \
-        .join(sz_b, join_type="inner", num_partitions=npart, on=("b",))
+    # sizes are a narrow unique-keyed doc_id -> count map: broadcast
+    # lookup while it fits (replaces TWO chained JoinOperators), hash
+    # join fallback above the threshold
+    from .joins import broadcast_lookup_join
+    joined = broadcast_lookup_join(inter, sz_a, "a", "a", ["sz_a"])
+    if joined is not None:
+        joined = broadcast_lookup_join(joined, sz_b, "b", "b", ["sz_b"])
+    if joined is None:
+        joined = inter.join(sz_a, join_type="inner", num_partitions=npart,
+                            on=("a",)) \
+            .join(sz_b, join_type="inner", num_partitions=npart, on=("b",))
 
     def jac(b: pa.Table) -> pa.Table:
         n_int = b["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -648,9 +704,15 @@ def embedding_dup_pairs_lsh(ds: Dataset, threshold: float = 0.9,
                                "vec_col": vec_col},
         batch_format="pyarrow", concurrency=(2, 8))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("lsh_id")
-        ids = g["lsh_id"].to_numpy().astype(np.int64)
+    _EMPTY = pa.table({"a": pa.array([], pa.int64()),
+                       "b": pa.array([], pa.int64()),
+                       "cos_m": pa.array([], pa.int64())})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        # pyarrow group format (pandas-per-tiny-bucket conversion was the
+        # dominant cost at ~100k buckets — measured, see minhash twin)
+        ids = g["lsh_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, uidx = np.unique(ids, return_index=True)
         if ids.size < 2 or ids.size > max_bucket:
             # hot-bucket cap (same dial as ngram max_df): a bucket of B
             # members costs B^2 verify flops — unbounded B is the one
@@ -658,23 +720,24 @@ def embedding_dup_pairs_lsh(ds: Dataset, threshold: float = 0.9,
             # pairs are still found via any NON-hot band they share
             # (dup-pair bands are near-identical keys, so a pair lost in a
             # hot region almost always collides in a colder band too).
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64),
-                                 "cos_m": pd.Series(dtype=np.int64)})
-        m = np.stack(g["vec"].to_numpy())  # already normalized
+            return _EMPTY
+        m = np.stack(g["vec"].to_numpy(zero_copy_only=False)[uidx])
         cos = m @ m.T
         ai, bi = np.nonzero(cos >= threshold)
         up = ids[ai] < ids[bi]
         ai, bi = ai[up], bi[up]
         cos_m = ((np.floor(np.abs(cos[ai, bi]) * 1000 + 0.5)
                   * np.sign(cos[ai, bi])).astype(np.int64))
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi], "cos_m": cos_m})
+        return pa.table({"a": pa.array(ids[ai], pa.int64()),
+                         "b": pa.array(ids[bi], pa.int64()),
+                         "cos_m": pa.array(cos_m, pa.int64())})
 
+    from .groupagg import sorted_groupby_agg
     bands = bands.materialize()  # consumed twice (cap audit + buckets)
     # no silent caps: count the buckets the max_bucket dial drops so
     # recall loss is OBSERVABLE (logged + stamped in the result metadata)
-    hot = bands.select_columns(["band", "key"]).groupby(["band", "key"]) \
-        .aggregate(Count(alias_name="sz")) \
+    hot = sorted_groupby_agg(bands.select_columns(["band", "key"]),
+                             ["band", "key"], [("band", "count", "sz")]) \
         .filter(expr=f"sz > {max_bucket}")
     n_hot = hot.count()
     if n_hot:
@@ -688,9 +751,9 @@ def embedding_dup_pairs_lsh(ds: Dataset, threshold: float = 0.9,
             b"max_bucket": str(max_bucket).encode()}
 
     pairs = bands.groupby(["band", "key"]) \
-        .map_groups(bucket_pairs, batch_format="pandas")
-    out = pairs.groupby(["a", "b"]) \
-        .aggregate(Min("cos_m", alias_name="cos_m")).to_pandas()
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    out = sorted_groupby_agg(pairs, ["a", "b"],
+                             [("cos_m", "min", "cos_m")]).to_pandas()
     if len(out) == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),

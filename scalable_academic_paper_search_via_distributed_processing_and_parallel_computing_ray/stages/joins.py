@@ -56,3 +56,22 @@ def broadcast_lookup_join(big: Dataset, small: Dataset, big_key: str,
         return out
 
     return big.map_batches(lookup, batch_format="pyarrow")
+
+
+def broadcast_semi_filter(big: Dataset, small: Dataset, big_key: str,
+                          small_key: str,
+                          max_rows: int = 5_000_000) -> Dataset | None:
+    """Semi-join by broadcast: keep big rows whose key appears in
+    ``small``.  Same contract as :func:`broadcast_lookup_join` (None over
+    the threshold -> caller falls back to a shuffle join); duplicates in
+    ``small`` are fine for membership."""
+    n = small.count()
+    if n > max_rows:
+        return None
+    ref = _concat_small.remote(small_key, [], *small.to_arrow_refs())
+
+    def keep(b: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        return b.filter(pc.is_in(b[big_key], value_set=t[small_key]))
+
+    return big.map_batches(keep, batch_format="pyarrow")

@@ -157,6 +157,33 @@ def batch_lang_id(texts: pa.Array | pa.ChunkedArray, n: int) -> np.ndarray:
     return out
 
 
+def batch_simhash64(texts: pa.Array | pa.ChunkedArray, n: int) -> np.ndarray:
+    """Vectorized per-doc simhash, bit-identical to
+    ``functions.textstats.simhash64(tokenize_filtered(text))``: token
+    hashing once per unique token (dictionary encode), per-bit majority
+    via one scatter-add.  Returns uint64[n]."""
+    from ..functions.textstats import hash64
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, par = flat_tokens(texts, drop_stopwords=True)
+    parn = par.to_numpy(zero_copy_only=False)
+    enc = flat.dictionary_encode()
+    vocab = enc.dictionary.to_pylist()
+    vh = np.fromiter((hash64(t) for t in vocab), dtype=np.uint64,
+                     count=len(vocab))
+    th = vh[enc.indices.to_numpy(zero_copy_only=False)] \
+        if len(vocab) else np.zeros(0, np.uint64)
+    n_tok = _bincount(parn, n)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    cnt = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(cnt, parn, bits)
+    sig = (cnt * 2 > n_tok[:, None]).astype(np.uint64)
+    sim = (sig << shifts[None, :]).sum(axis=1)
+    sim[n_tok == 0] = 0
+    return sim
+
+
 def batch_fingerprint(texts: pa.Array | pa.ChunkedArray, n: int,
                       window: int = 4, keep: int = 8) -> dict:
     """Per-doc simhash (bit-identical to functions.textstats.simhash64) and
