@@ -920,12 +920,12 @@ def q_semi_join(sf_dir: str) -> rd.Dataset:
         return pa.table({"l_orderkey": b["l_orderkey"],
                          "qty_i": pa.array(q, pa.int64())})
 
-    return _stable(
+    from ..stages.groupagg import sorted_groupby_agg
+    return sorted_groupby_agg(
         li.map_batches(semi, batch_format="pyarrow")
-        .map_batches(qty, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Count(alias_name="n_items"),
-                   Sum("qty_i", alias_name="sum_qty")))
+        .map_batches(qty, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("qty_i", "count", "n_items"), ("qty_i", "sum", "sum_qty")])
 
 
 SQL_SEMI_JOIN = """WITH topo AS (
@@ -985,11 +985,12 @@ def q_lookup_table(sf_dir: str) -> rd.Dataset:
     npart = max(8, min(cpus, li.count() // 100_000 + 1))
     joined = li.join(orders, join_type="inner", num_partitions=npart,
                      on=("l_orderkey",), right_on=("o_orderkey",))
-    return _stable(
-        joined.groupby(["l_orderkey", "o_orderpriority"])
-        .aggregate(Count(alias_name="__n"))
+    from ..stages.groupagg import sorted_groupby_agg
+    return sorted_groupby_agg(
+        joined, ["l_orderkey", "o_orderpriority"],
+        [("l_orderkey", "count", "__n")]) \
         .map_batches(lambda b: b.select(["l_orderkey", "o_orderpriority"]),
-                     batch_format="pyarrow"))
+                     batch_format="pyarrow")
 
 
 SQL_LOOKUP_TABLE = """SELECT DISTINCT l.l_orderkey, o.o_orderpriority
@@ -1086,9 +1087,10 @@ def q_range_join(sf_dir: str) -> rd.Dataset:
                 & (b["p_uid"].to_numpy() == b["r_uid"].to_numpy()))
         return pa.table({"event_id": b["p_event_id"].filter(pa.array(keep))})
 
-    return _stable(
-        joined.map_batches(in_range, batch_format="pyarrow")
-        .groupby("event_id").aggregate(Count(alias_name="n_prev_hour")))
+    from ..stages.groupagg import sorted_groupby_agg
+    return sorted_groupby_agg(
+        joined.map_batches(in_range, batch_format="pyarrow"),
+        ["event_id"], [("event_id", "count", "n_prev_hour")])
 
 
 SQL_RANGE_JOIN = """SELECT e.event_id, count(*) AS n_prev_hour
