@@ -583,25 +583,21 @@ QUALIFY rank <= {KNN_K}
 ORDER BY query_id, rank"""
 
 
-def q_knn_ivf(sf_dir: str) -> pa.Table:
-    """IVF approximate top-k against a PERSISTED cell-partitioned index
-    (rows-only: approximate by design).  The index is built once per
-    fixture under /tmp (cache keyed on source row count) and each query
-    reads only its probed cells' parquet partitions."""
+def _ivf_cached_dir(sf_dir: str, root: str, pq_m: int | None) -> str:
+    """Build (or reuse) the persisted IVF index for a fixture under /tmp.
+    Cache key includes size+mtime so a regenerated fixture with the same
+    row count invalidates the persisted index (stale-read class);
+    superseded keys for the same fixture are GC'd (each holds a full
+    corpus copy)."""
     import pyarrow.parquet as _pq
-    from ..stages.similarity import build_ivf, ivf_search
+    from ..stages.similarity import build_ivf
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     src = os.path.join(sf_dir, "embeddings.parquet")
-    # cache key includes size+mtime so a regenerated fixture with the same
-    # row count invalidates the persisted index (stale-read class)
     st = os.stat(src)
     n_rows = _pq.ParquetFile(src).metadata.num_rows
-    root = "/tmp/graft_ivf"
     key = f"{tag}-{n_rows}-{st.st_size}-{int(st.st_mtime)}"
     idx_dir = os.path.join(root, key)
     if not os.path.exists(idx_dir) and os.path.isdir(root):
-        # GC superseded indexes for this fixture (old size/mtime keys
-        # would otherwise accumulate a full corpus copy each)
         import shutil
         for d in os.listdir(root):
             if d.startswith(f"{tag}-") and d != key:
@@ -610,8 +606,29 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
         import shutil
         shutil.rmtree(idx_dir, ignore_errors=True)
         ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        build_ivf(ds, idx_dir, nlist=16)
+        build_ivf(ds, idx_dir, nlist=16, pq_m=pq_m)
+    return idx_dir
+
+
+def q_knn_ivf(sf_dir: str) -> pa.Table:
+    """IVF approximate top-k against a PERSISTED cell-partitioned index
+    (rows-only: approximate by design at nprobe < nlist).  The index is
+    built once per fixture under /tmp and each query reads only its
+    probed cells' parquet partitions."""
+    from ..stages.similarity import ivf_search
+    idx_dir = _ivf_cached_dir(sf_dir, "/tmp/graft_ivf", None)
     return ivf_search(idx_dir, _query_vectors(sf_dir), KNN_K, nprobe=4)
+
+
+def q_knn_ivf_exact(sf_dir: str) -> pa.Table:
+    """IVF at nprobe == nlist (recall-1 config): every cell is probed, so
+    the result must equal brute force exactly — ORACLED against the same
+    SQL as knn_brute.  Proves the partition/probe machinery (cell routing,
+    per-batch GEMM, quantized tie-safe merge) loses nothing; the speed
+    story is nprobe < nlist, the correctness story is this entry."""
+    from ..stages.similarity import ivf_search
+    idx_dir = _ivf_cached_dir(sf_dir, "/tmp/graft_ivf", None)
+    return ivf_search(idx_dir, _query_vectors(sf_dir), KNN_K, nprobe=16)
 
 
 def q_knn_ivf_pq(sf_dir: str) -> pa.Table:
@@ -620,25 +637,8 @@ def q_knn_ivf_pq(sf_dir: str) -> pa.Table:
     reference IVFPQ intent, ``semantic_index/build_index.py:37-39``), and
     the id-sorted raw store is read only for the ADC shortlist's exact
     re-rank."""
-    import pyarrow.parquet as _pq
-    from ..stages.similarity import build_ivf, ivf_search
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    n_rows = _pq.ParquetFile(src).metadata.num_rows
-    root = "/tmp/graft_ivfpq"
-    key = f"{tag}-{n_rows}-{st.st_size}-{int(st.st_mtime)}"
-    idx_dir = os.path.join(root, key)
-    if not os.path.exists(idx_dir) and os.path.isdir(root):
-        import shutil
-        for d in os.listdir(root):
-            if d.startswith(f"{tag}-") and d != key:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-    if not os.path.exists(os.path.join(idx_dir, "ivf_manifest.json")):
-        import shutil
-        shutil.rmtree(idx_dir, ignore_errors=True)
-        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        build_ivf(ds, idx_dir, nlist=16, pq_m=8)
+    from ..stages.similarity import ivf_search
+    idx_dir = _ivf_cached_dir(sf_dir, "/tmp/graft_ivfpq", 8)
     return ivf_search(idx_dir, _query_vectors(sf_dir), KNN_K, nprobe=4)
 
 
@@ -1339,6 +1339,7 @@ def registry():
         "fingerprint": q_fingerprint,
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_exact": q_knn_ivf_exact,
         "knn_ivf_pq": q_knn_ivf_pq,
         "embdup_cosine": q_embdup_cosine,
         "embdup_lsh": q_embdup_lsh,
@@ -1376,6 +1377,7 @@ def registry():
         "lang_id": _sql_lang_id(),
         "token_count": SQL_TOKEN_COUNT,
         "knn_brute": SQL_KNN_BRUTE,
+        "knn_ivf_exact": SQL_KNN_BRUTE,
         "embdup_cosine": SQL_EMBDUP,
         "fwci_events": SQL_FWCI_EVENTS,
         "percentile_rank": SQL_PERCENTILE_RANK,

@@ -266,6 +266,26 @@ def build_ivf(ds: Dataset, index_dir: str, nlist: int = 16,
     return manifest
 
 
+def _probed_cells_ds(index_dir: str, cells: list) -> "Dataset | None":
+    """ONE ``read_parquet`` over the probed cells' files (I/O pruning is
+    explicit: Ray 2.49's read_parquet filter can't prune on virtual hive
+    columns, and a union chain of per-cell reads costs one read operator
+    per cell — at nprobe == nlist that union dominated the query).  Hive
+    inference re-attaches the ``cell`` column from each ``cell=N`` path
+    segment (as a string — callers cast)."""
+    import glob
+    import os
+
+    import ray.data as rd
+    files: list[str] = []
+    for c in cells:
+        files += sorted(glob.glob(
+            os.path.join(index_dir, "cells", f"cell={c}", "*.parquet")))
+    if not files:
+        return None  # every probed cell empty: never written
+    return rd.read_parquet(files)
+
+
 def _pq_rerank(index_dir: str, man: dict, q: np.ndarray,
                shortlist: pd.DataFrame, k: int) -> pa.Table:
     """Exact re-rank of an ADC shortlist: one Ray task per involved cell
@@ -344,15 +364,10 @@ def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
         # per-query ADC tables: lut[qi, i, code] = q_sub_i . codebook[i, code]
         lut = np.einsum("qid,ikd->qik", q.reshape(q.shape[0], m_, dsub), cb)
         nshort = rerank if rerank is not None else max(4 * k, 32)
-        parts = []
-        for c in cells:
-            cdir = os.path.join(index_dir, "cells", f"cell={c}")
-            if os.path.isdir(cdir):
-                parts.append(rd.read_parquet(cdir))
-        if not parts:
+        ds = _probed_cells_ds(index_dir, cells)
+        if ds is None:
             return _rank_quantized(pd.DataFrame(
                 {"query_id": [], "vec_id": [], "cos": []}), k)
-        ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
         ref = ray.put((lut, probe))
 
         def local_adc(b: pa.Table) -> pa.Table:
@@ -386,19 +401,10 @@ def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
         shortlist = (cand.sort_values("adc", ascending=False)
                      .groupby("query_id", sort=False).head(nshort))
         return _pq_rerank(index_dir, man, q, shortlist, k)
-    # open ONLY the probed cells' partition dirs (I/O pruning is explicit:
-    # Ray 2.49's read_parquet filter can't prune on virtual hive columns);
-    # hive inference re-attaches the cell column from the ``cell=N`` path
-    parts = []
-    for c in cells:
-        cdir = os.path.join(index_dir, "cells", f"cell={c}")
-        if not os.path.isdir(cdir):
-            continue  # empty cell: never written
-        parts.append(rd.read_parquet(cdir))
-    if not parts:
+    ds = _probed_cells_ds(index_dir, cells)
+    if ds is None:
         return _rank_quantized(pd.DataFrame(
             {"query_id": [], "vec_id": [], "cos": []}), k)
-    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     ref = ray.put((q, probe))
 
     def local_topk(b: pa.Table) -> pa.Table:
