@@ -36,9 +36,12 @@ def _serve_loop(ray, args, stdin, stdout) -> int:
     state (search actor pool + optional enrich actor).  Ops mirror the
     reference's three endpoints:
 
-      {"op": "search", "query": "...", "k": 10, "mode": "or"}  -> /search
+      {"op": "search", "query": "...", "k": 10, "mode": "or",
+       "filter_id": "en"?}                                     -> /search
       {"op": "fetch", "doc_id": 7}                             -> /paper/{id}
       {"op": "enrich", "ids": [3, 9]}                          -> /enrich
+      {"op": "register_filter", "filter_id": "en",
+       "allowed_ids": [..]}  |  {"op": "drop_filter", ...}
       {"op": "stats"} | {"op": "quit"}
 
     One JSON object per response line; malformed requests answer
@@ -71,7 +74,8 @@ def _serve_loop(ray, args, stdin, stdout) -> int:
                     hits = searcher.search(req["query"],
                                            int(req.get("k", 10)),
                                            req.get("mode", "or"),
-                                           req.get("method", "auto"))
+                                           req.get("method", "auto"),
+                                           req.get("filter_id"))
                     respond({"results": [
                         {"rank": i, "doc_id": h.doc_id,
                          "score": round(h.score, 6)}
@@ -87,6 +91,14 @@ def _serve_loop(ray, args, stdin, stdout) -> int:
                         respond({"results": ray.get(
                             enrich_actor.enrich.remote(
                                 [int(i) for i in req["ids"]]))})
+                elif op == "register_filter":
+                    n = searcher.register_filter(
+                        str(req["filter_id"]),
+                        [int(i) for i in req["allowed_ids"]])
+                    respond({"ok": True, "allowed_docs": n})
+                elif op == "drop_filter":
+                    searcher.drop_filter(str(req["filter_id"]))
+                    respond({"ok": True})
                 elif op == "stats":
                     respond({"actors": ray.get(
                         [a.stats.remote() for a in searcher.actors])})

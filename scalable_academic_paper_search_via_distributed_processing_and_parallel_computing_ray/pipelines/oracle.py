@@ -46,8 +46,13 @@ def build_oracle_index(docs: dict[int, str], from_html: bool = False) -> OracleI
 
 
 def oracle_topk(idx: OracleIndex, query_text: str, k: int = 10,
-                mode: str = "or") -> list[tuple[int, float]]:
-    """[(doc_id, score)] sorted (score desc, doc_id asc), length <= k."""
+                mode: str = "or",
+                allowed: set[int] | None = None) -> list[tuple[int, float]]:
+    """[(doc_id, score)] sorted (score desc, doc_id asc), length <= k.
+
+    ``allowed``: metadata filter — only these doc_ids may appear in the
+    result.  Scores keep GLOBAL collection statistics (df, avg_dl), the
+    same filtered-search semantics as ``IndexReader.search(mask=...)``."""
     qterms: list[str] = []
     for t in tokenize_filtered(query_text):
         if t not in qterms:
@@ -66,6 +71,7 @@ def oracle_topk(idx: OracleIndex, query_text: str, k: int = 10,
                 scores[did] = scores.get(did, 0.0) + s
                 hits[did] = hits.get(did, 0) + 1
     items = [(d, s) for d, s in scores.items()
-             if mode != "and" or hits[d] == len(qterms)]
+             if (mode != "and" or hits[d] == len(qterms))
+             and (allowed is None or d in allowed)]
     items.sort(key=lambda ds: (-ds[1], ds[0]))
     return items[:k]

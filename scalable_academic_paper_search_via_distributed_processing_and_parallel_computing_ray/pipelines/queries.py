@@ -243,10 +243,11 @@ def documents_index(sf_dir: str) -> query_mod.IndexReader:
     return _IDX_CACHE[tag]
 
 
-def q_bm25_top10(sf_dir: str) -> pa.Table:
-    """Full engine path: SPIMI index + block-max WAND top-k (north rule).
+def _bm25_pooled_topk(reader, query_text: str, k: int,
+                      mask=None) -> pa.Table:
+    """WAND top-k with a QUANTIZED-score tie-safe cut.
 
-    Ranks are assigned on the QUANTIZED score (score_m desc, doc_id asc),
+    Ranks are assigned on the quantized score (score_m desc, doc_id asc),
     identically to the oracle SQL: engine and DuckDB sum float terms in
     different orders, so two docs can differ below milli-resolution and
     flip — the driver compares after rounding, so the tie-break must too.
@@ -256,20 +257,19 @@ def q_bm25_top10(sf_dir: str) -> pa.Table:
     quantized score <= the pool minimum's — if the k-th kept quantized score
     is strictly above that minimum, no outside doc can displace it; if not
     (ties could extend past the pool), widen and refetch."""
-    reader = documents_index(sf_dir)
-    pool = BM25_K * 5
+    pool = k * 5
     while True:
-        hits = reader.search_wand(BM25_QUERY, pool)
+        hits = reader.search_wand(query_text, pool, mask=mask)
         docs = np.array([h.doc_id for h in hits], dtype=np.int64)
         sm = round_m([h.score for h in hits])
         order = np.lexsort((docs, -sm))
         if len(hits) < pool or order.size == 0:
             break  # pool covers every matching doc
-        kth = sm[order[min(BM25_K, order.size) - 1]]
+        kth = sm[order[min(k, order.size) - 1]]
         if kth > sm.min():
             break  # provably tie-safe cut
         pool *= 5
-    order = order[:BM25_K]
+    order = order[:k]
     return pa.table({
         "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64)),
         "doc_id": pa.array(docs[order], pa.int64()),
@@ -277,7 +277,36 @@ def q_bm25_top10(sf_dir: str) -> pa.Table:
     })
 
 
-def _sql_bm25(query_text: str, k: int) -> str:
+def q_bm25_top10(sf_dir: str) -> pa.Table:
+    """Full engine path: SPIMI index + block-max WAND top-k (north rule)."""
+    return _bm25_pooled_topk(documents_index(sf_dir), BM25_QUERY, BM25_K)
+
+
+BM25_FILTER_LANG = "en"
+
+
+def q_bm25_filtered(sf_dir: str) -> pa.Table:
+    """Metadata-FILTERED BM25 top-k: only ``lang == 'en'`` docs may rank,
+    while df/avg_dl stay global (standard filtered-search semantics; the
+    oracle SQL restricts the final candidate set the same way).  The
+    allowed-id set comes from a column-pruned Ray filter over the
+    metadata table — the engine mask is built per reader via
+    ``IndexReader.make_doc_mask`` (O(local docs), shard-local at scale)."""
+    import pyarrow.compute as pc
+    reader = documents_index(sf_dir)
+    allowed = _read(sf_dir, "documents", ["doc_id", "lang"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b["lang"], BM25_FILTER_LANG)).select(["doc_id"]),
+            batch_format="pyarrow") \
+        .to_pandas()["doc_id"].to_numpy()
+    mask = reader.make_doc_mask(allowed)
+    return _bm25_pooled_topk(reader, BM25_QUERY, BM25_K, mask=mask)
+
+
+def _sql_bm25(query_text: str, k: int, doc_where: str = "") -> str:
+    """``doc_where``: optional SQL predicate on scores.doc_id applied AFTER
+    scoring (global df/avg_dl — same filtered-search semantics as the
+    engine's ``mask``)."""
     # query-side analyzer must be the ENGINE's tokenizer (stop-word filter +
     # Unicode split), not a naive lower().split() — they diverge on any
     # query containing stop-words or punctuation
@@ -301,7 +330,8 @@ scores AS (
 )
 SELECT row_number() OVER (ORDER BY score_m DESC, doc_id) AS rank,
        doc_id, score_m
-FROM (SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS score_m FROM scores)
+FROM (SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS score_m
+      FROM scores{" WHERE " + doc_where if doc_where else ""})
 ORDER BY score_m DESC, doc_id LIMIT {k}"""
 
 
@@ -1328,6 +1358,7 @@ def registry():
         "vocab_top20": q_vocab_top20,
         "tfidf": q_tfidf,
         "bm25_top10": q_bm25_top10,
+        "bm25_filtered": q_bm25_filtered,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
@@ -1370,6 +1401,10 @@ def registry():
         "vocab_top20": SQL_VOCAB_TOP20,
         "tfidf": SQL_TFIDF,
         "bm25_top10": _sql_bm25(BM25_QUERY, BM25_K),
+        "bm25_filtered": _sql_bm25(
+            BM25_QUERY, BM25_K,
+            doc_where=("doc_id IN (SELECT doc_id FROM documents "
+                       f"WHERE lang = '{BM25_FILTER_LANG}')")),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram": SQL_DEDUP_NGRAM,
         "quality": SQL_QUALITY,

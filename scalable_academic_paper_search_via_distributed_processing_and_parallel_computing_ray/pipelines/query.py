@@ -317,6 +317,28 @@ class IndexReader:
         idx = np.searchsorted(self._doc_ids, doc_ids)
         return self._doc_lens[idx]
 
+    def make_doc_mask(self, allowed_ids) -> np.ndarray:
+        """Boolean mask over this reader's LOCAL doc positions (aligned to
+        the sorted ``_doc_ids`` table): True where the doc may appear in
+        filtered results.  ``allowed_ids`` is any int64 iterable of doc_ids
+        — typically the output of a metadata predicate pushed down to a
+        docs/metadata parquet scan (``lang == 'en'``, a date range, ...).
+
+        Scale note: the mask is O(docs in THIS reader), never global — a
+        shard-subset serving actor builds its mask from its own shard's
+        metadata, so a 10^12-doc filter costs each actor only its slice.
+        Filtered scoring keeps GLOBAL BM25 statistics (df, avg_dl): the
+        filter restricts which docs may be returned, not the collection
+        the scores are computed against (standard filtered-search
+        semantics — Lucene's ``FILTER`` clause behaves the same)."""
+        allowed = np.unique(np.fromiter(
+            (int(x) for x in allowed_ids), dtype=np.int64))
+        if allowed.size == 0:
+            return np.zeros(self._doc_ids.size, dtype=bool)
+        pos = np.searchsorted(allowed, self._doc_ids)
+        pos[pos == allowed.size] = allowed.size - 1
+        return allowed[pos] == self._doc_ids
+
     def idf(self, term: str) -> float:
         return bm25.idf(self.n_docs, self._df.get(term, 0))
 
@@ -369,7 +391,8 @@ class IndexReader:
     # -------------------------------------------------------- exhaustive ---
 
     def search_exhaustive(self, query_text: str, k: int = 10,
-                          mode: str = "or") -> list[TopkResult]:
+                          mode: str = "or",
+                          mask: np.ndarray | None = None) -> list[TopkResult]:
         """Decode all query-term postings, score fully, top-k.
 
         Accumulates into a DENSE per-doc score array: posting doc_ids map to
@@ -400,6 +423,8 @@ class IndexReader:
             cand = np.flatnonzero(hits == len(terms))
         else:
             cand = np.flatnonzero(agg > 0.0)
+        if mask is not None and cand.size:
+            cand = cand[mask[cand]]  # metadata filter (make_doc_mask)
         if cand.size == 0:
             return []
         if cand.size > k:
@@ -415,26 +440,34 @@ class IndexReader:
     # ------------------------------------------------------------- search --
 
     def search(self, query_text: str, k: int = 10, mode: str = "or",
-               density_cutoff: float = 0.10) -> list[TopkResult]:
+               density_cutoff: float = 0.10,
+               mask: np.ndarray | None = None) -> list[TopkResult]:
         """Cost-based scorer choice: block-max WAND prunes only when scores
         are selective; on dense lists (mean df/N above the cutoff — e.g. the
         tiny-vocab synthetic corpus where every term hits most docs) every
         window must be scored anyway, so the single-pass vectorized
         exhaustive-postings scorer is strictly faster.  Both are
-        rank-identical (tested)."""
+        rank-identical (tested).  ``mask``: see :meth:`make_doc_mask`."""
         terms = self._effective_terms(query_text, mode)
         if not terms:
             return []
         mean_density = sum(self._df.get(t, 0) for t in terms) / (len(terms) * max(1, self.n_docs))
         if mean_density > density_cutoff:
-            return self.search_exhaustive(query_text, k, mode)
-        return self.search_wand(query_text, k, mode)
+            return self.search_exhaustive(query_text, k, mode, mask=mask)
+        return self.search_wand(query_text, k, mode, mask=mask)
 
     # -------------------------------------------------------------- WAND ---
 
     def search_wand(self, query_text: str, k: int = 10,
-                    mode: str = "or") -> list[TopkResult]:
-        """Block-at-a-time block-max WAND (see module docstring)."""
+                    mode: str = "or",
+                    mask: np.ndarray | None = None) -> list[TopkResult]:
+        """Block-at-a-time block-max WAND (see module docstring).
+
+        ``mask`` (see :meth:`make_doc_mask`) drops filtered-out docs as each
+        window decodes, BEFORE aggregation: block upper bounds are unchanged
+        (a filter only removes candidates, so ``ub <= theta`` pruning stays
+        sound — it just prunes less tightly when the surviving docs are
+        sparse in a block)."""
         terms = self._effective_terms(query_text, mode)
         if not terms:
             return []
@@ -472,10 +505,16 @@ class IndexReader:
                     ids, tfs = c.decoded()
                     m = (ids > prev_hi) & (ids <= w_hi)
                     if m.any():
-                        d = ids[m]
-                        dls = self.doc_lens_vec(d)
+                        d, tf_w = ids[m], tfs[m]
+                        pos = np.searchsorted(self._doc_ids, d)
+                        if mask is not None:
+                            ok = mask[pos]
+                            if not ok.any():
+                                continue
+                            d, tf_w, pos = d[ok], tf_w[ok], pos[ok]
+                        dls = self._doc_lens[pos]
                         docs_l.append(d)
-                        sc_l.append(bm25.score_vec(c.idf, tfs[m], dls, self.avg_dl))
+                        sc_l.append(bm25.score_vec(c.idf, tf_w, dls, self.avg_dl))
                         tid_l.append(np.full(d.size, c.term_i, dtype=np.int64))
                 if docs_l:
                     docs = np.concatenate(docs_l)

@@ -40,15 +40,34 @@ class QueryShardActor:
         self.reader = IndexReader(index_dir, shard_subset=shard_names,
                                   cache_postings_budget=cache_postings_budget,
                                   lazy=lazy)
+        self._masks: dict[str, "object"] = {}
+
+    def register_filter(self, filter_id: str, allowed_ids) -> int:
+        """Build + cache this actor's LOCAL doc mask for a named filter.
+        ``allowed_ids`` arrives via one driver-side ``ray.put`` (broadcast:
+        every actor reads the same object-store copy); the stored mask is
+        O(local docs) booleans.  Returns the local allowed-doc count."""
+        mask = self.reader.make_doc_mask(allowed_ids)
+        self._masks[filter_id] = mask
+        return int(mask.sum())
+
+    def drop_filter(self, filter_id: str) -> None:
+        self._masks.pop(filter_id, None)
 
     def search(self, query_text: str, k: int, mode: str,
-               method: str = "auto") -> list[tuple[int, float]]:
+               method: str = "auto",
+               filter_id: str | None = None) -> list[tuple[int, float]]:
+        if filter_id is not None and filter_id not in self._masks:
+            raise KeyError(f"filter {filter_id!r} not registered "
+                           "(call register_filter first)")
+        mask = self._masks[filter_id] if filter_id is not None else None
         if method == "wand":
-            hits = self.reader.search_wand(query_text, k, mode)
+            hits = self.reader.search_wand(query_text, k, mode, mask=mask)
         elif method == "exhaustive":
-            hits = self.reader.search_exhaustive(query_text, k, mode)
+            hits = self.reader.search_exhaustive(query_text, k, mode,
+                                                 mask=mask)
         else:
-            hits = self.reader.search(query_text, k, mode)
+            hits = self.reader.search(query_text, k, mode, mask=mask)
         return [(h.doc_id, h.score) for h in hits]
 
     def stats(self) -> dict:
@@ -82,9 +101,23 @@ class DistributedSearcher:
         self.actors = [QueryShardActor.remote(index_dir, names, lazy=lazy)
                        for names in assign if names]
 
+    def register_filter(self, filter_id: str, allowed_ids) -> int:
+        """Broadcast an allowed-doc-id filter to every shard actor (ONE
+        ray.put; actors build shard-local masks).  Returns the total
+        allowed-doc count across shards (shards partition the doc space,
+        so the sum is exact)."""
+        import numpy as np
+        ref = ray.put(np.asarray(list(allowed_ids), dtype=np.int64))
+        return sum(ray.get([a.register_filter.remote(filter_id, ref)
+                            for a in self.actors]))
+
+    def drop_filter(self, filter_id: str) -> None:
+        ray.get([a.drop_filter.remote(filter_id) for a in self.actors])
+
     def search(self, query_text: str, k: int = 10, mode: str = "or",
-               method: str = "auto") -> list[TopkResult]:
-        futs = [a.search.remote(query_text, k, mode, method)
+               method: str = "auto",
+               filter_id: str | None = None) -> list[TopkResult]:
+        futs = [a.search.remote(query_text, k, mode, method, filter_id)
                 for a in self.actors]
         merged: list[tuple[int, float]] = []
         for part in ray.get(futs):

@@ -45,6 +45,46 @@ def test_rank_parity_all_queries(reader, oracle_index):
         assert got_wand == want, f"wand != oracle for q{q['query_id']}"
 
 
+def test_filtered_rank_parity(reader, oracle_index):
+    """Metadata-filtered search: WAND == exhaustive == oracle under an
+    allowed-doc filter, for several filter shapes.  Stats stay GLOBAL, so
+    filtered scores must equal unfiltered scores for surviving docs."""
+    import numpy as np
+    all_ids = np.asarray(oracle_index.doc_ids, dtype=np.int64)
+    shapes = {
+        "every3rd": all_ids[::3],
+        "singleton": all_ids[7:8],
+        "empty": all_ids[:0],
+        "all": all_ids,
+    }
+    for name, allowed in shapes.items():
+        mask = reader.make_doc_mask(allowed)
+        aset = {int(x) for x in allowed}
+        for q in QUERY_SET:
+            want = [(d, round(s, 6)) for d, s in
+                    oracle.oracle_topk(oracle_index, q["query_text"],
+                                       q["k"], q["mode"], allowed=aset)]
+            got_ex = _fmt(reader.search_exhaustive(
+                q["query_text"], q["k"], q["mode"], mask=mask))
+            got_wand = _fmt(reader.search_wand(
+                q["query_text"], q["k"], q["mode"], mask=mask))
+            assert got_ex == want, f"exhaustive!=oracle {name} q{q['query_id']}"
+            assert got_wand == want, f"wand!=oracle {name} q{q['query_id']}"
+
+
+def test_filtered_scores_equal_unfiltered(reader):
+    """A doc that survives the filter keeps its exact unfiltered score
+    (global statistics — the filter must not re-weight)."""
+    import numpy as np
+    full = {r.doc_id: r.score for r in
+            reader.search_exhaustive("spark data join", 100)}
+    keep = np.asarray(sorted(full), dtype=np.int64)[::2]
+    mask = reader.make_doc_mask(keep)
+    for r in reader.search_wand("spark data join", 100, mask=mask):
+        assert r.doc_id in set(int(x) for x in keep)
+        assert abs(r.score - full[r.doc_id]) < 1e-12
+
+
 def test_wand_equals_exhaustive_various_k(reader):
     for k in (1, 3, 25, 100):
         for qtext in ("spark data join", "vector hash part"):

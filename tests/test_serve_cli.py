@@ -44,6 +44,12 @@ def test_serve_front_search_fetch_enrich(ray_session, index_dir,
     want = [(h.doc_id, round(h.score, 6))
             for h in IndexReader(index_dir).search("spark data join", 5)]
 
+    # filtered search through the front: allow only the unfiltered hits at
+    # even positions — the filtered result must be exactly those, same
+    # scores (global stats)
+    allowed = [d for d, _ in want[::2]]
+    want_f = [(d, s) for d, s in want if d in set(allowed)]
+
     out = _drive(index_dir, analytics_dir, [
         {"op": "search", "query": "spark data join", "k": 5},
         {"op": "fetch", "doc_id": want[0][0]},
@@ -51,6 +57,12 @@ def test_serve_front_search_fetch_enrich(ray_session, index_dir,
         {"op": "nope"},
         "not even an object",
         {"op": "stats"},
+        {"op": "register_filter", "filter_id": "f1", "allowed_ids": allowed},
+        {"op": "search", "query": "spark data join", "k": 5,
+         "filter_id": "f1"},
+        {"op": "search", "query": "spark data join", "k": 5,
+         "filter_id": "unregistered"},
+        {"op": "drop_filter", "filter_id": "f1"},
         {"op": "quit"},
     ], monkeypatch)
 
@@ -62,4 +74,8 @@ def test_serve_front_search_fetch_enrich(ray_session, index_dir,
     assert "error" in out[3]
     assert "error" in out[4]
     assert len(out[5]["actors"]) == 2
-    assert out[6] == {"ok": True}
+    assert out[6]["ok"] and out[6]["allowed_docs"] == len(allowed)
+    assert [(r["doc_id"], r["score"]) for r in out[7]["results"]] == want_f
+    assert "error" in out[8]  # unregistered filter fails loud
+    assert out[9] == {"ok": True}
+    assert out[10] == {"ok": True}

@@ -89,6 +89,39 @@ def test_distributed_searcher_matches_local(ray_session, index_dir):
         dist.shutdown()
 
 
+def test_distributed_filtered_search(ray_session, index_dir):
+    """register_filter broadcasts once; filtered distributed top-k equals
+    the single-reader filtered top-k; unregistered filter ids fail loud."""
+    import numpy as np
+    import pytest as _pytest
+
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines import (
+        query,
+        serve,
+    )
+    local = query.IndexReader(index_dir)
+    allowed = local._doc_ids[::3]
+    mask = local.make_doc_mask(allowed)
+    dist = serve.DistributedSearcher(index_dir, num_actors=2)
+    try:
+        n = dist.register_filter("every3rd", allowed)
+        assert n == int(mask.sum())
+        for qtext in ("spark data join", "vector hash part"):
+            want = [(r.doc_id, round(r.score, 6))
+                    for r in local.search_wand(qtext, 10, mask=mask)]
+            got = [(r.doc_id, round(r.score, 6))
+                   for r in dist.search(qtext, 10, method="wand",
+                                        filter_id="every3rd")]
+            assert got == want
+        with _pytest.raises(Exception):
+            dist.search("spark", 10, filter_id="nope")
+        dist.drop_filter("every3rd")
+        with _pytest.raises(Exception):
+            dist.search("spark", 10, filter_id="every3rd")
+    finally:
+        dist.shutdown()
+
+
 def test_embed_stage_deterministic(ray_session):
     import pyarrow as pa
 
