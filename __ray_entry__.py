@@ -36,11 +36,16 @@ def entry() -> Any:
         pages,
     )
 
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.functions.codec import (
+        FORMAT_VERSION,
+    )
+
     pdir = pages.ensure_pages_parquet("/root/testdata/sf0.001", num_files=8)
-    # key the cached index on the corpus dir identity: a corpus-version
-    # bump regenerates pages under a new path, and the build's lineage
-    # guard (correctly) refuses to resume an old index over changed inputs
-    idx_dir = f"/tmp/graft_entry_index-{os.path.basename(pdir)}"
+    # key the cached index on the corpus dir identity AND the codec format:
+    # a corpus-version bump regenerates pages under a new path, a codec bump
+    # changes the segment payload, and the build's lineage/format guards
+    # (correctly) refuse to resume an old index over either change
+    idx_dir = f"/tmp/graft_entry_index-v{FORMAT_VERSION}-{os.path.basename(pdir)}"
     build.build_index(pdir, idx_dir, build.BuildParams(num_shards=2))
     reader = query.IndexReader(idx_dir)
     qids, ranks, docs, scores = [], [], [], []

@@ -22,7 +22,9 @@ BLOCK_SIZE = 128  # postings per block
 # produces.  v2 = raw (max_tf, min_dl) block bounds (extend-safe); v1 stored
 # precomputed block_max_tfnorm and is unreadable by v2 readers — IndexReader
 # and extend_index refuse it with a clear error instead of a deep KeyError.
-FORMAT_VERSION = 2
+# v3 adds the (optional, possibly-empty) positional stream
+# ``pos_bytes`` / ``block_pos_off`` to every segment row.
+FORMAT_VERSION = 3
 
 
 # ---------------------------------------------------------------- varint ---
@@ -98,12 +100,22 @@ class EncodedPostings:
     block_max_tf: np.ndarray     # int64 — max tf within each block
     block_min_dl: np.ndarray     # int32 — min doc_len within each block
     block_last: np.ndarray       # int64 — last doc_id of each block (skip bound)
+    # positional stream (empty when the index was built without positions):
+    # per posting, its doc's ``tf`` token positions (stop-filtered sequence,
+    # ascending), delta-encoded within the doc (first absolute) and varint
+    # packed doc-major.  block_pos_off gives each block's byte offset so a
+    # future block-at-a-time phrase scorer can seek; full decode uses tfs
+    # as the split table.
+    pos_bytes: bytes = b""
+    block_pos_off: np.ndarray | None = None
 
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
-                    dls: np.ndarray) -> EncodedPostings:
+                    dls: np.ndarray,
+                    poss: np.ndarray | None = None) -> EncodedPostings:
     """doc_ids strictly ascending int64; tfs >= 1; dls = doc length per
-    posting (block-bound basis).
+    posting (block-bound basis).  ``poss``: optional flattened positions,
+    doc-major — posting i owns ``tfs[i]`` ascending positions.
 
     Fully vectorized across ALL blocks: deltas are computed globally with the
     block-leading value kept absolute, both streams varint-encode in one call,
@@ -115,7 +127,8 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
     assert tfs.size == n and dls.size == n
     if n == 0:
         z32, z64 = np.zeros(0, np.int32), np.zeros(0, np.int64)
-        return EncodedPostings(0, b"", b"", z64, z32, z32, z64, z32, z64)
+        return EncodedPostings(0, b"", b"", z64, z32, z32, z64, z32, z64,
+                               b"", z32)
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     starts = np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
     ends = np.minimum(starts + BLOCK_SIZE, n)
@@ -129,6 +142,20 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
         tfs.astype(np.uint64) - np.uint64(1))
     doc_off = np.concatenate(([0], np.cumsum(doc_len)))[starts]
     tf_off = np.concatenate(([0], np.cumsum(tf_len)))[starts]
+    pos_bytes, pos_off = b"", np.zeros(starts.size, np.int32)
+    if poss is not None and poss.size:
+        tfs64 = np.asarray(tfs, dtype=np.int64)
+        pstarts = np.concatenate(([0], np.cumsum(tfs64)))  # posting -> flat idx
+        assert poss.size == pstarts[-1], "positions must sum to sum(tfs)"
+        p = np.asarray(poss, dtype=np.int64)
+        pdel = np.empty(p.size, dtype=np.uint64)
+        pdel[0] = np.uint64(p[0])
+        if p.size > 1:
+            pdel[1:] = np.diff(p).astype(np.uint64)
+        pdel[pstarts[:-1]] = p[pstarts[:-1]].astype(np.uint64)  # doc-leading absolute
+        pos_bytes, pos_len = varint_encode_with_lengths(pdel)
+        pos_cum = np.concatenate(([0], np.cumsum(pos_len)))
+        pos_off = pos_cum[pstarts[starts]].astype(np.int32)
     return EncodedPostings(
         df=n,
         doc_bytes=doc_bytes,
@@ -141,6 +168,8 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
         block_min_dl=np.minimum.reduceat(
             np.asarray(dls, dtype=np.int64), starts).astype(np.int32),
         block_last=doc_ids[ends - 1],
+        pos_bytes=pos_bytes,
+        block_pos_off=pos_off,
     )
 
 
@@ -155,6 +184,25 @@ def decode_block(enc: EncodedPostings, bi: int) -> tuple[np.ndarray, np.ndarray]
     ids = np.cumsum(deltas.astype(np.int64))
     tfs = varint_decode(enc.tf_bytes[tlo:thi]).astype(np.int64) + 1
     return ids, tfs
+
+
+def decode_positions(enc: EncodedPostings, tfs: np.ndarray) -> np.ndarray:
+    """Decode the positional stream -> flattened int64 positions, doc-major
+    (posting i owns ``tfs[i]`` ascending positions).  ``tfs`` is the decoded
+    tf array (the split table).  Same vectorized reduceat-correction shape
+    as :func:`decode_postings`, with doc boundaries instead of blocks."""
+    if enc.df == 0 or not len(enc.pos_bytes):
+        return np.zeros(0, dtype=np.int64)
+    deltas = varint_decode(enc.pos_bytes).astype(np.int64)
+    cs = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(
+        np.asarray(tfs, dtype=np.int64))))[:-1]
+    if starts.size > 1:
+        off = np.zeros(starts.size, dtype=np.int64)
+        off[1:] = cs[starts[1:] - 1]
+        sizes = np.diff(np.append(starts, deltas.size))
+        return cs - np.repeat(off, sizes)
+    return cs
 
 
 def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray]:

@@ -75,6 +75,8 @@ SEGMENT_SCHEMA = pa.schema([
     ("block_tf_off", pa.list_(pa.int32())),
     ("block_max_tf", pa.list_(pa.int64())),
     ("block_min_dl", pa.list_(pa.int32())),
+    ("pos_bytes", pa.binary()),             # b"" when built without positions
+    ("block_pos_off", pa.list_(pa.int32())),
 ])
 
 
@@ -89,6 +91,11 @@ class BuildParams:
     k1: float = bm25.K1
     b: float = bm25.B
     block_size: int = BLOCK_SIZE
+    # record token positions (stop-filtered sequence) in the segments so
+    # the reader can serve phrase queries.  Off by default: positions
+    # roughly double the posting payload — at open-web scale you opt in
+    # per index, you don't pay for it everywhere.
+    positions: bool = False
 
 
 def _ncpu() -> int:
@@ -109,14 +116,28 @@ def merge_postings(group: pa.Table) -> pa.Table:
     doc = pc.list_flatten(group["doc_ids"]).to_numpy(zero_copy_only=False)
     tf = pc.list_flatten(group["tfs"]).to_numpy(zero_copy_only=False)
     dl = pc.list_flatten(group["dls"]).to_numpy(zero_copy_only=False)
+    flat_pos = (pc.list_flatten(group["poss"])
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+                if "poss" in group.column_names
+                else np.zeros(0, np.int64))
     order = np.argsort(doc, kind="stable")
+    poss_sorted = None
+    if flat_pos.size:
+        # per-posting position slices travel with their posting through the
+        # doc sort: gather each reordered posting's [start, start+tf) range
+        tf64 = tf.astype(np.int64)
+        pstart = np.concatenate(([0], np.cumsum(tf64)))[:-1]
+        lens = tf64[order]
+        within = (np.arange(int(lens.sum()))
+                  - np.repeat(np.concatenate(([0], np.cumsum(lens)))[:-1], lens))
+        poss_sorted = flat_pos[np.repeat(pstart[order], lens) + within]
     doc, tf, dl = doc[order], tf[order], dl[order]
     if doc.size > 1 and (np.diff(doc) <= 0).any():
         raise ValueError(
             f"duplicate doc_id in postings for term={term!r}; "
             "run dedup (stages/dedup.py) before indexing")
     enc = encode_postings(doc.astype(np.int64), tf.astype(np.int64),
-                          dl.astype(np.int64))
+                          dl.astype(np.int64), poss_sorted)
     return pa.table({
         "sid": pa.array([sid], pa.int32()),
         "term": pa.array([term], pa.string()),
@@ -130,6 +151,10 @@ def merge_postings(group: pa.Table) -> pa.Table:
         "block_tf_off": pa.array([enc.block_tf_off.tolist()], pa.list_(pa.int32())),
         "block_max_tf": pa.array([enc.block_max_tf.tolist()], pa.list_(pa.int64())),
         "block_min_dl": pa.array([enc.block_min_dl.tolist()], pa.list_(pa.int32())),
+        "pos_bytes": pa.array([enc.pos_bytes], pa.binary()),
+        "block_pos_off": pa.array(
+            [enc.block_pos_off.tolist() if enc.block_pos_off is not None
+             else []], pa.list_(pa.int32())),
     })
 
 
@@ -235,6 +260,24 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
                     "refusing to resume over a changed corpus "
                     f"(recorded {len(rec.get('input_files', []))} files, "
                     f"requested {len(shard_map[sid])})")
+        # a done SEGMENT shard must carry the current codec format —
+        # resuming over old segments would skip the rebuild and then
+        # _finalize would stamp the NEW version on v(N-1) payloads
+        seg_dir = os.path.join(ckpt.shard_dir(index_dir, sid), "seg")
+        if ckpt.is_done(seg_dir):
+            rec = ckpt.read_shard_record(index_dir, sid)
+            if rec.get("format_version") != FORMAT_VERSION:
+                raise ValueError(
+                    f"shard {sid} segments are format "
+                    f"v{rec.get('format_version')!r}, this build writes "
+                    f"v{FORMAT_VERSION}: incompatible — use a fresh "
+                    "index_dir (or delete this one) to rebuild")
+            if bool(rec.get("positions")) != params.positions:
+                raise ValueError(
+                    f"shard {sid} segments were built with "
+                    f"positions={bool(rec.get('positions'))}, this build "
+                    f"requests positions={params.positions}: use a fresh "
+                    "index_dir to change the positional flag")
 
     # ---- phase 1: extract + doc stats (one wave pipeline, resumable) ------
     docs_dir_for = {sid: os.path.join(ckpt.shard_dir(index_dir, sid), "docs")
@@ -293,7 +336,8 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
         partials = docs.map_batches(
             PartialPostingsBuilder(num_salts=params.num_salts,
                                    head_df_frac=params.head_df_frac,
-                                   dir_to_sid=dir_to_sid),
+                                   dir_to_sid=dir_to_sid,
+                                   positions=params.positions),
             batch_format="pyarrow", batch_size=params.postings_batch_size)
         # the sort-based groupby emits one output partition per input block;
         # partial-posting rows are few but heavy, so widen explicitly or the
@@ -330,6 +374,8 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
                 index_dir, sid, n_term_shards=n_rows,
                 n_postings=n_post, seg_bytes=seg_bytes,
                 bytes_per_posting=round(seg_bytes / max(1, n_post), 3),
+                format_version=FORMAT_VERSION,
+                positions=params.positions,
                 phase2_wave_secs=wave2)
             ckpt.mark_done(seg_dir_for[sid])
         ckpt.update_shard_record(index_dir, pending2[0],

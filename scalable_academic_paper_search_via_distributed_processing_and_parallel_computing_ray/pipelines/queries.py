@@ -243,23 +243,12 @@ def documents_index(sf_dir: str) -> query_mod.IndexReader:
     return _IDX_CACHE[tag]
 
 
-def _bm25_pooled_topk(reader, query_text: str, k: int,
-                      mask=None) -> pa.Table:
-    """WAND top-k with a QUANTIZED-score tie-safe cut.
-
-    Ranks are assigned on the quantized score (score_m desc, doc_id asc),
-    identically to the oracle SQL: engine and DuckDB sum float terms in
-    different orders, so two docs can differ below milli-resolution and
-    flip — the driver compares after rounding, so the tie-break must too.
-    Extra candidates are fetched to resolve rounding ties that straddle the
-    k boundary, and the cut is verified tie-SAFE: quantization is monotonic
-    in the raw score, so every doc outside a raw-score pool of size P has
-    quantized score <= the pool minimum's — if the k-th kept quantized score
-    is strictly above that minimum, no outside doc can displace it; if not
-    (ties could extend past the pool), widen and refetch."""
+def _pooled_topk(search_fn, k: int) -> pa.Table:
+    """Tie-safe quantized top-k over any pooled search callable
+    (``search_fn(pool) -> list[TopkResult]``); see ``_bm25_pooled_topk``."""
     pool = k * 5
     while True:
-        hits = reader.search_wand(query_text, pool, mask=mask)
+        hits = search_fn(pool)
         docs = np.array([h.doc_id for h in hits], dtype=np.int64)
         sm = round_m([h.score for h in hits])
         order = np.lexsort((docs, -sm))
@@ -275,6 +264,24 @@ def _bm25_pooled_topk(reader, query_text: str, k: int,
         "doc_id": pa.array(docs[order], pa.int64()),
         "score_m": pa.array(sm[order], pa.int64()),
     })
+
+
+def _bm25_pooled_topk(reader, query_text: str, k: int,
+                      mask=None) -> pa.Table:
+    """WAND top-k with a QUANTIZED-score tie-safe cut.
+
+    Ranks are assigned on the quantized score (score_m desc, doc_id asc),
+    identically to the oracle SQL: engine and DuckDB sum float terms in
+    different orders, so two docs can differ below milli-resolution and
+    flip — the driver compares after rounding, so the tie-break must too.
+    Extra candidates are fetched to resolve rounding ties that straddle the
+    k boundary, and the cut is verified tie-SAFE: quantization is monotonic
+    in the raw score, so every doc outside a raw-score pool of size P has
+    quantized score <= the pool minimum's — if the k-th kept quantized score
+    is strictly above that minimum, no outside doc can displace it; if not
+    (ties could extend past the pool), widen and refetch."""
+    return _pooled_topk(
+        lambda pool: reader.search_wand(query_text, pool, mask=mask), k)
 
 
 def q_bm25_top10(sf_dir: str) -> pa.Table:
@@ -303,17 +310,19 @@ def q_bm25_filtered(sf_dir: str) -> pa.Table:
     return _bm25_pooled_topk(reader, BM25_QUERY, BM25_K, mask=mask)
 
 
-def _sql_bm25(query_text: str, k: int, doc_where: str = "") -> str:
+def _sql_bm25(query_text: str, k: int, doc_where: str = "",
+              extra_cte: str = "") -> str:
     """``doc_where``: optional SQL predicate on scores.doc_id applied AFTER
     scoring (global df/avg_dl — same filtered-search semantics as the
-    engine's ``mask``)."""
+    engine's ``mask``).  ``extra_cte``: appended after the token CTEs (must
+    start with a comma) so the predicate can reference its own tables."""
     # query-side analyzer must be the ENGINE's tokenizer (stop-word filter +
     # Unicode split), not a naive lower().split() — they diverge on any
     # query containing stop-words or punctuation
     from ..functions.tokenize import tokenize_filtered
     terms = ", ".join(
         f"('{t}')" for t in dict.fromkeys(tokenize_filtered(query_text)))
-    return f"""WITH {_CTE_TOKS},
+    return f"""WITH {_CTE_TOKS}{extra_cte},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 st AS (SELECT count(*) AS n, CAST(sum(doc_len) AS DOUBLE) / count(*) AS avg_dl FROM dl),
@@ -333,6 +342,79 @@ SELECT row_number() OVER (ORDER BY score_m DESC, doc_id) AS rank,
 FROM (SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS score_m
       FROM scores{" WHERE " + doc_where if doc_where else ""})
 ORDER BY score_m DESC, doc_id LIMIT {k}"""
+
+
+# --------------------------------------------------------------- phrase ---
+
+PHRASE_QUERY = "sort merge"
+
+_POS_IDX_CACHE: dict[str, query_mod.IndexReader] = {}
+
+
+def documents_pos_index(sf_dir: str) -> query_mod.IndexReader:
+    """Positional twin of :func:`documents_index` — same corpus, built with
+    ``BuildParams(positions=True)`` (codec v3 positional stream) so the
+    reader can serve exact-phrase queries.  Kept as a separate index dir:
+    positions roughly double the posting payload, so a production deployment
+    opts in per index rather than paying for it everywhere."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    if tag not in _POS_IDX_CACHE:
+        idx_dir = f"/tmp/graft_docidx_pos/{tag}"
+        mf = os.path.join(idx_dir, "manifest.json")
+        fresh = False
+        if os.path.exists(mf):
+            import json as _json
+
+            import pyarrow.parquet as _pq
+            with open(mf) as f:
+                m = _json.load(f)
+            src_rows = _pq.ParquetFile(
+                os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+            from ..functions.codec import FORMAT_VERSION
+            fresh = (m.get("format_version") == FORMAT_VERSION
+                     and m.get("n_docs") == src_rows
+                     and m.get("params", {}).get("positions") is True)
+        if not fresh:
+            import shutil
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            build_mod.build_index(
+                os.path.join(sf_dir, "documents.parquet"), idx_dir,
+                build_mod.BuildParams(num_shards=2, positions=True))
+        _POS_IDX_CACHE[tag] = query_mod.IndexReader(idx_dir)
+    return _POS_IDX_CACHE[tag]
+
+
+def q_phrase_search(sf_dir: str) -> pa.Table:
+    """Exact-phrase top-k over the positional index: docs where the query's
+    stop-filtered token sequence occurs consecutively, ranked by the BM25
+    score of the phrase terms (match predicate + standard scoring — Lucene
+    PhraseQuery semantics).  Engine path: positional SPIMI build ->
+    occurrence-set intersection in ``IndexReader.search_phrase``."""
+    reader = documents_pos_index(sf_dir)
+    return _pooled_topk(
+        lambda pool: reader.search_phrase(PHRASE_QUERY, pool), BM25_K)
+
+
+def _sql_phrase(query_text: str, k: int) -> str:
+    """Phrase oracle: positions from ``generate_subscripts`` over the SAME
+    stop-filtered token list the engine indexes, adjacency via a per-slot
+    self-join on (doc_id, pos + slot), then the ordinary BM25 ranking
+    restricted to the matching docs."""
+    from ..functions.tokenize import tokenize_filtered
+    seq = list(tokenize_filtered(query_text))
+    assert seq, "phrase query tokenized to nothing"
+    joins = " ".join(
+        f"JOIN occ o{i} ON o{i}.doc_id = o0.doc_id "
+        f"AND o{i}.pos = o0.pos + {i} AND o{i}.term = '{t}'"
+        for i, t in enumerate(seq) if i > 0)
+    extra = f""",
+occ AS (SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS pos
+        FROM toks),
+pdocs AS (SELECT DISTINCT o0.doc_id FROM occ o0 {joins}
+          WHERE o0.term = '{seq[0]}')"""
+    return _sql_bm25(query_text, k,
+                     doc_where="doc_id IN (SELECT doc_id FROM pdocs)",
+                     extra_cte=extra)
 
 
 # ---------------------------------------------------------------- dedup ----
@@ -1359,6 +1441,7 @@ def registry():
         "tfidf": q_tfidf,
         "bm25_top10": q_bm25_top10,
         "bm25_filtered": q_bm25_filtered,
+        "phrase_search": q_phrase_search,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
@@ -1405,6 +1488,7 @@ def registry():
             BM25_QUERY, BM25_K,
             doc_where=("doc_id IN (SELECT doc_id FROM documents "
                        f"WHERE lang = '{BM25_FILTER_LANG}')")),
+        "phrase_search": _sql_phrase(PHRASE_QUERY, BM25_K),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram": SQL_DEDUP_NGRAM,
         "quality": SQL_QUALITY,

@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from ..functions import bm25
 from ..functions.codec import (FORMAT_VERSION, EncodedPostings, decode_block,
-                               decode_postings)
+                               decode_positions, decode_postings)
 from ..functions.tokenize import tokenize_filtered
 from ..state import checkpoint as ckpt
 
@@ -280,6 +280,7 @@ class IndexReader:
 
         d_offs, d_data = binary_views("doc_bytes")
         t_offs, t_data = binary_views("tf_bytes")
+        p_offs, p_data = binary_views("pos_bytes")
 
         def flat(name, dtype):
             # .values (not .flatten()) so the child array aligns with the
@@ -294,6 +295,7 @@ class IndexReader:
         bt_o, bt = flat("block_tf_off", np.int32)
         bm_o, bm = flat("block_max_tf", np.int64)
         bn_o, bn = flat("block_min_dl", np.int32)
+        bp_o, bp = flat("block_pos_off", np.int32)
         for i in range(n):
             enc = EncodedPostings(
                 df=int(dfs[i]),
@@ -305,6 +307,8 @@ class IndexReader:
                 block_max_tf=bm[bm_o[i]:bm_o[i + 1]],
                 block_min_dl=bn[bn_o[i]:bn_o[i + 1]],
                 block_last=bl[bl_o[i]:bl_o[i + 1]],
+                pos_bytes=p_data[p_offs[i]:p_offs[i + 1]],
+                block_pos_off=bp[bp_o[i]:bp_o[i + 1]],
             )
             term = terms[i]
             self._postings.setdefault(term, []).append(enc)
@@ -536,3 +540,92 @@ class IndexReader:
                     c.advance_block()
             prev_hi = w_hi
         return topk.results()
+
+    # ------------------------------------------------------------- phrase --
+
+    @property
+    def has_positions(self) -> bool:
+        return bool(self.manifest.get("params", {}).get("positions"))
+
+    def _term_occurrences(self, t: str) -> tuple[np.ndarray, np.ndarray]:
+        """Occurrence-level view of one term: ``(occ_doc_idx, occ_pos)`` —
+        per token occurrence, the doc's LOCAL dense index and its position
+        in the doc's stop-filtered token sequence.  Concatenated over the
+        term's (salt, shard) rows (doc sets disjoint)."""
+        idx_parts, pos_parts = [], []
+        for enc in self._encs(t):
+            if not enc.df:
+                continue
+            ids, tfs = decode_postings(enc)
+            if not len(enc.pos_bytes):
+                raise ValueError(
+                    "index has no positional stream for term "
+                    f"{t!r} — rebuild with BuildParams(positions=True) "
+                    "to serve phrase queries")
+            pos = decode_positions(enc, tfs)
+            idx = np.searchsorted(self._doc_ids, ids)
+            idx_parts.append(np.repeat(idx, tfs))
+            pos_parts.append(pos)
+        if not idx_parts:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.concatenate(idx_parts), np.concatenate(pos_parts)
+
+    def search_phrase(self, query_text: str, k: int = 10,
+                      mask: np.ndarray | None = None) -> list[TopkResult]:
+        """Exact-phrase top-k: docs where the query's stop-filtered token
+        sequence occurs CONSECUTIVELY (positions are over the stop-filtered
+        stream — same basis as ``doc_len``; a stop word inside the phrase is
+        transparent, standard stop-filter phrase semantics).  Matching docs
+        are ranked by the ordinary BM25 score of the phrase's unique terms
+        (global df/avg_dl), tie-break (score desc, doc_id asc) — a phrase
+        is a match predicate, not a different scoring function.
+
+        Vectorized occurrence intersection: each phrase slot i contributes
+        the key set {(doc, pos - i)}; a doc matches iff the intersection of
+        all slots is non-empty.  Cost is O(sum of query-term occurrence
+        counts) — the same postings-decode bound as search_exhaustive, paid
+        only for the (rare) phrase terms.  Requires an index built with
+        ``BuildParams(positions=True)`` (codec v3 positional stream)."""
+        if not self.has_positions:
+            raise ValueError(
+                f"index at {self.index_dir} was built without positions; "
+                "rebuild with BuildParams(positions=True) to serve phrase "
+                "queries")
+        seq = list(tokenize_filtered(query_text))
+        if not seq:
+            return []
+        # any globally-unknown term, or one absent from this reader's
+        # shards, makes a local phrase match impossible (AND semantics)
+        if any(self._df.get(t, 0) == 0 or not self._has_term(t)
+               for t in seq):
+            return []
+        keys = None
+        for i, t in enumerate(seq):
+            occ_idx, occ_pos = self._term_occurrences(t)
+            adj = occ_pos - i          # slot i aligns to the phrase start
+            ok = adj >= 0
+            # doc positions are < 2^31 (doc_len is int32); local doc index
+            # is < 2^31 — the packed key fits int64 exactly
+            kt = (occ_idx[ok] << np.int64(31)) | adj[ok]
+            keys = kt if keys is None else np.intersect1d(
+                keys, kt, assume_unique=True)
+            if keys.size == 0:
+                return []
+        matched = np.unique(keys >> np.int64(31))
+        if mask is not None and matched.size:
+            matched = matched[mask[matched]]
+        if matched.size == 0:
+            return []
+        # BM25 over the phrase's unique terms, restricted to matched docs
+        scores = np.zeros(matched.size)
+        for t in dict.fromkeys(seq):
+            ids, tfs, idx = self._term_postings(t)
+            loc = np.searchsorted(matched, idx)
+            loc[loc == matched.size] = matched.size - 1
+            hit = matched[loc] == idx
+            dls = self._doc_lens[idx[hit]]
+            scores[loc[hit]] += bm25.score_vec(
+                self.idf(t), tfs[hit], dls, self.avg_dl)
+        order = np.lexsort((self._doc_ids[matched], -scores))[:k]
+        return [TopkResult(int(self._doc_ids[matched[i]]), float(scores[i]))
+                for i in order]
