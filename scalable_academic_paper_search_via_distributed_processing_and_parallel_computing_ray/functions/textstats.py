@@ -96,10 +96,17 @@ _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def hash64(s: str | bytes) -> int:
-    """Stable 64-bit content hash (first 8 bytes of blake2b)."""
+    """Stable 64-bit content hash: first 8 bytes of md5, big-endian.
+
+    md5 (not blake2b) so the value is reproducible in plain SQL —
+    DuckDB: ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` — which lets
+    the driver oracle value-check every sketch built on token/shingle
+    hashes (simhash, minhash, fingerprints) instead of rows-only.
+    Cryptographic strength is irrelevant here; only uniformity and
+    stability are used."""
     if isinstance(s, str):
         s = s.encode("utf-8")
-    return int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "big")
+    return int.from_bytes(hashlib.md5(s).digest()[:8], "big")
 
 
 def token_hashes(tokens: list[str]) -> np.ndarray:

@@ -29,6 +29,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
 from ..functions import bm25
+from ..functions.textstats import minhash_params as ts_minhash_params
 from ..functions.tokenize import STOPWORDS
 from ..stages.text import term_counts
 from . import build as build_mod
@@ -50,6 +51,32 @@ toks AS (
 tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
 dl AS (SELECT doc_id, len(ts) AS doc_len FROM toks)
 """
+
+
+# Per-doc 64-bit SimHash rebuilt in plain SQL, bit-identical to
+# ``stages.text.batch_simhash64`` / ``functions.textstats.simhash64``:
+# hash64 is md5-based precisely so DuckDB can reproduce it
+# (``('0x' || substr(md5(term), 1, 16))::UBIGINT``), which upgrades every
+# sketch built on token hashes from a rows-only check to value-exact.
+# Composes after ``_CTE_TOKS`` (needs ``tok`` and ``dl``).
+_SIM_CTE = """
+sim_tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+sim_th AS (SELECT doc_id, c,
+                  ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h
+           FROM sim_tf),
+sim_bits AS (
+  SELECT t.doc_id, bb.b AS b,
+         CASE WHEN 2 * sum(t.c * (((t.h >> bb.b) & 1))::BIGINT) > d.doc_len
+              THEN (1::UBIGINT << bb.b) ELSE 0::UBIGINT END AS bitval
+  FROM sim_th t JOIN dl d USING (doc_id)
+  CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+  GROUP BY t.doc_id, bb.b, d.doc_len
+),
+sim AS (
+  SELECT d.doc_id, coalesce(sum(s.bitval), 0)::UBIGINT AS simhash
+  FROM dl d LEFT JOIN sim_bits s USING (doc_id)
+  GROUP BY d.doc_id
+)"""
 
 
 def round_m(x: np.ndarray | float, scale: int = 1000) -> np.ndarray:
@@ -465,22 +492,126 @@ WHERE (CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)) >= {NGRAM_THRESHOLD}"""
 
 
 def q_dedup_minhash(sf_dir: str) -> pa.Table:
-    """MinHash+LSH near-dup groups (rows-only check: LSH banding is not
-    SQL-expressible)."""
+    """MinHash+LSH near-dup groups, ORACLED (round 3): the permutation
+    constants are embedded in the generated SQL (``_sql_dedup_minhash``),
+    shingle hashes are md5-reproducible, banding is band-slice equality,
+    the signature-Jaccard verify is a per-pair component-match count, and
+    connected components run as a recursive min-label CTE — value-exact
+    end to end."""
     from ..stages.dedup import minhash_dedup_groups
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_dedup_groups(ds, threshold=0.5)
 
 
-def q_dedup_simhash(sf_dir: str) -> pa.Table:
-    """SimHash near-dup pairs (rows-only check).
+def _sql_dedup_minhash(threshold: float = 0.5, num_perm: int = 128,
+                       num_bands: int = 16, shingle_k: int = 3) -> str:
+    """DuckDB twin of :func:`..stages.dedup.minhash_dedup_groups`.
 
-    max_hamming=3 matches the 4x16-bit band guarantee (pigeonhole: <=3
-    differing bits leave at least one band intact); a larger radius would
-    silently miss pairs whose differing bits spread across all bands."""
+    Exact correspondences (documented deviations are collision-scale only):
+    * shingle hash: md5-based ``hash64`` of the chr(31)-joined k-shingle,
+      xor-folded into [0, 2^31-1) — identical to
+      ``textstats.shingle_hashes`` + ``minhash_signature``'s fold;
+    * permutations: the SAME deterministic (a, b) arrays from
+      ``minhash_params`` are inlined as a VALUES list;
+    * banding: the engine buckets on an FNV fold of each 8-value band
+      slice; the oracle joins on band-slice EQUALITY.  A fold collision
+      could only add a candidate, and candidates are verified against the
+      full signature either way, so the outputs agree up to ~2^-63
+      band-hash collisions;
+    * ``max_bucket`` (engine scale cap, 4096) cannot bind at oracle scale
+      (500 docs) and is omitted;
+    * empty docs carry all-sentinel signatures in the engine and NULL here
+      — both band them together and verify them as est=1.0 pairs;
+    * components: recursive min-label propagation == driver union-find.
+    """
+    a_, b_ = ts_minhash_params(num_perm)
+    perm_vals = ", ".join(
+        f"({i}, {int(a_[i])}::UBIGINT, {int(b_[i])}::UBIGINT)"
+        for i in range(num_perm))
+    rows_per_band = num_perm // num_bands
+    min_match = int(np.ceil(threshold * num_perm))
+    return f"""WITH RECURSIVE {_CTE_TOKS},
+mh_sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2] AS shingle
+  FROM toks, unnest(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= {shingle_k}
+  UNION
+  SELECT DISTINCT doc_id, list_aggregate(ts, 'string_agg', chr(31)) AS shingle
+  FROM toks WHERE len(ts) BETWEEN 1 AND {shingle_k - 1}
+),
+mh_x AS (
+  SELECT doc_id,
+         xor(h >> 32, h & 4294967295) % 2147483647 AS x
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 16))::UBIGINT AS h
+        FROM mh_sh)
+),
+perms(i, pa, pb) AS (VALUES {perm_vals}),
+mh_sig AS (
+  SELECT doc_id, i, min((pa * x + pb) % 2147483647) AS v
+  FROM mh_x CROSS JOIN perms
+  GROUP BY doc_id, i
+),
+sig AS (SELECT doc_id, list(v ORDER BY i) AS s FROM mh_sig GROUP BY doc_id
+        UNION ALL
+        SELECT doc_id, NULL AS s FROM dl WHERE doc_len = 0),
+bandrows AS (
+  SELECT doc_id, g,
+         CASE WHEN s IS NULL THEN 'EMPTY'
+              ELSE list_aggregate(s[g*{rows_per_band}+1 : g*{rows_per_band}+{rows_per_band}],
+                                  'string_agg', ',')
+         END AS bv
+  FROM sig CROSS JOIN (SELECT unnest(range({num_bands})) AS g) gg
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandrows x JOIN bandrows y ON x.g = y.g AND x.bv = y.bv
+                 AND x.doc_id < y.doc_id
+),
+verified AS (
+  SELECT c.a, c.b
+  FROM cand c JOIN sig sx ON sx.doc_id = c.a JOIN sig sy ON sy.doc_id = c.b
+  WHERE (sx.s IS NULL AND sy.s IS NULL)
+     OR len(list_filter(range({num_perm}), i -> sx.s[i+1] = sy.s[i+1]))
+        >= {min_match}
+),
+edges AS (SELECT a AS u, b AS v FROM verified
+          UNION SELECT b, a FROM verified),
+reach(u, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, q.r FROM edges e JOIN reach q ON e.v = q.u WHERE q.r < e.u
+)
+SELECT u AS doc_id, min(r)::BIGINT AS group_id
+FROM reach GROUP BY u ORDER BY doc_id"""
+
+
+def q_dedup_simhash(sf_dir: str) -> pa.Table:
+    """SimHash near-dup pairs, ORACLED (round 3): md5-based token hashing
+    makes the 64-bit simhash reproducible in SQL, and the 4x16-bit band
+    guarantee (pigeonhole: <=3 differing bits leave at least one band
+    intact) means the banded+verified pair set EQUALS the plain
+    all-pairs ``hamming <= 3`` predicate — which is what the oracle
+    checks (band-hash collisions could only ADD a candidate, and added
+    candidates are hamming-verified, so the sets are identical)."""
     from ..stages.dedup import simhash_dedup_pairs
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_dedup_pairs(ds, max_hamming=3)
+
+
+# The engine bands (4 x 16-bit) then verifies hamming INSIDE buckets; by the
+# pigeonhole guarantee that equals all-pairs hamming<=3, which is the cheap
+# formulation at oracle scale (500 docs -> 125k pairs).  The engine masks
+# simhash to 63 bits (int64 storage), so the oracle masks identically.
+SQL_DEDUP_SIMHASH = f"""WITH {_CTE_TOKS},{_SIM_CTE},
+sim63 AS (SELECT doc_id, simhash & (9223372036854775807::UBIGINT) AS s
+          FROM sim)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.s, y.s))::INT AS hamming
+FROM sim63 x JOIN sim63 y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.s, y.s)) <= 3
+ORDER BY a, b"""
 
 
 # ------------------------------------------------------------ text stats ---
@@ -634,7 +765,11 @@ FROM documents"""
 
 
 def q_fingerprint(sf_dir: str) -> rd.Dataset:
-    """SimHash + winnowing fingerprint per doc (rows-only).  Vectorized:
+    """SimHash + winnowing fingerprint per doc, ORACLED (round 3): the
+    md5-based hash64 makes the simhash SQL-reproducible bit for bit, and
+    the sketch size is a distinct-4-shingle count either way (the engine
+    counts distinct 64-bit polynomial shingle CODES, the oracle distinct
+    shingle STRINGS — equal up to ~2^-64 code collisions).  Vectorized:
     unique-token hashing via dictionary encode, per-doc bit majorities and
     rolling-shingle distinct counts in numpy (stages/text.py)."""
     from ..stages.text import batch_fingerprint
@@ -650,6 +785,26 @@ def q_fingerprint(sf_dir: str) -> rd.Dataset:
 
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(f, batch_format="pyarrow")
+
+
+# window=4, keep=8 are batch_fingerprint's defaults; docs with 1..3 tokens
+# have exactly ONE (whole-doc) shingle, zero-token docs have none.
+SQL_FINGERPRINT = f"""WITH {_CTE_TOKS},{_SIM_CTE},
+fp_sh AS (
+  SELECT doc_id,
+         count(DISTINCT ts[i] || chr(31) || ts[i+1] || chr(31) ||
+                        ts[i+2] || chr(31) || ts[i+3]) AS nsh
+  FROM toks, unnest(range(1, len(ts) - 2)) AS r(i)
+  WHERE len(ts) >= 4
+  GROUP BY doc_id
+)
+SELECT s.doc_id,
+       lower(lpad(to_hex(s.simhash), 16, '0')) AS simhash_hex,
+       least(coalesce(f.nsh,
+                      CASE WHEN d.doc_len BETWEEN 1 AND 3 THEN 1 ELSE 0 END),
+             8)::BIGINT AS n_fp
+FROM sim s JOIN dl d USING (doc_id) LEFT JOIN fp_sh f USING (doc_id)
+ORDER BY doc_id"""
 
 
 # ------------------------------------------------------------ similarity ---
@@ -1513,9 +1668,12 @@ def registry():
         "sliding_window": SQL_SLIDING_WINDOW,
         "concat_project": SQL_CONCAT_PROJECT,
         "struct_project": SQL_STRUCT_PROJECT,
-        # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
-        # fingerprint, knn_ivf, knn_ivf_pq, embdup_lsh,
-        # multimodal_decode,
-        # sample_seeded
+        "fingerprint": SQL_FINGERPRINT,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_minhash": _sql_dedup_minhash(),
+        # rows-only (non-SQL-expressible): knn_ivf, knn_ivf_pq (probe
+        # recall depends on the trained coarse quantizer), embdup_lsh
+        # (random-hyperplane recall), multimodal_decode, embed_docs,
+        # kmeans_assign (iterative fit), sample_seeded (RNG)
     }
     return queries, oracle

@@ -39,7 +39,7 @@ from ..functions.tokenize import tokenize_filtered
 
 
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Vectorized-ish 64-bit content hash column (blake2b per string)."""
+    """Vectorized-ish 64-bit content hash column (md5-based hash64 per string)."""
     h = np.fromiter((ts.hash64(t) & ((1 << 63) - 1)
                      for t in batch[text_col].to_pylist()),
                     dtype=np.int64, count=batch.num_rows)
