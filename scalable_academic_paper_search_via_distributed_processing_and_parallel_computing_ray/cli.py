@@ -131,6 +131,14 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--shards", type=int, default=None,
                    help="number of NEW shards (default: build-time setting)")
 
+    k = sub.add_parser("compact", help="merge an index's shards into fewer "
+                       "shards under a NEW dir (encoded-level segment "
+                       "merge; results rank+score identical)")
+    k.add_argument("--index", required=True, help="source index dir")
+    k.add_argument("--out", required=True, help="output index dir (new)")
+    k.add_argument("--shards", type=int, default=1,
+                   help="target shard count (default 1)")
+
     s = sub.add_parser("search", help="query an index")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -199,6 +207,13 @@ def main(argv: list[str] | None = None) -> int:
                                    num_new_shards=args.shards)
             print(json.dumps({k: m[k] for k in
                               ("n_docs", "avg_dl", "build_secs", "n_shards")}))
+        elif args.cmd == "compact":
+            from .pipelines import build
+            m = build.compact_index(args.index, args.out,
+                                    target_shards=args.shards)
+            print(json.dumps({k: m[k] for k in
+                              ("n_docs", "avg_dl", "build_secs",
+                               "n_shards", "n_postings")}))
         elif args.cmd == "search":
             from .pipelines.query import IndexReader
             r = IndexReader(args.index, lazy=args.lazy)

@@ -50,7 +50,9 @@ import ray
 import ray.data as rd
 
 from ..functions import bm25
-from ..functions.codec import BLOCK_SIZE, FORMAT_VERSION, encode_postings
+from ..functions.codec import (BLOCK_SIZE, FORMAT_VERSION, EncodedPostings,
+                               decode_positions, decode_postings,
+                               encode_postings)
 from ..functions.extract import EXTRACTOR_VERSION
 from ..functions.tokenize import TOKENIZER_VERSION
 from ..stages.spimi import ExtractDocs, PartialPostingsBuilder
@@ -509,3 +511,238 @@ def extend_index(pages_path: str | list[str], index_dir: str,
     shard_map = {base + i: files for i, files in enumerate(new_shards)}
     _build_shards(index_dir, shard_map, params)
     return _finalize(index_dir, base + len(new_shards), params, t0)
+
+
+# ------------------------------------------------------------- compaction --
+
+def _enc_from_row(row: dict) -> EncodedPostings:
+    """Rebuild an :class:`EncodedPostings` from one segment-table row dict
+    (list cells already Python lists / bytes)."""
+    return EncodedPostings(
+        df=int(row["df"]),
+        doc_bytes=row["doc_bytes"],
+        tf_bytes=row["tf_bytes"],
+        block_first=np.asarray(row["block_first"], dtype=np.int64),
+        block_doc_off=np.asarray(row["block_doc_off"], dtype=np.int32),
+        block_tf_off=np.asarray(row["block_tf_off"], dtype=np.int32),
+        block_max_tf=np.asarray(row["block_max_tf"], dtype=np.int64),
+        block_min_dl=np.asarray(row["block_min_dl"], dtype=np.int32),
+        block_last=np.asarray(row["block_last"], dtype=np.int64),
+        pos_bytes=row.get("pos_bytes") or b"",
+        block_pos_off=np.asarray(row.get("block_pos_off") or [],
+                                 dtype=np.int32),
+    )
+
+
+def merge_segment_rows(group: pa.Table) -> pa.Table:
+    """Per-(sid, term, salt) ENCODED-level merge for compaction: decode the
+    member shards' posting rows, merge-sort by doc_id, re-encode.  No
+    re-extraction and no re-tokenization — compaction touches only the
+    segment bytes (LSM-style segment merge; the reference has no analog:
+    its "index" is rebuilt from raw text every run).
+
+    Per-posting doc_len is not stored in a segment (only per-block minima),
+    so re-encoded ``block_min_dl`` uses each posting's SOURCE-block minimum
+    as its doc_len lower bound.  tf_norm is decreasing in dl, so the
+    resulting block bound stays a valid WAND upper bound — scores and
+    results are unchanged (doc lengths live in the docs table), the bound
+    is merely no tighter than the sources'.  A single-row group re-encodes
+    byte-identically and is passed through untouched.
+    """
+    if group.num_rows == 1:
+        return group
+    sid = group["sid"][0].as_py()
+    term = group["term"][0].as_py()
+    salt = group["salt"][0].as_py()
+    docs_l, tfs_l, dls_l, poss_l = [], [], [], []
+    has_pos = False
+    for row in group.to_pylist():
+        enc = _enc_from_row(row)
+        if enc.df == 0:
+            continue
+        ids, tfs = decode_postings(enc)
+        docs_l.append(ids)
+        tfs_l.append(tfs)
+        # per-posting dl lower bound = source block min, expanded per block
+        nb = enc.block_first.size
+        sizes = np.full(nb, BLOCK_SIZE, dtype=np.int64)
+        sizes[-1] = enc.df - (nb - 1) * BLOCK_SIZE
+        dls_l.append(np.repeat(enc.block_min_dl.astype(np.int64), sizes))
+        if len(enc.pos_bytes):
+            has_pos = True
+            poss_l.append(decode_positions(enc, tfs))
+        else:
+            poss_l.append(np.zeros(0, np.int64))
+    doc = np.concatenate(docs_l) if docs_l else np.zeros(0, np.int64)
+    tf = np.concatenate(tfs_l) if tfs_l else np.zeros(0, np.int64)
+    dl = np.concatenate(dls_l) if dls_l else np.zeros(0, np.int64)
+    order = np.argsort(doc, kind="stable")
+    poss_sorted = None
+    if has_pos:
+        flat_pos = np.concatenate(poss_l)
+        tf64 = tf.astype(np.int64)
+        pstart = np.concatenate(([0], np.cumsum(tf64)))[:-1]
+        lens = tf64[order]
+        within = (np.arange(int(lens.sum()))
+                  - np.repeat(np.concatenate(([0], np.cumsum(lens)))[:-1],
+                              lens))
+        poss_sorted = flat_pos[np.repeat(pstart[order], lens) + within]
+    doc, tf, dl = doc[order], tf[order], dl[order]
+    if doc.size > 1 and (np.diff(doc) <= 0).any():
+        raise ValueError(
+            f"duplicate doc_id across compacted shards for term={term!r}; "
+            "source shards must hold disjoint doc sets")
+    enc = encode_postings(doc, tf, dl, poss_sorted)
+    return pa.table({
+        "sid": pa.array([sid], pa.int32()),
+        "term": pa.array([term], pa.string()),
+        "salt": pa.array([salt], pa.int32()),
+        "df": pa.array([enc.df], pa.int64()),
+        "doc_bytes": pa.array([enc.doc_bytes], pa.binary()),
+        "tf_bytes": pa.array([enc.tf_bytes], pa.binary()),
+        "block_first": pa.array([enc.block_first.tolist()],
+                                pa.list_(pa.int64())),
+        "block_last": pa.array([enc.block_last.tolist()],
+                               pa.list_(pa.int64())),
+        "block_doc_off": pa.array([enc.block_doc_off.tolist()],
+                                  pa.list_(pa.int32())),
+        "block_tf_off": pa.array([enc.block_tf_off.tolist()],
+                                 pa.list_(pa.int32())),
+        "block_max_tf": pa.array([enc.block_max_tf.tolist()],
+                                 pa.list_(pa.int64())),
+        "block_min_dl": pa.array([enc.block_min_dl.tolist()],
+                                 pa.list_(pa.int32())),
+        "pos_bytes": pa.array([enc.pos_bytes], pa.binary()),
+        "block_pos_off": pa.array(
+            [enc.block_pos_off.tolist() if enc.block_pos_off is not None
+             else []], pa.list_(pa.int32())),
+    })
+
+
+def compact_index(index_dir: str, out_dir: str,
+                  target_shards: int = 1) -> dict:
+    """Merge an index's shards into ``target_shards`` new shards under a
+    NEW directory, without re-reading any source text.
+
+    Repeated :func:`extend_index` calls grow the shard count monotonically
+    and query latency with it (every shard contributes a posting row per
+    term).  Compaction is the LSM-style answer: docs parquet files are
+    hard-copied (content unchanged), segments merge per (new shard, term,
+    salt) at the ENCODED level in one groupby wave.  Search results are
+    rank+score identical before and after (global df/avg_dl are preserved
+    exactly; block bounds stay valid — see :func:`merge_segment_rows`).
+
+    Writing to a fresh ``out_dir`` (not in place) keeps the source index
+    live and readable throughout — the caller switches readers over and
+    deletes the old dir when convenient; a crashed compaction leaves only
+    an incomplete out_dir whose done-markers make a re-run resume.  Salt
+    splits are preserved, so a head term's merge work stays bounded per
+    task exactly as in the build shuffle.
+    """
+    t0 = time.time()
+    index_dir = os.path.abspath(index_dir)
+    out_dir = os.path.abspath(out_dir)
+    if out_dir == index_dir:
+        raise ValueError("compaction writes a NEW index dir; out_dir must "
+                         "differ from index_dir (old index stays live)")
+    manifest = ckpt.read_json(os.path.join(index_dir, "manifest.json"))
+    fv = manifest.get("format_version")
+    if fv != FORMAT_VERSION:
+        raise ValueError(
+            f"index at {index_dir} has format_version={fv!r}, this build "
+            f"writes v{FORMAT_VERSION}: incompatible — rebuild required")
+    params = BuildParams(**manifest["params"])
+    n_old = int(manifest["n_shards"])
+    if not (1 <= target_shards <= n_old):
+        raise ValueError(f"target_shards must be in [1, {n_old}]")
+    groups = [list(g) for g in
+              np.array_split(np.arange(n_old), target_shards)]
+    os.makedirs(out_dir, exist_ok=True)
+
+    # ---- docs: file-level copy per new shard (content unchanged) ----------
+    import shutil
+    docs_dir_for = {g: os.path.join(ckpt.shard_dir(out_dir, g), "docs")
+                    for g in range(target_shards)}
+    old_recs = [ckpt.read_shard_record(index_dir, sid)
+                for sid in range(n_old)]
+    for g, members in enumerate(groups):
+        if ckpt.is_done(docs_dir_for[g]):
+            continue
+        dest = docs_dir_for[g]
+        shutil.rmtree(dest, ignore_errors=True)
+        os.makedirs(dest, exist_ok=True)
+        for sid in members:
+            src = os.path.join(ckpt.shard_dir(index_dir, sid), "docs")
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    shutil.copy2(os.path.join(src, f),
+                                 os.path.join(dest, f"m{sid:04d}-{f}"))
+        ckpt.update_shard_record(
+            out_dir, g,
+            source_index=index_dir,
+            source_shards=[int(s) for s in members],
+            input_files=sorted(
+                f for sid in members
+                for f in old_recs[sid].get("input_files", [])),
+            n_docs=sum(old_recs[sid]["n_docs"] for sid in members),
+            sum_dl=sum(old_recs[sid]["sum_dl"] for sid in members))
+        ckpt.mark_done(docs_dir_for[g])
+
+    # ---- segments: one merge wave over every pending new shard ------------
+    seg_dir_for = {g: os.path.join(ckpt.shard_dir(out_dir, g), "seg")
+                   for g in range(target_shards)}
+    pending = [g for g in range(target_shards)
+               if not ckpt.is_done(seg_dir_for[g])]
+    if pending:
+        t2 = time.time()
+        dir_to_gid = {}
+        seg_files = []
+        for g in pending:
+            for sid in groups[g]:
+                sdir = os.path.join(ckpt.shard_dir(index_dir, sid), "seg")
+                dir_to_gid[sdir] = g
+                seg_files.extend(_list_parquet(sdir))
+
+        def _retag(b: pa.Table) -> pa.Table:
+            gids = np.fromiter(
+                (dir_to_gid[os.path.dirname(p)]
+                 for p in b["path"].to_pylist()),
+                dtype=np.int32, count=b.num_rows)
+            return b.drop_columns(["path"]) \
+                .append_column("sid", pa.array(gids, pa.int32()))
+
+        segs = rd.read_parquet(seg_files, include_paths=True) \
+            .map_batches(_retag, batch_format="pyarrow")
+        segs = segs.repartition(params.merge_parallelism or _ncpu())
+        segs = segs.groupby(["sid", "term", "salt"]) \
+            .map_groups(merge_segment_rows, batch_format="pyarrow")
+        # coalesce one-row map_groups blocks before the write (row-group
+        # metadata floor — same fix as phase 2)
+        segs = segs.map_batches(lambda b: b, batch_format="pyarrow",
+                                batch_size=128)
+        tmp_root = os.path.join(out_dir, "_wave_compact")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        segs.write_parquet(tmp_root, partition_cols=["sid"])
+        wave = round(time.time() - t2, 3)
+        _publish_partitions(tmp_root, pending, seg_dir_for, SEGMENT_SCHEMA)
+
+        def _seg_stats(g: int) -> tuple[int, int, int, int]:
+            meta = pq.read_table(seg_dir_for[g], columns=["df"])
+            seg_bytes = sum(
+                os.path.getsize(os.path.join(seg_dir_for[g], f))
+                for f in os.listdir(seg_dir_for[g])
+                if f.endswith(".parquet"))
+            return (g, meta.num_rows,
+                    int(pc.sum(meta["df"]).as_py() or 0), seg_bytes)
+
+        for g, n_rows, n_post, seg_bytes in _threaded(_seg_stats, pending):
+            ckpt.update_shard_record(
+                out_dir, g, n_term_shards=n_rows,
+                n_postings=n_post, seg_bytes=seg_bytes,
+                bytes_per_posting=round(seg_bytes / max(1, n_post), 3),
+                format_version=FORMAT_VERSION,
+                positions=params.positions,
+                compact_wave_secs=wave)
+            ckpt.mark_done(seg_dir_for[g])
+
+    return _finalize(out_dir, target_shards, params, t0)
