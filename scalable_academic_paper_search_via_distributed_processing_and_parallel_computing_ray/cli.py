@@ -37,7 +37,8 @@ def _serve_loop(ray, args, stdin, stdout) -> int:
     reference's three endpoints:
 
       {"op": "search", "query": "...", "k": 10, "mode": "or",
-       "filter_id": "en"?}                                     -> /search
+       "filter_id": "en"?, "exclude": "boolean not terms"?,
+       "snippets": true?}                                      -> /search
       {"op": "fetch", "doc_id": 7}                             -> /paper/{id}
       {"op": "enrich", "ids": [3, 9]}                          -> /enrich
       {"op": "register_filter", "filter_id": "en",
@@ -75,11 +76,20 @@ def _serve_loop(ray, args, stdin, stdout) -> int:
                                            int(req.get("k", 10)),
                                            req.get("mode", "or"),
                                            req.get("method", "auto"),
-                                           req.get("filter_id"))
-                    respond({"results": [
-                        {"rank": i, "doc_id": h.doc_id,
-                         "score": round(h.score, 6)}
-                        for i, h in enumerate(hits, 1)]})
+                                           req.get("filter_id"),
+                                           req.get("exclude"))
+                    rows = [{"rank": i, "doc_id": h.doc_id,
+                             "score": round(h.score, 6)}
+                            for i, h in enumerate(hits, 1)]
+                    if req.get("snippets"):
+                        from .functions.snippet import make_snippet
+                        from .pipelines.query import fetch_doc
+                        for row in rows:
+                            doc = fetch_doc(args.index, row["doc_id"])
+                            if doc is not None:
+                                row.update(make_snippet(doc.get("text", ""),
+                                                        req["query"]))
+                    respond({"results": rows})
                 elif op == "fetch":
                     from .pipelines.query import fetch_doc
                     doc = fetch_doc(args.index, int(req["doc_id"]))
@@ -146,6 +156,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--mode", choices=("or", "and"), default="or")
     s.add_argument("--method", choices=("auto", "wand", "exhaustive"),
                    default="auto")
+    s.add_argument("--exclude", default=None,
+                   help="boolean-NOT terms: drop docs containing any "
+                   "(also available inline as '-term' in --query)")
+    s.add_argument("--snippets", action="store_true",
+                   help="attach a query-biased snippet per hit")
     s.add_argument("--lazy", action="store_true",
                    help="open the index lazily (on-demand row-group reads)")
 
@@ -218,14 +233,25 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.query import IndexReader
             r = IndexReader(args.index, lazy=args.lazy)
             if args.method == "wand":
-                hits = r.search_wand(args.query, args.k, args.mode)
+                hits = r.search_wand(args.query, args.k, args.mode,
+                                     exclude=args.exclude)
             elif args.method == "exhaustive":
-                hits = r.search_exhaustive(args.query, args.k, args.mode)
+                hits = r.search_exhaustive(args.query, args.k, args.mode,
+                                           exclude=args.exclude)
             else:
-                hits = r.search(args.query, args.k, args.mode)
+                hits = r.search(args.query, args.k, args.mode,
+                                exclude=args.exclude)
             for rank, h in enumerate(hits, 1):
-                print(json.dumps({"rank": rank, "doc_id": h.doc_id,
-                                  "score": round(h.score, 6)}))
+                row = {"rank": rank, "doc_id": h.doc_id,
+                       "score": round(h.score, 6)}
+                if args.snippets:
+                    from .functions.snippet import make_snippet
+                    from .pipelines.query import fetch_doc
+                    doc = fetch_doc(args.index, h.doc_id)
+                    if doc is not None:
+                        row.update(make_snippet(doc.get("text", ""),
+                                                args.query))
+                print(json.dumps(row))
         elif args.cmd == "serve-demo":
             from .pipelines.serve import DistributedSearcher
             ds = DistributedSearcher(args.index, num_actors=args.actors,

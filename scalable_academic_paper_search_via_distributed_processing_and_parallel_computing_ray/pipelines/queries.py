@@ -30,7 +30,7 @@ from ray.data.aggregate import Count, Min, Sum
 
 from ..functions import bm25
 from ..functions.textstats import minhash_params as ts_minhash_params
-from ..functions.tokenize import STOPWORDS
+from ..functions.tokenize import STOPWORDS, tokenize_filtered
 from ..stages.text import term_counts
 from . import build as build_mod
 from . import query as query_mod
@@ -294,7 +294,7 @@ def _pooled_topk(search_fn, k: int) -> pa.Table:
 
 
 def _bm25_pooled_topk(reader, query_text: str, k: int,
-                      mask=None) -> pa.Table:
+                      mask=None, exclude=None) -> pa.Table:
     """WAND top-k with a QUANTIZED-score tie-safe cut.
 
     Ranks are assigned on the quantized score (score_m desc, doc_id asc),
@@ -308,7 +308,8 @@ def _bm25_pooled_topk(reader, query_text: str, k: int,
     is strictly above that minimum, no outside doc can displace it; if not
     (ties could extend past the pool), widen and refetch."""
     return _pooled_topk(
-        lambda pool: reader.search_wand(query_text, pool, mask=mask), k)
+        lambda pool: reader.search_wand(query_text, pool, mask=mask,
+                                        exclude=exclude), k)
 
 
 def q_bm25_top10(sf_dir: str) -> pa.Table:
@@ -335,6 +336,20 @@ def q_bm25_filtered(sf_dir: str) -> pa.Table:
         .to_pandas()["doc_id"].to_numpy()
     mask = reader.make_doc_mask(allowed)
     return _bm25_pooled_topk(reader, BM25_QUERY, BM25_K, mask=mask)
+
+
+BM25_NOT_EXCLUDE = "window"
+
+
+def q_bm25_not(sf_dir: str) -> pa.Table:
+    """Boolean-NOT BM25 top-k: docs containing any excluded term cannot
+    rank (``IndexReader.make_not_mask`` — one O(df) postings decode per
+    excluded term, shard-local in serving); df/avg_dl stay global, the
+    same filtered-search semantics as ``bm25_filtered``.  The oracle
+    restricts the scored set with a NOT IN over the same analyzer."""
+    reader = documents_index(sf_dir)
+    return _bm25_pooled_topk(reader, BM25_QUERY, BM25_K,
+                             exclude=BM25_NOT_EXCLUDE)
 
 
 def _sql_bm25(query_text: str, k: int, doc_where: str = "",
@@ -1582,6 +1597,28 @@ def q_sample_seeded(sf_dir: str) -> pa.Table:
     })
 
 
+SAMPLE_HASH_FRACTION = 0.05
+
+
+def q_sample_hash(sf_dir: str) -> rd.Dataset:
+    """Deterministic hash-Bernoulli sample, FULLY oracled: membership is
+    ``hash64(str(event_id)) % 1e6 < 5e4`` — a pure per-row function, so the
+    exact sampled row set is stable under repartitioning / retries /
+    cluster size and reproducible in SQL (``stages/sample.py`` for why this
+    is the scalable sampling idiom; ``sample_seeded`` keeps covering the
+    reference's RNG ``sample(fraction, seed)`` shape as a sketch check)."""
+    from ..stages.sample import hash_sample
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return hash_sample(ds, "event_id", SAMPLE_HASH_FRACTION)
+
+
+SQL_SAMPLE_HASH = f"""SELECT event_id, user_id, value
+FROM events
+WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 16))::UBIGINT % 1000000
+      < {int(1_000_000 * SAMPLE_HASH_FRACTION)}
+ORDER BY event_id"""
+
+
 # ====================================================================== #
 # registry                                                               #
 # ====================================================================== #
@@ -1596,6 +1633,7 @@ def registry():
         "tfidf": q_tfidf,
         "bm25_top10": q_bm25_top10,
         "bm25_filtered": q_bm25_filtered,
+        "bm25_not": q_bm25_not,
         "phrase_search": q_phrase_search,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
@@ -1631,6 +1669,7 @@ def registry():
         "concat_project": q_concat_project,
         "struct_project": q_struct_project,
         "sample_seeded": q_sample_seeded,
+        "sample_hash": q_sample_hash,
     }
     oracle = {
         "doc_stats": SQL_DOC_STATS,
@@ -1643,6 +1682,12 @@ def registry():
             BM25_QUERY, BM25_K,
             doc_where=("doc_id IN (SELECT doc_id FROM documents "
                        f"WHERE lang = '{BM25_FILTER_LANG}')")),
+        "bm25_not": _sql_bm25(
+            BM25_QUERY, BM25_K,
+            doc_where=("doc_id NOT IN (SELECT DISTINCT doc_id FROM tok "
+                       "WHERE term IN ({}))".format(", ".join(
+                           f"'{t}'" for t in
+                           tokenize_filtered(BM25_NOT_EXCLUDE))))),
         "phrase_search": _sql_phrase(PHRASE_QUERY, BM25_K),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram": SQL_DEDUP_NGRAM,
@@ -1671,6 +1716,7 @@ def registry():
         "fingerprint": SQL_FINGERPRINT,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_minhash": _sql_dedup_minhash(),
+        "sample_hash": SQL_SAMPLE_HASH,
         # rows-only (non-SQL-expressible): knn_ivf, knn_ivf_pq (probe
         # recall depends on the trained coarse quantizer), embdup_lsh
         # (random-hyperplane recall), multimodal_decode, embed_docs,

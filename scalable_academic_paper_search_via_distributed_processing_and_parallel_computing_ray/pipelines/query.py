@@ -48,6 +48,20 @@ _UB_MARGIN = 1.0 + 1e-5  # float32 block-max bounds -> widen before pruning
 _I64MAX = np.iinfo(np.int64).max
 
 
+def split_not_terms(query_text: str) -> tuple[str, str]:
+    """Split leading-minus NOT syntax: ``"spark join -hive"`` ->
+    ``("spark join", "hive")``.  Done BEFORE tokenization (the tokenizer
+    strips punctuation, so a ``-`` prefix would silently turn an exclusion
+    into a positive term).  A bare ``-`` is ignored."""
+    pos, neg = [], []
+    for w in query_text.split():
+        if w.startswith("-") and len(w) > 1:
+            neg.append(w[1:])
+        else:
+            pos.append(w)
+    return " ".join(pos), " ".join(neg)
+
+
 def fetch_doc(index_dir: str, doc_id: int) -> dict | None:
     """Point lookup by doc_id over the per-shard docs tables (SURVEY.md §2.4
     J6/J8).  The reference spawns a fresh spark-submit per request and
@@ -376,6 +390,35 @@ class IndexReader:
             seen.setdefault(t, None)
         return list(seen)
 
+    def make_not_mask(self, exclude_text: str) -> np.ndarray | None:
+        """Boolean mask excluding every doc that contains ANY term of
+        ``exclude_text`` (boolean NOT).  None when no excluded term exists
+        locally (nothing to mask).
+
+        Cost: one postings decode per excluded term — O(df) per term, the
+        standard price of NOT in an inverted index; shard-subset actors
+        each pay only their local df.  The decoded-postings LRU makes a
+        repeated exclusion term free.  Composes with :meth:`make_doc_mask`
+        by AND (both are local-position masks)."""
+        terms = [t for t in self.query_terms(exclude_text)
+                 if self._has_term(t)]
+        if not terms:
+            return None
+        mask = np.ones(self._doc_ids.size, dtype=bool)
+        for t in terms:
+            _, _, idx = self._term_postings(t)
+            mask[idx] = False
+        return mask
+
+    def _mask_with_exclude(self, mask: np.ndarray | None,
+                           exclude: str | None) -> np.ndarray | None:
+        if not exclude:
+            return mask
+        nm = self.make_not_mask(exclude)
+        if nm is None:
+            return mask
+        return nm if mask is None else (mask & nm)
+
     def _effective_terms(self, query_text: str, mode: str) -> list[str] | None:
         """Query terms this reader can serve, or ``None`` when an AND query
         cannot match locally.
@@ -396,8 +439,11 @@ class IndexReader:
 
     def search_exhaustive(self, query_text: str, k: int = 10,
                           mode: str = "or",
-                          mask: np.ndarray | None = None) -> list[TopkResult]:
+                          mask: np.ndarray | None = None,
+                          exclude: str | None = None) -> list[TopkResult]:
         """Decode all query-term postings, score fully, top-k.
+        ``exclude``: boolean-NOT terms (docs containing any are dropped —
+        :meth:`make_not_mask`); ANDed into ``mask``.
 
         Accumulates into a DENSE per-doc score array: posting doc_ids map to
         [0, n_local) positions via one ``searchsorted`` against the sorted
@@ -406,6 +452,7 @@ class IndexReader:
         the O(P log P) ``np.unique`` + scatter-add that dominated latency on
         dense corpora.  Top-k via ``argpartition`` on the nonzero candidates,
         tie-broken (score desc, doc_id asc)."""
+        mask = self._mask_with_exclude(mask, exclude)
         terms = self._effective_terms(query_text, mode)
         if not terms:
             return []
@@ -445,13 +492,22 @@ class IndexReader:
 
     def search(self, query_text: str, k: int = 10, mode: str = "or",
                density_cutoff: float = 0.10,
-               mask: np.ndarray | None = None) -> list[TopkResult]:
+               mask: np.ndarray | None = None,
+               exclude: str | None = None) -> list[TopkResult]:
         """Cost-based scorer choice: block-max WAND prunes only when scores
         are selective; on dense lists (mean df/N above the cutoff — e.g. the
         tiny-vocab synthetic corpus where every term hits most docs) every
         window must be scored anyway, so the single-pass vectorized
         exhaustive-postings scorer is strictly faster.  Both are
-        rank-identical (tested).  ``mask``: see :meth:`make_doc_mask`."""
+        rank-identical (tested).  ``mask``: see :meth:`make_doc_mask`.
+
+        Query syntax: leading-minus words are boolean NOT
+        (``"spark join -hive"`` drops docs containing ``hive``); they
+        compose with the explicit ``exclude`` parameter."""
+        query_text, neg = split_not_terms(query_text)
+        if neg:
+            exclude = f"{exclude} {neg}" if exclude else neg
+        mask = self._mask_with_exclude(mask, exclude)
         terms = self._effective_terms(query_text, mode)
         if not terms:
             return []
@@ -464,14 +520,17 @@ class IndexReader:
 
     def search_wand(self, query_text: str, k: int = 10,
                     mode: str = "or",
-                    mask: np.ndarray | None = None) -> list[TopkResult]:
+                    mask: np.ndarray | None = None,
+                    exclude: str | None = None) -> list[TopkResult]:
         """Block-at-a-time block-max WAND (see module docstring).
 
         ``mask`` (see :meth:`make_doc_mask`) drops filtered-out docs as each
         window decodes, BEFORE aggregation: block upper bounds are unchanged
         (a filter only removes candidates, so ``ub <= theta`` pruning stays
         sound — it just prunes less tightly when the surviving docs are
-        sparse in a block)."""
+        sparse in a block).  ``exclude``: boolean-NOT terms, ANDed into the
+        mask (same soundness argument — exclusion only removes candidates)."""
+        mask = self._mask_with_exclude(mask, exclude)
         terms = self._effective_terms(query_text, mode)
         if not terms:
             return []

@@ -56,18 +56,24 @@ class QueryShardActor:
 
     def search(self, query_text: str, k: int, mode: str,
                method: str = "auto",
-               filter_id: str | None = None) -> list[tuple[int, float]]:
+               filter_id: str | None = None,
+               exclude: str | None = None) -> list[tuple[int, float]]:
+        """``exclude``: boolean-NOT terms — each actor builds its own
+        shard-LOCAL not-mask (O(local df) decode, LRU-cached), exactly as
+        filters stay local; nothing global ships per query."""
         if filter_id is not None and filter_id not in self._masks:
             raise KeyError(f"filter {filter_id!r} not registered "
                            "(call register_filter first)")
         mask = self._masks[filter_id] if filter_id is not None else None
         if method == "wand":
-            hits = self.reader.search_wand(query_text, k, mode, mask=mask)
+            hits = self.reader.search_wand(query_text, k, mode, mask=mask,
+                                           exclude=exclude)
         elif method == "exhaustive":
             hits = self.reader.search_exhaustive(query_text, k, mode,
-                                                 mask=mask)
+                                                 mask=mask, exclude=exclude)
         else:
-            hits = self.reader.search(query_text, k, mode, mask=mask)
+            hits = self.reader.search(query_text, k, mode, mask=mask,
+                                      exclude=exclude)
         return [(h.doc_id, h.score) for h in hits]
 
     def stats(self) -> dict:
@@ -116,8 +122,10 @@ class DistributedSearcher:
 
     def search(self, query_text: str, k: int = 10, mode: str = "or",
                method: str = "auto",
-               filter_id: str | None = None) -> list[TopkResult]:
-        futs = [a.search.remote(query_text, k, mode, method, filter_id)
+               filter_id: str | None = None,
+               exclude: str | None = None) -> list[TopkResult]:
+        futs = [a.search.remote(query_text, k, mode, method, filter_id,
+                                exclude)
                 for a in self.actors]
         merged: list[tuple[int, float]] = []
         for part in ray.get(futs):

@@ -79,3 +79,26 @@ def test_serve_front_search_fetch_enrich(ray_session, index_dir,
     assert "error" in out[8]  # unregistered filter fails loud
     assert out[9] == {"ok": True}
     assert out[10] == {"ok": True}
+
+
+def test_serve_front_exclude_and_snippets(ray_session, index_dir,
+                                          analytics_dir, monkeypatch):
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.query import (
+        IndexReader,
+    )
+    r = IndexReader(index_dir)
+    want_not = [(h.doc_id, round(h.score, 6))
+                for h in r.search("spark data join", 5, exclude="window")]
+    out = _drive(index_dir, analytics_dir, [
+        {"op": "search", "query": "spark data join", "k": 5,
+         "exclude": "window"},
+        {"op": "search", "query": "spark data join", "k": 3,
+         "snippets": True},
+        {"op": "quit"},
+    ], monkeypatch)
+    assert [(x["doc_id"], x["score"]) for x in out[0]["results"]] == want_not
+    rows = out[1]["results"]
+    assert len(rows) == 3
+    for row in rows:
+        assert row["snippet"]
+        assert row["n_terms"] >= 1  # hits contain at least one query term
