@@ -1003,6 +1003,64 @@ def q_embed_docs(sf_dir: str) -> rd.Dataset:
     return emb.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_embed_hash_proj(sf_dir: str) -> rd.Dataset:
+    """The embedding actor pool's hashed-BoW projection kernel, ORACLED
+    (round 3): with md5-based hash64 the whole fake model — token hash ->
+    component index + sign, scatter-add, L2 normalize, float32 cast — is
+    reproducible in SQL, so the plumbing AND the kernel are value-checked
+    (``embed_docs`` stays the rows-only realistic-output twin).  Emits one
+    row per (doc, component) with the micro-rounded value: the driver's
+    value hash needs scalar columns, not a stringified list."""
+    from ..stages.embed import EMBED_DIM, embed_docs
+
+    emb = embed_docs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def unnest(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "val_m": pa.array([], pa.int64())})
+        e = np.stack(b["embedding"].to_numpy(zero_copy_only=False))
+        doc = np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False), EMBED_DIM)
+        comp = np.tile(np.arange(EMBED_DIM, dtype=np.int64), n)
+        val_m = round_m(e.reshape(-1).astype(np.float64), 1_000_000)
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "i": pa.array(comp, pa.int64()),
+                         "val_m": pa.array(val_m, pa.int64())})
+
+    return emb.map_batches(unnest, batch_format="pyarrow")
+
+
+# The SQL mirrors stages/embed.py EmbedDocs._encode step for step; sums are
+# +/-1 integers in float64 (exact, order-free), the f64 divide + f32 cast
+# round-to-nearest on both engines, so micro-rounded values match exactly.
+SQL_EMBED_HASH_PROJ = f"""WITH {_CTE_TOKS},
+e_tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+e_th AS (SELECT doc_id, c,
+                ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h
+         FROM e_tf),
+e_comp AS (
+  SELECT doc_id, (h % 64)::BIGINT AS i,
+         sum(c * CASE WHEN ((h >> 32) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM e_th GROUP BY doc_id, h % 64
+),
+e_dense AS (
+  SELECT d.doc_id, ii.i,
+         CASE WHEN d.doc_len = 0 THEN (CASE WHEN ii.i = 0 THEN 1.0 ELSE 0.0 END)
+              ELSE coalesce(c.v, 0)::DOUBLE END AS v
+  FROM dl d CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+  LEFT JOIN e_comp c ON c.doc_id = d.doc_id AND c.i = ii.i
+),
+e_nrm AS (SELECT doc_id, greatest(sqrt(sum(v * v)), 1e-12) AS n
+          FROM e_dense GROUP BY doc_id)
+SELECT d.doc_id, d.i,
+       CAST(ROUND(((d.v / n.n)::FLOAT)::DOUBLE * 1000000) AS BIGINT) AS val_m
+FROM e_dense d JOIN e_nrm n USING (doc_id)
+ORDER BY doc_id, i"""
+
+
 def q_kmeans_assign(sf_dir: str) -> rd.Dataset:
     """KMeans fit on a sample driver-side, broadcast transform of the full
     table (reference A6/ST4, ``calculate_fwci.py:56-68``; rows-only —
@@ -1652,6 +1710,7 @@ def registry():
         "embdup_lsh": q_embdup_lsh,
         "multimodal_decode": q_multimodal_decode,
         "embed_docs": q_embed_docs,
+        "embed_hash_proj": q_embed_hash_proj,
         "kmeans_assign": q_kmeans_assign,
         "fwci_events": q_fwci_events,
         "percentile_rank": q_percentile_rank,
@@ -1717,6 +1776,7 @@ def registry():
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_minhash": _sql_dedup_minhash(),
         "sample_hash": SQL_SAMPLE_HASH,
+        "embed_hash_proj": SQL_EMBED_HASH_PROJ,
         # rows-only (non-SQL-expressible): knn_ivf, knn_ivf_pq (probe
         # recall depends on the trained coarse quantizer), embdup_lsh
         # (random-hyperplane recall), multimodal_decode, embed_docs,
