@@ -352,23 +352,40 @@ def q_bm25_not(sf_dir: str) -> pa.Table:
                              exclude=BM25_NOT_EXCLUDE)
 
 
+BM25_PREFIX_QUERY = "s* merge"
+
+
+def q_bm25_prefix(sf_dir: str) -> pa.Table:
+    """Wildcard BM25 top-k: ``s*`` expands to an OR group over every
+    dictionary term with the prefix (``IndexReader.expand_prefix`` —
+    lazy sorted-vocab bisect, df-capped in production; the cap cannot
+    bind at oracle scale so engine and SQL expand to the same set).
+    Each expansion scores with its own idf, standard multi-term union."""
+    reader = documents_index(sf_dir)
+    return _bm25_pooled_topk(reader, BM25_PREFIX_QUERY, BM25_K)
+
+
 def _sql_bm25(query_text: str, k: int, doc_where: str = "",
-              extra_cte: str = "") -> str:
+              extra_cte: str = "", terms_sql: str | None = None) -> str:
     """``doc_where``: optional SQL predicate on scores.doc_id applied AFTER
     scoring (global df/avg_dl — same filtered-search semantics as the
     engine's ``mask``).  ``extra_cte``: appended after the token CTEs (must
-    start with a comma) so the predicate can reference its own tables."""
+    start with a comma) so the predicate can reference its own tables.
+    ``terms_sql``: optional SELECT yielding the query-term set dynamically
+    (wildcard expansion) instead of the analyzed ``query_text`` literals."""
     # query-side analyzer must be the ENGINE's tokenizer (stop-word filter +
     # Unicode split), not a naive lower().split() — they diverge on any
     # query containing stop-words or punctuation
     from ..functions.tokenize import tokenize_filtered
     terms = ", ".join(
         f"('{t}')" for t in dict.fromkeys(tokenize_filtered(query_text)))
+    q_cte = (f"q(term) AS ({terms_sql})" if terms_sql is not None
+             else f"q(term) AS (VALUES {terms})")
     return f"""WITH {_CTE_TOKS}{extra_cte},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 st AS (SELECT count(*) AS n, CAST(sum(doc_len) AS DOUBLE) / count(*) AS avg_dl FROM dl),
-q(term) AS (VALUES {terms}),
+{q_cte},
 scores AS (
   SELECT tf.doc_id,
          sum( ln(1 + (st.n - idf.df + 0.5) / (idf.df + 0.5))
@@ -1692,6 +1709,7 @@ def registry():
         "bm25_top10": q_bm25_top10,
         "bm25_filtered": q_bm25_filtered,
         "bm25_not": q_bm25_not,
+        "bm25_prefix": q_bm25_prefix,
         "phrase_search": q_phrase_search,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
@@ -1747,6 +1765,12 @@ def registry():
                        "WHERE term IN ({}))".format(", ".join(
                            f"'{t}'" for t in
                            tokenize_filtered(BM25_NOT_EXCLUDE))))),
+        # wildcard expansion = every distinct corpus term with the prefix
+        # (the engine expands from the global termdict — the same set)
+        "bm25_prefix": _sql_bm25(
+            BM25_PREFIX_QUERY, BM25_K,
+            terms_sql=("SELECT DISTINCT term FROM tf "
+                       "WHERE term LIKE 's%' OR term = 'merge'")),
         "phrase_search": _sql_phrase(PHRASE_QUERY, BM25_K),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram": SQL_DEDUP_NGRAM,

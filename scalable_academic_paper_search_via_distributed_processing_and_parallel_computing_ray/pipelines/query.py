@@ -190,6 +190,7 @@ class IndexReader:
         self.index_dir = index_dir
         self._cache_budget = int(cache_postings_budget)
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._sorted_vocab: list[str] | None = None  # lazy, for prefix expansion
         self._cached_postings = 0
         self.manifest = ckpt.read_json(os.path.join(index_dir, "manifest.json"))
         fv = self.manifest.get("format_version")
@@ -390,6 +391,70 @@ class IndexReader:
             seen.setdefault(t, None)
         return list(seen)
 
+    def expand_prefix(self, prefix: str,
+                      max_expansions: int | None = 64) -> list[str]:
+        """Terms of the GLOBAL dictionary starting with ``prefix``
+        (wildcard ``prefix*`` support).  With a cap, the highest-df
+        expansions win (df desc, term asc — deterministic); ``None``
+        means unbounded (used by the oracle-checked query so engine and
+        SQL expand identically).
+
+        The sorted vocabulary is built lazily ONCE per reader and
+        bisected per lookup — O(log vocab + matches); the term dictionary
+        is already resident (global df scoring needs it), so this adds no
+        new memory class.  Returned order is ascending term order."""
+        import bisect
+        from ..functions.tokenize import _TOKEN_RE, normalize
+        toks = _TOKEN_RE.findall(normalize(prefix))
+        if not toks:
+            return []
+        p = toks[-1]
+        if self._sorted_vocab is None:
+            self._sorted_vocab = sorted(self._df)
+        sv = self._sorted_vocab
+        lo = bisect.bisect_left(sv, p)
+        out = []
+        for i in range(lo, len(sv)):
+            if not sv[i].startswith(p):
+                break
+            out.append(sv[i])
+        if max_expansions is not None and len(out) > max_expansions:
+            out = sorted(out, key=lambda t: (-self._df[t], t))[:max_expansions]
+            out.sort()
+        return out
+
+    def _rewrite_wildcards(self, query_text: str, mode: str,
+                           max_expansions: int | None = 64) -> str:
+        """Replace ``word*`` tokens with their dictionary expansions (an
+        OR group).  AND mode rejects multi-term expansions — flat AND
+        would demand EVERY expansion, which is not what a wildcard means;
+        proper OR-groups-inside-AND would need a grouped scorer."""
+        if "*" not in query_text:
+            return query_text
+        out = []
+        for w in query_text.split():
+            if len(w) > 1 and w.endswith("*"):
+                exp = self.expand_prefix(w[:-1], max_expansions)
+                if mode == "and" and len(exp) > 1:
+                    raise ValueError(
+                        f"wildcard {w!r} expands to {len(exp)} terms; "
+                        "prefix queries are OR groups — use mode='or'")
+                out.extend(exp)
+            else:
+                out.append(w)
+        return " ".join(out)
+
+    def _preprocess(self, query_text: str, mode: str,
+                    exclude: str | None) -> tuple[str, str | None]:
+        """Shared query-syntax pass for every scorer: leading-minus NOT
+        terms move into ``exclude``, ``word*`` wildcards expand.
+        Idempotent (the rewritten text contains neither syntax), so the
+        cost-based :meth:`search` can preprocess and still delegate."""
+        query_text, neg = split_not_terms(query_text)
+        if neg:
+            exclude = f"{exclude} {neg}" if exclude else neg
+        return self._rewrite_wildcards(query_text, mode), exclude
+
     def make_not_mask(self, exclude_text: str) -> np.ndarray | None:
         """Boolean mask excluding every doc that contains ANY term of
         ``exclude_text`` (boolean NOT).  None when no excluded term exists
@@ -399,7 +464,10 @@ class IndexReader:
         standard price of NOT in an inverted index; shard-subset actors
         each pay only their local df.  The decoded-postings LRU makes a
         repeated exclusion term free.  Composes with :meth:`make_doc_mask`
-        by AND (both are local-position masks)."""
+        by AND (both are local-position masks).  ``word*`` wildcards in the
+        exclusion expand from the dictionary (always OR semantics: a doc
+        containing ANY expansion is dropped)."""
+        exclude_text = self._rewrite_wildcards(exclude_text, "or")
         terms = [t for t in self.query_terms(exclude_text)
                  if self._has_term(t)]
         if not terms:
@@ -452,6 +520,7 @@ class IndexReader:
         the O(P log P) ``np.unique`` + scatter-add that dominated latency on
         dense corpora.  Top-k via ``argpartition`` on the nonzero candidates,
         tie-broken (score desc, doc_id asc)."""
+        query_text, exclude = self._preprocess(query_text, mode, exclude)
         mask = self._mask_with_exclude(mask, exclude)
         terms = self._effective_terms(query_text, mode)
         if not terms:
@@ -501,12 +570,12 @@ class IndexReader:
         exhaustive-postings scorer is strictly faster.  Both are
         rank-identical (tested).  ``mask``: see :meth:`make_doc_mask`.
 
-        Query syntax: leading-minus words are boolean NOT
-        (``"spark join -hive"`` drops docs containing ``hive``); they
-        compose with the explicit ``exclude`` parameter."""
-        query_text, neg = split_not_terms(query_text)
-        if neg:
-            exclude = f"{exclude} {neg}" if exclude else neg
+        Query syntax (``_preprocess``, shared by all three scorers):
+        leading-minus words are boolean NOT (``"spark join -hive"`` drops
+        docs containing ``hive``; composes with the explicit ``exclude``
+        parameter) and trailing-star words are prefix wildcards
+        (``"spar*"`` expands to an OR group from the term dictionary)."""
+        query_text, exclude = self._preprocess(query_text, mode, exclude)
         mask = self._mask_with_exclude(mask, exclude)
         terms = self._effective_terms(query_text, mode)
         if not terms:
@@ -530,6 +599,7 @@ class IndexReader:
         sound — it just prunes less tightly when the surviving docs are
         sparse in a block).  ``exclude``: boolean-NOT terms, ANDed into the
         mask (same soundness argument — exclusion only removes candidates)."""
+        query_text, exclude = self._preprocess(query_text, mode, exclude)
         mask = self._mask_with_exclude(mask, exclude)
         terms = self._effective_terms(query_text, mode)
         if not terms:
