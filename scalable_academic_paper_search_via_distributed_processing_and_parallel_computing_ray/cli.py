@@ -38,7 +38,7 @@ def _serve_loop(ray, args, stdin, stdout) -> int:
 
       {"op": "search", "query": "...", "k": 10, "mode": "or",
        "filter_id": "en"?, "exclude": "boolean not terms"?,
-       "snippets": true?}                                      -> /search
+       "snippets": true?, "phrase": true?, "slop": 0?}         -> /search
       {"op": "fetch", "doc_id": 7}                             -> /paper/{id}
       {"op": "enrich", "ids": [3, 9]}                          -> /enrich
       {"op": "register_filter", "filter_id": "en",
@@ -72,12 +72,17 @@ def _serve_loop(ray, args, stdin, stdout) -> int:
                     respond({"ok": True})
                     break
                 elif op == "search":
-                    hits = searcher.search(req["query"],
-                                           int(req.get("k", 10)),
-                                           req.get("mode", "or"),
-                                           req.get("method", "auto"),
-                                           req.get("filter_id"),
-                                           req.get("exclude"))
+                    if req.get("phrase"):
+                        hits = searcher.search_phrase(
+                            req["query"], int(req.get("k", 10)),
+                            int(req.get("slop", 0)))
+                    else:
+                        hits = searcher.search(req["query"],
+                                               int(req.get("k", 10)),
+                                               req.get("mode", "or"),
+                                               req.get("method", "auto"),
+                                               req.get("filter_id"),
+                                               req.get("exclude"))
                     rows = [{"rank": i, "doc_id": h.doc_id,
                              "score": round(h.score, 6)}
                             for i, h in enumerate(hits, 1)]
@@ -156,6 +161,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--mode", choices=("or", "and"), default="or")
     s.add_argument("--method", choices=("auto", "wand", "exhaustive"),
                    default="auto")
+    s.add_argument("--phrase", action="store_true",
+                   help="treat the query as a phrase (positions=True "
+                   "index required); see --slop")
+    s.add_argument("--slop", type=int, default=0,
+                   help="phrase proximity window: terms in order within "
+                   "span len-1+slop (0 = exact consecutive)")
     s.add_argument("--exclude", default=None,
                    help="boolean-NOT terms: drop docs containing any "
                    "(also available inline as '-term' in --query)")
@@ -232,7 +243,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "search":
             from .pipelines.query import IndexReader
             r = IndexReader(args.index, lazy=args.lazy)
-            if args.method == "wand":
+            if args.phrase:
+                hits = r.search_phrase(args.query, args.k, slop=args.slop)
+            elif args.method == "wand":
                 hits = r.search_wand(args.query, args.k, args.mode,
                                      exclude=args.exclude)
             elif args.method == "exhaustive":

@@ -454,6 +454,44 @@ def q_phrase_search(sf_dir: str) -> pa.Table:
         lambda pool: reader.search_phrase(PHRASE_QUERY, pool), BM25_K)
 
 
+PHRASE_SLOP = 2
+
+
+def q_phrase_slop(sf_dir: str) -> pa.Table:
+    """Proximity (sloppy) phrase top-k: terms IN ORDER with window span
+    <= len-1+slop (``IndexReader.search_phrase(slop=...)`` — vectorized
+    ordered-chain matcher over the positional stream: one segmented
+    prefix-max + searchsorted per slot).  Ranked by ordinary BM25 of the
+    phrase terms, same as the exact phrase."""
+    reader = documents_pos_index(sf_dir)
+    return _pooled_topk(
+        lambda pool: reader.search_phrase(PHRASE_QUERY, pool,
+                                          slop=PHRASE_SLOP), BM25_K)
+
+
+def _sql_phrase_slop(query_text: str, k: int, slop: int) -> str:
+    """Proximity oracle: ordered position join (strictly increasing) with
+    the window-span filter — the same predicate as the engine's chain
+    matcher (tracking only the latest-feasible start is lossless, so the
+    EXISTS formulation here is equivalent)."""
+    from ..functions.tokenize import tokenize_filtered
+    seq = list(tokenize_filtered(query_text))
+    assert len(seq) >= 2, "slop phrase needs >= 2 terms"
+    joins = " ".join(
+        f"JOIN occ o{i} ON o{i}.doc_id = o0.doc_id "
+        f"AND o{i}.pos > o{i - 1}.pos AND o{i}.term = '{t}'"
+        for i, t in enumerate(seq) if i > 0)
+    extra = f""",
+occ AS (SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS pos
+        FROM toks),
+pdocs AS (SELECT DISTINCT o0.doc_id FROM occ o0 {joins}
+          WHERE o0.term = '{seq[0]}'
+            AND o{len(seq) - 1}.pos - o0.pos <= {len(seq) - 1 + slop})"""
+    return _sql_bm25(query_text, k,
+                     doc_where="doc_id IN (SELECT doc_id FROM pdocs)",
+                     extra_cte=extra)
+
+
 def _sql_phrase(query_text: str, k: int) -> str:
     """Phrase oracle: positions from ``generate_subscripts`` over the SAME
     stop-filtered token list the engine indexes, adjacency via a per-slot
@@ -1711,6 +1749,7 @@ def registry():
         "bm25_not": q_bm25_not,
         "bm25_prefix": q_bm25_prefix,
         "phrase_search": q_phrase_search,
+        "phrase_slop": q_phrase_slop,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
@@ -1772,6 +1811,7 @@ def registry():
             terms_sql=("SELECT DISTINCT term FROM tf "
                        "WHERE term LIKE 's%' OR term = 'merge'")),
         "phrase_search": _sql_phrase(PHRASE_QUERY, BM25_K),
+        "phrase_slop": _sql_phrase_slop(PHRASE_QUERY, BM25_K, PHRASE_SLOP),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram": SQL_DEDUP_NGRAM,
         "quality": SQL_QUALITY,

@@ -699,8 +699,77 @@ class IndexReader:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
         return np.concatenate(idx_parts), np.concatenate(pos_parts)
 
+    def _phrase_matched_exact(self, seq: list[str]) -> np.ndarray:
+        """Local doc indices containing ``seq`` consecutively (see
+        :meth:`search_phrase` — slot-aligned packed-key intersection)."""
+        keys = None
+        for i, t in enumerate(seq):
+            occ_idx, occ_pos = self._term_occurrences(t)
+            adj = occ_pos - i          # slot i aligns to the phrase start
+            ok = adj >= 0
+            # doc positions are < 2^31 (doc_len is int32); local doc index
+            # is < 2^31 — the packed key fits int64 exactly
+            kt = (occ_idx[ok] << np.int64(31)) | adj[ok]
+            keys = kt if keys is None else np.intersect1d(
+                keys, kt, assume_unique=True)
+            if keys.size == 0:
+                return np.zeros(0, np.int64)
+        return np.unique(keys >> np.int64(31))
+
+    def _phrase_matched_slop(self, seq: list[str], slop: int) -> np.ndarray:
+        """Local doc indices with an ORDERED occurrence chain of ``seq``
+        (strictly increasing positions) whose span is at most
+        ``len(seq) - 1 + slop`` — window proximity semantics; ``slop=0``
+        degenerates to the exact-consecutive predicate.
+
+        Vectorized left-to-right chain over occurrence streams: for each
+        slot-i occurrence at position q, keep g(q) = the LATEST possible
+        chain start over slots 0..i ending before/at q.  g propagates as a
+        per-doc prefix maximum of the previous slot's g at the largest
+        earlier position — one segmented cummax + one searchsorted per
+        slot, O(total occurrences log occ), the same postings-decode bound
+        as the exact path.  (If any chain satisfies the span limit, the
+        latest-start chain for its endpoint does too, so tracking only the
+        maximum start is lossless.)"""
+        limit = np.int64(len(seq) - 1 + slop)
+        BIG = np.int64(1) << np.int64(32)
+
+        def occ_sorted(t):
+            # _term_occurrences concatenates a term's (salt, shard) parts —
+            # each part is (doc, pos)-sorted but the concatenation is NOT;
+            # the searchsorted chain below needs global lexicographic order
+            # (the exact path's intersect1d sorts internally and never hit
+            # this)
+            oi, op = self._term_occurrences(t)
+            order = np.lexsort((op, oi))
+            return oi[order], op[order]
+
+        cur_idx, cur_pos = occ_sorted(seq[0])
+        g = cur_pos.astype(np.int64)
+        for t in seq[1:]:
+            if cur_idx.size == 0:
+                return np.zeros(0, np.int64)
+            # segmented (per-doc run) prefix max of g: bias each run by
+            # BIG*run_id so cummax cannot cross runs (positions < 2^31)
+            run_id = np.cumsum(
+                np.concatenate(([0], (np.diff(cur_idx) != 0)
+                                .astype(np.int64))))
+            pm = np.maximum.accumulate(g + run_id * BIG) - run_id * BIG
+            key_prev = (cur_idx << np.int64(31)) | cur_pos
+            qi, qp = occ_sorted(t)
+            key_q = (qi << np.int64(31)) | qp
+            j = np.searchsorted(key_prev, key_q)  # first prev >= this occ
+            ok = j > 0
+            jj = np.maximum(j - 1, 0)
+            ok &= cur_idx[jj] == qi               # largest earlier in SAME doc
+            cur_idx, cur_pos = qi[ok], qp[ok]
+            g = pm[jj[ok]]
+        match = (cur_pos - g) <= limit
+        return np.unique(cur_idx[match])
+
     def search_phrase(self, query_text: str, k: int = 10,
-                      mask: np.ndarray | None = None) -> list[TopkResult]:
+                      mask: np.ndarray | None = None,
+                      slop: int = 0) -> list[TopkResult]:
         """Exact-phrase top-k: docs where the query's stop-filtered token
         sequence occurs CONSECUTIVELY (positions are over the stop-filtered
         stream — same basis as ``doc_len``; a stop word inside the phrase is
@@ -709,12 +778,15 @@ class IndexReader:
         (global df/avg_dl), tie-break (score desc, doc_id asc) — a phrase
         is a match predicate, not a different scoring function.
 
-        Vectorized occurrence intersection: each phrase slot i contributes
-        the key set {(doc, pos - i)}; a doc matches iff the intersection of
-        all slots is non-empty.  Cost is O(sum of query-term occurrence
-        counts) — the same postings-decode bound as search_exhaustive, paid
-        only for the (rare) phrase terms.  Requires an index built with
-        ``BuildParams(positions=True)`` (codec v3 positional stream)."""
+        Vectorized occurrence intersection (``slop=0``): each phrase slot i
+        contributes the key set {(doc, pos - i)}; a doc matches iff the
+        intersection of all slots is non-empty.  ``slop > 0`` switches to
+        the ordered-chain matcher (:meth:`_phrase_matched_slop`): terms in
+        order, window span <= len-1+slop.  Cost is O(sum of query-term
+        occurrence counts) either way — the same postings-decode bound as
+        search_exhaustive, paid only for the (rare) phrase terms.
+        Requires an index built with ``BuildParams(positions=True)``
+        (codec v3 positional stream)."""
         if not self.has_positions:
             raise ValueError(
                 f"index at {self.index_dir} was built without positions; "
@@ -728,19 +800,8 @@ class IndexReader:
         if any(self._df.get(t, 0) == 0 or not self._has_term(t)
                for t in seq):
             return []
-        keys = None
-        for i, t in enumerate(seq):
-            occ_idx, occ_pos = self._term_occurrences(t)
-            adj = occ_pos - i          # slot i aligns to the phrase start
-            ok = adj >= 0
-            # doc positions are < 2^31 (doc_len is int32); local doc index
-            # is < 2^31 — the packed key fits int64 exactly
-            kt = (occ_idx[ok] << np.int64(31)) | adj[ok]
-            keys = kt if keys is None else np.intersect1d(
-                keys, kt, assume_unique=True)
-            if keys.size == 0:
-                return []
-        matched = np.unique(keys >> np.int64(31))
+        matched = (self._phrase_matched_exact(seq) if slop == 0
+                   else self._phrase_matched_slop(seq, slop))
         if mask is not None and matched.size:
             matched = matched[mask[matched]]
         if matched.size == 0:

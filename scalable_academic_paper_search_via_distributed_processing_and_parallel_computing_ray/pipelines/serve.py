@@ -76,6 +76,14 @@ class QueryShardActor:
                                       exclude=exclude)
         return [(h.doc_id, h.score) for h in hits]
 
+    def phrase(self, query_text: str, k: int,
+               slop: int = 0) -> list[tuple[int, float]]:
+        """Shard-local phrase top-k (exact when slop=0, proximity window
+        otherwise); needs a positions=True index.  Local-then-merge is
+        exact for phrases too: shards partition the doc space."""
+        hits = self.reader.search_phrase(query_text, k, slop=slop)
+        return [(h.doc_id, h.score) for h in hits]
+
     def stats(self) -> dict:
         r = self.reader
         n_terms = len(r._loc) if r._lazy else len(r._postings)
@@ -127,6 +135,15 @@ class DistributedSearcher:
         futs = [a.search.remote(query_text, k, mode, method, filter_id,
                                 exclude)
                 for a in self.actors]
+        merged: list[tuple[int, float]] = []
+        for part in ray.get(futs):
+            merged.extend(part)
+        merged.sort(key=lambda ds: (-ds[1], ds[0]))
+        return [TopkResult(d, s) for d, s in merged[:k]]
+
+    def search_phrase(self, query_text: str, k: int = 10,
+                      slop: int = 0) -> list[TopkResult]:
+        futs = [a.phrase.remote(query_text, k, slop) for a in self.actors]
         merged: list[tuple[int, float]] = []
         for part in ray.get(futs):
             merged.extend(part)

@@ -153,3 +153,85 @@ def test_positions_double_opt_in_payload(index_dir, pos_index_dir):
     assert plain["params"]["positions"] is False
     assert pos["params"]["positions"] is True
     assert pos["bytes_per_posting"] > plain["bytes_per_posting"]
+
+
+# -------------------------------------------------------- sloppy (slop>0) --
+
+def _brute_slop_docs(docs_tokens, phrase, slop):
+    """Ordered occurrence chain with span <= len-1+slop (brute force)."""
+    seq = list(tokenize_filtered(phrase))
+    n = len(seq)
+    out = set()
+    for did, toks in docs_tokens.items():
+        pos = {t: [i for i, x in enumerate(toks) if x == t]
+               for t in set(seq)}
+
+        def feasible(slot, prev):
+            if slot == n:
+                return True
+            return any(feasible(slot + 1, p)
+                       for p in pos.get(seq[slot], []) if p > prev)
+
+        for start in pos.get(seq[0], []):
+            # bounded window: only chains within the span limit
+            window = start + n - 1 + slop
+
+            def chain(slot, prev):
+                if slot == n:
+                    return True
+                return any(chain(slot + 1, p)
+                           for p in pos.get(seq[slot], [])
+                           if prev < p <= window)
+
+            if chain(1, start):
+                out.add(did)
+                break
+    return out
+
+
+SLOP_CASES = [("sort merge", 0), ("sort merge", 2), ("sort merge", 5),
+              ("spark join", 3),          # skip a middle word
+              ("data join table", 4),     # 3-term chain
+              ("batch batch", 1)]         # repeated term
+
+
+@pytest.mark.parametrize("phrase,slop", SLOP_CASES)
+def test_slop_matches_bruteforce(pos_reader, docs_tokens, phrase, slop):
+    want = _brute_slop_docs(docs_tokens, phrase, slop)
+    got = {r.doc_id for r in
+           pos_reader.search_phrase(phrase, k=10_000, slop=slop)}
+    assert got == want, f"{phrase!r} slop={slop}"
+
+
+def test_slop_zero_equals_exact(pos_reader):
+    for phrase in ["sort merge", "spark data join", "batch batch"]:
+        a = [(r.doc_id, round(r.score, 6))
+             for r in pos_reader.search_phrase(phrase, 50, slop=0)]
+        b_docs = pos_reader._phrase_matched_slop(
+            list(tokenize_filtered(phrase)), 0)
+        a_exact = pos_reader._phrase_matched_exact(
+            list(tokenize_filtered(phrase)))
+        np.testing.assert_array_equal(b_docs, a_exact)
+        assert len(a) == len(a_exact) or len(a) == 50
+
+
+def test_slop_widens_monotonically(pos_reader):
+    sizes = [len(pos_reader.search_phrase("sort merge", 10_000, slop=s))
+             for s in (0, 1, 3, 8)]
+    assert sizes == sorted(sizes), sizes
+
+
+def test_phrase_distributed_serve(ray_session, pos_index_dir, pos_reader):
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.serve import (
+        DistributedSearcher,
+    )
+    ds = DistributedSearcher(pos_index_dir, num_actors=2)
+    try:
+        for phrase, slop in (("sort merge", 0), ("spark join", 3)):
+            want = [(r.doc_id, round(r.score, 6))
+                    for r in pos_reader.search_phrase(phrase, 10, slop=slop)]
+            got = [(r.doc_id, round(r.score, 6))
+                   for r in ds.search_phrase(phrase, 10, slop=slop)]
+            assert got == want, (phrase, slop)
+    finally:
+        ds.shutdown()
