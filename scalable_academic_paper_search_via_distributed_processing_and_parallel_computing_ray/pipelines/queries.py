@@ -516,6 +516,27 @@ pdocs AS (SELECT DISTINCT o0.doc_id FROM occ o0 {joins}
 
 # ---------------------------------------------------------------- dedup ----
 
+HEAVY_MIN_COUNT = 500
+HEAVY_K_SKETCH = 256
+
+
+def q_heavy_terms(sf_dir: str) -> pa.Table:
+    """Heavy-hitter terms WITHOUT a full-vocabulary shuffle, ORACLED:
+    candidates-then-verify (pigeonhole superset guarantee + exact
+    candidate recount — ``stages/heavy.py``), value-identical to the
+    full ``GROUP BY term HAVING count >= T``."""
+    from ..stages.heavy import heavy_terms
+    ds = _read(sf_dir, "documents", ["text"])
+    return heavy_terms(ds, min_count=HEAVY_MIN_COUNT,
+                       k_sketch=HEAVY_K_SKETCH)
+
+
+SQL_HEAVY_TERMS = f"""WITH {_CTE_TOKS}
+SELECT term, count(*) AS count
+FROM tok GROUP BY term HAVING count(*) >= {HEAVY_MIN_COUNT}
+ORDER BY count DESC, term"""
+
+
 def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     """Exact-dup survivors (min doc_id per distinct text) — reference D1."""
     from ..stages.dedup import exact_dedup
@@ -1742,6 +1763,7 @@ def registry():
         "doc_stats": q_doc_stats,
         "avg_doc_len": q_avg_doc_len,
         "term_df": q_term_df,
+        "heavy_terms": q_heavy_terms,
         "vocab_top20": q_vocab_top20,
         "tfidf": q_tfidf,
         "bm25_top10": q_bm25_top10,
@@ -1791,6 +1813,7 @@ def registry():
         "doc_stats": SQL_DOC_STATS,
         "avg_doc_len": SQL_AVG_DOC_LEN,
         "term_df": SQL_TERM_DF,
+        "heavy_terms": SQL_HEAVY_TERMS,
         "vocab_top20": SQL_VOCAB_TOP20,
         "tfidf": SQL_TFIDF,
         "bm25_top10": _sql_bm25(BM25_QUERY, BM25_K),
