@@ -1033,8 +1033,12 @@ def q_embdup_lsh(sf_dir: str) -> pa.Table:
 
 
 def q_multimodal_decode(sf_dir: str) -> rd.Dataset:
-    """Binary media plumbing: documents bytes as opaque payloads -> actor-pool
-    decode (stubbed kernel) -> per-item features (rows-only)."""
+    """Binary media plumbing, ORACLED (round 3): documents bytes as opaque
+    payloads -> actor-pool decode -> per-item features.  The stub kernel
+    is a counter-prefixed md5 chain precisely so its output is
+    SQL-reproducible — the oracle value-checks the actor-pool plumbing
+    AND the deterministic kernel (feature sums are exact: 32 dyadic
+    float32 values summed in float64 on both engines)."""
     from ..stages.multimodal import DecodeMedia
 
     def to_media(b: pa.Table) -> pa.Table:
@@ -1053,11 +1057,36 @@ def q_multimodal_decode(sf_dir: str) -> rd.Dataset:
 
     def summarize(b: pa.Table) -> pa.Table:
         feats = b["feature"].to_pylist()
-        fsum = [int(round_m(float(np.sum(f)))) for f in feats]
+        # sum in float64: each feature value is an exactly-representable
+        # 32-bit dyadic rational, so the f64 sum is EXACT and matches the
+        # oracle's DOUBLE sum bit for bit (a float32 accumulation would
+        # diverge below milli-resolution)
+        fsum = [int(round_m(float(np.sum(np.asarray(f, np.float64)))))
+                for f in feats]
         return pa.table({"media_id": b["media_id"], "n_bytes": b["n_bytes"],
                          "feat_sum_m": pa.array(fsum, pa.int64())})
 
     return decoded.map_batches(summarize, batch_format="pyarrow")
+
+
+# 8 md5 chunks x 4 little-endian uint32s = the 32-dim fake feature vector;
+# the hex swizzle reverses each 4-byte group (np.frombuffer '<u4').
+SQL_MULTIMODAL_DECODE = """WITH ch AS (
+  SELECT doc_id, md5(ii.i::VARCHAR || ':' || text) AS h
+  FROM documents CROSS JOIN (SELECT unnest(range(8)) AS i) ii
+),
+vals AS (
+  SELECT doc_id,
+         (('0x' || substr(h, jj.j*8+7, 2) || substr(h, jj.j*8+5, 2)
+                || substr(h, jj.j*8+3, 2) || substr(h, jj.j*8+1, 2))::UBIGINT)::DOUBLE
+         / 4294967296.0 AS v
+  FROM ch CROSS JOIN (SELECT unnest(range(4)) AS j) jj
+)
+SELECT d.doc_id AS media_id, octet_length(encode(d.text))::BIGINT AS n_bytes,
+       CAST(ROUND(s.fs * 1000) AS BIGINT) AS feat_sum_m
+FROM documents d JOIN (SELECT doc_id, sum(v) AS fs FROM vals GROUP BY doc_id) s
+  USING (doc_id)
+ORDER BY media_id"""
 
 
 def q_embed_docs(sf_dir: str) -> rd.Dataset:
@@ -1864,6 +1893,7 @@ def registry():
         "dedup_minhash": _sql_dedup_minhash(),
         "sample_hash": SQL_SAMPLE_HASH,
         "embed_hash_proj": SQL_EMBED_HASH_PROJ,
+        "multimodal_decode": SQL_MULTIMODAL_DECODE,
         # rows-only (non-SQL-expressible): knn_ivf, knn_ivf_pq (probe
         # recall depends on the trained coarse quantizer), embdup_lsh
         # (random-hyperplane recall), multimodal_decode, embed_docs,

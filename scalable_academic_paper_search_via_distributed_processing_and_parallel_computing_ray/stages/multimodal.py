@@ -35,18 +35,16 @@ FEATURE_DIM = 32
 
 def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """DETERMINISTIC FAKE decoder (stub): stable pseudo-feature vector from
-    payload bytes.  Replaced by a real codec when available.  blake2b caps
-    digests at 64 bytes, so wider features concatenate counter-salted
-    digests."""
+    payload bytes.  Replaced by a real codec when available.  Features are
+    counter-prefixed md5 chains (``md5(b"<i>:" + payload)``) — md5, and a
+    plain-text counter prefix, precisely so the driver oracle can rebuild
+    the values in DuckDB (``md5(i::VARCHAR || ':' || text)`` plus a
+    little-endian hex swizzle); uniformity is all a stand-in needs."""
     need = dim * 4
-    chunks, i = [], 0
-    while need > 0:
-        d = hashlib.blake2b(payload, digest_size=min(64, need),
-                            salt=i.to_bytes(8, "big")).digest()
-        chunks.append(d)
-        need -= len(d)
-        i += 1
-    v = np.frombuffer(b"".join(chunks), dtype=np.uint32).astype(np.float32)
+    chunks = []
+    for i in range((need + 15) // 16):
+        chunks.append(hashlib.md5(f"{i}:".encode() + payload).digest())
+    v = np.frombuffer(b"".join(chunks)[:need], dtype="<u4").astype(np.float32)
     return v / np.float32(2 ** 32)
 
 

@@ -42,7 +42,7 @@ def test_decode_stub_flag():
 def test_fake_decode_ranges():
     v = _fake_decode(b"payload", 32)
     assert v.shape == (32,) and (v >= 0).all() and (v <= 1).all()
-    wide = _fake_decode(b"payload", 100)  # > one blake2b digest
+    wide = _fake_decode(b"payload", 100)  # spans several md5 chunks
     assert wide.shape == (100,)
 
 
