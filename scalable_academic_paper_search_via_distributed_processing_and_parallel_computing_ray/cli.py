@@ -40,6 +40,7 @@ def _serve_loop(ray, args, stdin, stdout) -> int:
        "filter_id": "en"?, "exclude": "boolean not terms"?,
        "snippets": true?, "phrase": true?, "slop": 0?}         -> /search
       {"op": "fetch", "doc_id": 7}                             -> /paper/{id}
+      {"op": "explain", "query": "...", "doc_id": 7}   per-term BM25 parts
       {"op": "enrich", "ids": [3, 9]}                          -> /enrich
       {"op": "register_filter", "filter_id": "en",
        "allowed_ids": [..]}  |  {"op": "drop_filter", ...}
@@ -95,6 +96,9 @@ def _serve_loop(ray, args, stdin, stdout) -> int:
                                 row.update(make_snippet(doc.get("text", ""),
                                                         req["query"]))
                     respond({"results": rows})
+                elif op == "explain":
+                    respond({"explain": searcher.explain(
+                        req["query"], int(req["doc_id"]))})
                 elif op == "fetch":
                     from .pipelines.query import fetch_doc
                     doc = fetch_doc(args.index, int(req["doc_id"]))

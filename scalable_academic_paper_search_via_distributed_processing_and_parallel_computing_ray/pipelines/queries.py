@@ -352,6 +352,50 @@ def q_bm25_not(sf_dir: str) -> pa.Table:
                              exclude=BM25_NOT_EXCLUDE)
 
 
+EXPLAIN_DOC_ID = 7
+
+
+def q_bm25_explain(sf_dir: str) -> pa.Table:
+    """Per-term BM25 score breakdown for one doc (Lucene ``explain``
+    analog, ``IndexReader.explain``), ORACLED: term df/tf and the
+    milli-rounded per-term contribution are recomputed in SQL with the
+    same formula and global statistics."""
+    reader = documents_index(sf_dir)
+    ex = reader.explain(BM25_QUERY, EXPLAIN_DOC_ID)
+    assert ex is not None, "explain doc must exist in the corpus"
+    parts = sorted(ex["parts"], key=lambda p: p["term"])
+    return pa.table({
+        "term": pa.array([p["term"] for p in parts], pa.string()),
+        "tf": pa.array([p["tf"] for p in parts], pa.int64()),
+        "df": pa.array([p["df"] for p in parts], pa.int64()),
+        "score_m": pa.array(round_m([p["score"] for p in parts]),
+                            pa.int64()),
+    })
+
+
+def _sql_bm25_explain(query_text: str, doc_id: int) -> str:
+    from ..functions.tokenize import tokenize_filtered
+    terms = ", ".join(
+        f"('{t}')" for t in dict.fromkeys(tokenize_filtered(query_text)))
+    return f"""WITH {_CTE_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT count(*) AS n,
+              CAST(sum(doc_len) AS DOUBLE) / count(*) AS avg_dl FROM dl),
+q(term) AS (VALUES {terms})
+SELECT q.term, coalesce(t.tf, 0)::BIGINT AS tf, i.df::BIGINT AS df,
+       CAST(ROUND(CASE WHEN t.tf IS NULL THEN 0.0 ELSE
+            ln(1 + (st.n - i.df + 0.5) / (i.df + 0.5))
+            * t.tf * {bm25.K1 + 1.0}
+            / (t.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * d.doc_len / st.avg_dl))
+            END * 1000) AS BIGINT) AS score_m
+FROM q JOIN idf i USING (term)
+CROSS JOIN st
+CROSS JOIN (SELECT doc_len FROM dl WHERE doc_id = {doc_id}) d
+LEFT JOIN (SELECT term, tf FROM tf WHERE doc_id = {doc_id}) t USING (term)
+ORDER BY term"""
+
+
 BM25_PREFIX_QUERY = "s* merge"
 
 
@@ -1799,6 +1843,7 @@ def registry():
         "bm25_filtered": q_bm25_filtered,
         "bm25_not": q_bm25_not,
         "bm25_prefix": q_bm25_prefix,
+        "bm25_explain": q_bm25_explain,
         "phrase_search": q_phrase_search,
         "phrase_slop": q_phrase_slop,
         "dedup_exact": q_dedup_exact,
@@ -1864,6 +1909,7 @@ def registry():
                        "WHERE term LIKE 's%' OR term = 'merge'")),
         "phrase_search": _sql_phrase(PHRASE_QUERY, BM25_K),
         "phrase_slop": _sql_phrase_slop(PHRASE_QUERY, BM25_K, PHRASE_SLOP),
+        "bm25_explain": _sql_bm25_explain(BM25_QUERY, EXPLAIN_DOC_ID),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram": SQL_DEDUP_NGRAM,
         "quality": SQL_QUALITY,

@@ -585,6 +585,43 @@ class IndexReader:
             return self.search_exhaustive(query_text, k, mode, mask=mask)
         return self.search_wand(query_text, k, mode, mask=mask)
 
+    def explain(self, query_text: str, doc_id: int) -> dict | None:
+        """Per-term BM25 breakdown for one document (Lucene ``explain``
+        analog): for each effective query term, its global df, idf, tf in
+        this doc, and score contribution; ``total`` is the doc's OR-mode
+        score.  None when the doc is not in this reader.  Query syntax
+        (wildcards) applies; NOT terms are reported as ``excluded_by``
+        when the doc contains one.  Cost: one postings decode per term —
+        the same bound as scoring, for one doc."""
+        query_text, exclude = self._preprocess(query_text, "or", None)
+        pos = int(np.searchsorted(self._doc_ids, doc_id))
+        if pos >= self._doc_ids.size or self._doc_ids[pos] != doc_id:
+            return None
+        dl = int(self._doc_lens[pos])
+        parts, total = [], 0.0
+        for t in self._effective_terms(query_text, "or") or []:
+            _, tfs, idx = self._term_postings(t)
+            hit = np.flatnonzero(idx == pos)
+            tf = int(tfs[hit].sum()) if hit.size else 0
+            s = float(bm25.score_vec(self.idf(t), np.array([tf]),
+                                     np.array([dl]), self.avg_dl)[0]) \
+                if tf else 0.0
+            total += s
+            parts.append({"term": t, "tf": tf,
+                          "df": int(self._df.get(t, 0)),
+                          "idf": self.idf(t), "score": s})
+        excluded_by = []
+        if exclude:
+            for t in self.query_terms(
+                    self._rewrite_wildcards(exclude, "or")):
+                if not self._has_term(t):
+                    continue
+                _, _, idx = self._term_postings(t)
+                if (idx == pos).any():
+                    excluded_by.append(t)
+        return {"doc_id": doc_id, "doc_len": dl, "total": total,
+                "parts": parts, "excluded_by": excluded_by}
+
     # -------------------------------------------------------------- WAND ---
 
     def search_wand(self, query_text: str, k: int = 10,

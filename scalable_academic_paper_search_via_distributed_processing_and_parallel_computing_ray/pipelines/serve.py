@@ -84,6 +84,10 @@ class QueryShardActor:
         hits = self.reader.search_phrase(query_text, k, slop=slop)
         return [(h.doc_id, h.score) for h in hits]
 
+    def explain(self, query_text: str, doc_id: int) -> dict | None:
+        """Per-term BM25 breakdown if this actor's shards hold the doc."""
+        return self.reader.explain(query_text, doc_id)
+
     def stats(self) -> dict:
         r = self.reader
         n_terms = len(r._loc) if r._lazy else len(r._postings)
@@ -140,6 +144,15 @@ class DistributedSearcher:
             merged.extend(part)
         merged.sort(key=lambda ds: (-ds[1], ds[0]))
         return [TopkResult(d, s) for d, s in merged[:k]]
+
+    def explain(self, query_text: str, doc_id: int) -> dict | None:
+        """Ask every shard actor (shards partition docs: at most one
+        answers non-None)."""
+        for ans in ray.get([a.explain.remote(query_text, doc_id)
+                            for a in self.actors]):
+            if ans is not None:
+                return ans
+        return None
 
     def search_phrase(self, query_text: str, k: int = 10,
                       slop: int = 0) -> list[TopkResult]:

@@ -119,3 +119,40 @@ def test_snippet_unicode_casefold():
     s = make_snippet("Les cafés de Paris CAFÉ", "café", width=5)
     assert s["n_hits"] >= 1
     assert tokenize_filtered("café") == ["café"]
+
+
+# ------------------------------------------------------------- explain ---
+
+def test_explain_matches_search_score(reader):
+    hits = reader.search("spark data join", 3)
+    for h in hits:
+        ex = reader.explain("spark data join", h.doc_id)
+        assert ex is not None
+        assert abs(ex["total"] - h.score) < 1e-9
+        assert {p["term"] for p in ex["parts"]} == {"spark", "data", "join"}
+        assert all(p["score"] >= 0 for p in ex["parts"])
+
+
+def test_explain_missing_doc(reader):
+    assert reader.explain("spark", 10**15) is None
+
+
+def test_explain_reports_exclusion(reader):
+    banned = _docs_with(reader, "window")
+    doc = sorted(banned)[0]
+    ex = reader.explain("spark data -window", doc)
+    assert ex["excluded_by"] == ["window"]
+
+
+def test_explain_distributed(ray_session, index_dir, reader):
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.serve import (
+        DistributedSearcher,
+    )
+    ds = DistributedSearcher(index_dir, num_actors=2)
+    try:
+        h = reader.search("spark data join", 1)[0]
+        ex = ds.explain("spark data join", h.doc_id)
+        assert ex is not None and abs(ex["total"] - h.score) < 1e-9
+        assert ds.explain("spark", 10**15) is None
+    finally:
+        ds.shutdown()
