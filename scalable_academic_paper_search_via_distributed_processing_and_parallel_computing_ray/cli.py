@@ -38,7 +38,9 @@ def _serve_loop(ray, args, stdin, stdout) -> int:
 
       {"op": "search", "query": "...", "k": 10, "mode": "or",
        "filter_id": "en"?, "exclude": "boolean not terms"?,
-       "snippets": true?, "phrase": true?, "slop": 0?}         -> /search
+       "snippets": true?, "phrase": true?, "slop": 0?,
+       "after": [score, doc_id]?}    -> /search; responses carry a
+       full-precision "next_cursor" to feed back as "after" (paging)
       {"op": "fetch", "doc_id": 7}                             -> /paper/{id}
       {"op": "explain", "query": "...", "doc_id": 7}   per-term BM25 parts
       {"op": "enrich", "ids": [3, 9]}                          -> /enrich
@@ -78,12 +80,16 @@ def _serve_loop(ray, args, stdin, stdout) -> int:
                             req["query"], int(req.get("k", 10)),
                             int(req.get("slop", 0)))
                     else:
+                        after = req.get("after")
+                        if after is not None:
+                            after = (float(after[0]), int(after[1]))
                         hits = searcher.search(req["query"],
                                                int(req.get("k", 10)),
                                                req.get("mode", "or"),
                                                req.get("method", "auto"),
                                                req.get("filter_id"),
-                                               req.get("exclude"))
+                                               req.get("exclude"),
+                                               after)
                     rows = [{"rank": i, "doc_id": h.doc_id,
                              "score": round(h.score, 6)}
                             for i, h in enumerate(hits, 1)]
@@ -95,7 +101,14 @@ def _serve_loop(ray, args, stdin, stdout) -> int:
                             if doc is not None:
                                 row.update(make_snippet(doc.get("text", ""),
                                                         req["query"]))
-                    respond({"results": rows})
+                    # full-precision cursor for search-after paging (the
+                    # display score is rounded; the cursor must round-trip
+                    # the raw float — json repr does, exactly)
+                    resp = {"results": rows}
+                    if hits and not req.get("phrase"):
+                        resp["next_cursor"] = [hits[-1].score,
+                                               hits[-1].doc_id]
+                    respond(resp)
                 elif op == "explain":
                     respond({"explain": searcher.explain(
                         req["query"], int(req["doc_id"]))})

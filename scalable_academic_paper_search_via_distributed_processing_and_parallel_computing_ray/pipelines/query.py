@@ -130,6 +130,18 @@ class _BlockCursor:
         self._ids = self._tfs = None
 
 
+def _after_mask(scores: np.ndarray, doc_ids: np.ndarray,
+                after: tuple[float, int] | None) -> np.ndarray | None:
+    """Pagination cursor predicate: keep docs strictly AFTER ``after`` in
+    (score desc, doc_id asc) rank order.  Scores are raw floats — the
+    engine recomputes them identically per page, so equality at the
+    cursor is exact (no epsilon needed)."""
+    if after is None:
+        return None
+    a_s, a_d = after
+    return (scores < a_s) | ((scores == a_s) & (doc_ids > a_d))
+
+
 class _TopK:
     """Bounded top-k accumulator with (score desc, doc asc) tie-break,
     updated in bulk with numpy."""
@@ -508,10 +520,15 @@ class IndexReader:
     def search_exhaustive(self, query_text: str, k: int = 10,
                           mode: str = "or",
                           mask: np.ndarray | None = None,
-                          exclude: str | None = None) -> list[TopkResult]:
+                          exclude: str | None = None,
+                          after: tuple[float, int] | None = None
+                          ) -> list[TopkResult]:
         """Decode all query-term postings, score fully, top-k.
         ``exclude``: boolean-NOT terms (docs containing any are dropped —
-        :meth:`make_not_mask`); ANDed into ``mask``.
+        :meth:`make_not_mask`); ANDed into ``mask``.  ``after``: a
+        ``(score, doc_id)`` pagination cursor — only docs ranking
+        strictly after it are returned (search-after paging; see
+        ``_after_mask`` for why no epsilon is needed).
 
         Accumulates into a DENSE per-doc score array: posting doc_ids map to
         [0, n_local) positions via one ``searchsorted`` against the sorted
@@ -545,6 +562,8 @@ class IndexReader:
             cand = np.flatnonzero(agg > 0.0)
         if mask is not None and cand.size:
             cand = cand[mask[cand]]  # metadata filter (make_doc_mask)
+        if after is not None and cand.size:
+            cand = cand[_after_mask(agg[cand], self._doc_ids[cand], after)]
         if cand.size == 0:
             return []
         if cand.size > k:
@@ -562,7 +581,8 @@ class IndexReader:
     def search(self, query_text: str, k: int = 10, mode: str = "or",
                density_cutoff: float = 0.10,
                mask: np.ndarray | None = None,
-               exclude: str | None = None) -> list[TopkResult]:
+               exclude: str | None = None,
+               after: tuple[float, int] | None = None) -> list[TopkResult]:
         """Cost-based scorer choice: block-max WAND prunes only when scores
         are selective; on dense lists (mean df/N above the cutoff — e.g. the
         tiny-vocab synthetic corpus where every term hits most docs) every
@@ -582,8 +602,9 @@ class IndexReader:
             return []
         mean_density = sum(self._df.get(t, 0) for t in terms) / (len(terms) * max(1, self.n_docs))
         if mean_density > density_cutoff:
-            return self.search_exhaustive(query_text, k, mode, mask=mask)
-        return self.search_wand(query_text, k, mode, mask=mask)
+            return self.search_exhaustive(query_text, k, mode, mask=mask,
+                                          after=after)
+        return self.search_wand(query_text, k, mode, mask=mask, after=after)
 
     def explain(self, query_text: str, doc_id: int) -> dict | None:
         """Per-term BM25 breakdown for one document (Lucene ``explain``
@@ -627,7 +648,9 @@ class IndexReader:
     def search_wand(self, query_text: str, k: int = 10,
                     mode: str = "or",
                     mask: np.ndarray | None = None,
-                    exclude: str | None = None) -> list[TopkResult]:
+                    exclude: str | None = None,
+                    after: tuple[float, int] | None = None
+                    ) -> list[TopkResult]:
         """Block-at-a-time block-max WAND (see module docstring).
 
         ``mask`` (see :meth:`make_doc_mask`) drops filtered-out docs as each
@@ -697,6 +720,12 @@ class IndexReader:
                         np.add.at(cnt, inv, 1)
                         keep = cnt == n_terms
                         uniq, agg = uniq[keep], agg[keep]
+                    if uniq.size and after is not None:
+                        # pagination cursor: docs at/above the cursor rank
+                        # never enter the heap (theta pruning stays sound —
+                        # theta only reflects offered docs)
+                        keep_a = _after_mask(agg, uniq, after)
+                        uniq, agg = uniq[keep_a], agg[keep_a]
                     if uniq.size:
                         good = agg > theta
                         if good.any():

@@ -57,23 +57,30 @@ class QueryShardActor:
     def search(self, query_text: str, k: int, mode: str,
                method: str = "auto",
                filter_id: str | None = None,
-               exclude: str | None = None) -> list[tuple[int, float]]:
+               exclude: str | None = None,
+               after: tuple[float, int] | None = None
+               ) -> list[tuple[int, float]]:
         """``exclude``: boolean-NOT terms — each actor builds its own
         shard-LOCAL not-mask (O(local df) decode, LRU-cached), exactly as
-        filters stay local; nothing global ships per query."""
+        filters stay local; nothing global ships per query.  ``after``:
+        (score, doc_id) pagination cursor, applied locally — the driver
+        merge of local after-pages is the global after-page (shards
+        partition docs and the cursor predicate is per-doc)."""
         if filter_id is not None and filter_id not in self._masks:
             raise KeyError(f"filter {filter_id!r} not registered "
                            "(call register_filter first)")
         mask = self._masks[filter_id] if filter_id is not None else None
+        after = tuple(after) if after is not None else None
         if method == "wand":
             hits = self.reader.search_wand(query_text, k, mode, mask=mask,
-                                           exclude=exclude)
+                                           exclude=exclude, after=after)
         elif method == "exhaustive":
             hits = self.reader.search_exhaustive(query_text, k, mode,
-                                                 mask=mask, exclude=exclude)
+                                                 mask=mask, exclude=exclude,
+                                                 after=after)
         else:
             hits = self.reader.search(query_text, k, mode, mask=mask,
-                                      exclude=exclude)
+                                      exclude=exclude, after=after)
         return [(h.doc_id, h.score) for h in hits]
 
     def phrase(self, query_text: str, k: int,
@@ -135,9 +142,10 @@ class DistributedSearcher:
     def search(self, query_text: str, k: int = 10, mode: str = "or",
                method: str = "auto",
                filter_id: str | None = None,
-               exclude: str | None = None) -> list[TopkResult]:
+               exclude: str | None = None,
+               after: tuple[float, int] | None = None) -> list[TopkResult]:
         futs = [a.search.remote(query_text, k, mode, method, filter_id,
-                                exclude)
+                                exclude, after)
                 for a in self.actors]
         merged: list[tuple[int, float]] = []
         for part in ray.get(futs):

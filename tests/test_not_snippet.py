@@ -156,3 +156,53 @@ def test_explain_distributed(ray_session, index_dir, reader):
         assert ds.explain("spark", 10**15) is None
     finally:
         ds.shutdown()
+
+
+# ----------------------------------------------------- search-after paging --
+
+def _pages(search_fn, q, page, n_pages, **kw):
+    out, cursor = [], None
+    for _ in range(n_pages):
+        hits = search_fn(q, page, after=cursor, **kw)
+        if not hits:
+            break
+        out.extend(hits)
+        cursor = (hits[-1].score, hits[-1].doc_id)
+    return out
+
+
+def test_paging_equals_one_shot(reader):
+    for fn in (reader.search_exhaustive, reader.search_wand):
+        got = _fmt(_pages(fn, "spark data join", 5, 3))
+        want = _fmt(fn("spark data join", 15))
+        assert got == want, fn.__name__
+
+
+def test_paging_with_exclude(reader):
+    got = _fmt(_pages(reader.search_wand, "spark data join", 4, 3,
+                      exclude="window"))
+    want = _fmt(reader.search_wand("spark data join", 12, exclude="window"))
+    assert got == want
+
+
+def test_paging_runs_dry(reader):
+    n = len(reader.search_exhaustive("vector hash", 10_000, mode="and"))
+    pages = _pages(reader.search_exhaustive, "vector hash", 7,
+                   n // 7 + 3, mode="and")
+    assert len(pages) == n
+    assert len(set(p.doc_id for p in pages)) == n  # no dup across pages
+
+
+def test_paging_distributed_serve(ray_session, index_dir, reader):
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.serve import (
+        DistributedSearcher,
+    )
+    ds = DistributedSearcher(index_dir, num_actors=2)
+    try:
+        p1 = ds.search("spark data join", 5)
+        p2 = ds.search("spark data join", 5,
+                       after=(p1[-1].score, p1[-1].doc_id))
+        want = _fmt(reader.search("spark data join", 10))
+        assert _fmt(p1) + _fmt(p2) == want
+    finally:
+        ds.shutdown()
