@@ -305,6 +305,8 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
         import shutil
         shutil.rmtree(tmp_root, ignore_errors=True)
         ds.write_parquet(tmp_root, partition_cols=["sid"])
+        if os.environ.get("GRAFT_BUILD_STATS"):
+            print("=== phase-1 wave stats ===\n", ds.stats())
         wave1 = round(time.time() - t1, 3)
         _publish_partitions(tmp_root, pending1, docs_dir_for, DOCS_SCHEMA)
         t1s = time.time()
@@ -342,9 +344,18 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
                                    positions=params.positions),
             batch_format="pyarrow", batch_size=params.postings_batch_size)
         # the sort-based groupby emits one output partition per input block;
-        # partial-posting rows are few but heavy, so widen explicitly or the
-        # merge stage runs ~5-way on a 32-core node
-        partials = partials.repartition(params.merge_parallelism or _ncpu())
+        # partial-posting rows are few but heavy, so WIDEN when the corpus
+        # read produced fewer blocks than cores (small builds ran the merge
+        # ~5-way otherwise).  Only widen: on large corpora the read already
+        # yields blocks >> cores and an unconditional repartition SHRANK
+        # them (200 -> 32 at 1.28M docs) while paying ~50 s of remote CPU
+        # slicing the heavy list columns — measured via GRAFT_BUILD_STATS,
+        # the repartition cost rivaled the postings build itself.  Block
+        # count isn't knowable pre-execution (Ray 2.49), so the docs FILE
+        # count stands in as a lower bound on read blocks.
+        target = params.merge_parallelism or _ncpu()
+        if len(docs_files) < target:
+            partials = partials.repartition(target)
         # shard id is part of the shuffle key: ONE all-to-all covers every
         # pending shard (doc sets are disjoint across shards, so grouping by
         # (sid, term, salt) merges exactly what per-shard shuffles did)
@@ -359,6 +370,8 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
         import shutil
         shutil.rmtree(tmp_root, ignore_errors=True)
         segs.write_parquet(tmp_root, partition_cols=["sid"])
+        if os.environ.get("GRAFT_BUILD_STATS"):
+            print("=== phase-2 wave stats ===\n", segs.stats())
         wave2 = round(time.time() - t2, 3)
         _publish_partitions(tmp_root, pending2, seg_dir_for, SEGMENT_SCHEMA)
         t2s = time.time()
