@@ -94,6 +94,15 @@ def bpe_token_count(text: str) -> int:
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
+# Version of the hash64 scheme below.  hash64 feeds PERSISTED index identity
+# (stable_doc_id at stages/spimi.py, head-term salt assignment), so a scheme
+# change silently re-ids every url: extend_index over a pre-change index
+# would assign the same url a new doc_id (duplicate docs).  The build
+# manifest records this value and extend_index refuses on mismatch
+# (ADVICE r3).  History: 1 = blake2b (rounds 1-2), 2 = md5 (round 3+,
+# SQL-reproducible for the driver oracle).
+HASH_VERSION = 2
+
 
 def hash64(s: str | bytes) -> int:
     """Stable 64-bit content hash: first 8 bytes of md5, big-endian.

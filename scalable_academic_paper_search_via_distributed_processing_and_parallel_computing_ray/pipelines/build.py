@@ -54,6 +54,7 @@ from ..functions.codec import (BLOCK_SIZE, FORMAT_VERSION, EncodedPostings,
                                decode_positions, decode_postings,
                                encode_postings)
 from ..functions.extract import EXTRACTOR_VERSION
+from ..functions.textstats import HASH_VERSION
 from ..functions.tokenize import TOKENIZER_VERSION
 from ..stages.spimi import ExtractDocs, PartialPostingsBuilder
 from ..state import checkpoint as ckpt
@@ -352,9 +353,19 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
         # slicing the heavy list columns — measured via GRAFT_BUILD_STATS,
         # the repartition cost rivaled the postings build itself.  Block
         # count isn't knowable pre-execution (Ray 2.49), so the docs FILE
-        # count stands in as a lower bound on read blocks.
+        # count stands in for it.  CAVEAT (ADVICE r3): the file count is
+        # not a true lower bound — Ray can BUNDLE many small files into
+        # fewer read tasks, so a many-small-files corpus with
+        # len(files) >= target could still merge narrow.  Two mitigations:
+        # when the docs payload is small (< ~256 MB on disk) the
+        # repartition is cheap, so force it regardless of file count; for
+        # large many-small-files corpora Ray's ~200-task default read
+        # parallelism floor makes a narrow read unlikely, and
+        # params.merge_parallelism is the explicit override when it
+        # happens (visible as a narrow merge in GRAFT_BUILD_STATS).
         target = params.merge_parallelism or _ncpu()
-        if len(docs_files) < target:
+        docs_bytes = sum(os.path.getsize(f) for f in docs_files)
+        if len(docs_files) < target or docs_bytes < 256 << 20:
             partials = partials.repartition(target)
         # shard id is part of the shuffle key: ONE all-to-all covers every
         # pending shard (doc sets are disjoint across shards, so grouping by
@@ -439,6 +450,7 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
         "termdict_file": td_name,
         "tokenizer_version": TOKENIZER_VERSION,
         "extractor_version": EXTRACTOR_VERSION,
+        "hash_version": HASH_VERSION,
         "params": asdict(params),
         "n_docs": n_total,
         "avg_dl": avg_dl,
@@ -476,6 +488,28 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
     return manifest
 
 
+def _check_manifest_compat(index_dir: str, manifest: dict) -> None:
+    """Refuse to extend/compact an index whose persisted identity scheme
+    differs from this code's.  ``format_version`` covers the segment byte
+    layout; ``hash_version`` covers the hash64 scheme feeding
+    ``stable_doc_id`` and salt assignment — extending across a hash change
+    would silently assign the same url a NEW doc_id (duplicate documents,
+    broken cross-generation identity).  Legacy manifests with no
+    ``hash_version`` key predate the md5 scheme (v1 = blake2b) and are
+    rejected the same way."""
+    fv = manifest.get("format_version")
+    if fv != FORMAT_VERSION:
+        raise ValueError(
+            f"index at {index_dir} has format_version={fv!r}, this build "
+            f"writes v{FORMAT_VERSION}: incompatible — rebuild required")
+    hv = manifest.get("hash_version", 1)
+    if hv != HASH_VERSION:
+        raise ValueError(
+            f"index at {index_dir} was built with hash_version={hv!r}, "
+            f"this code hashes with v{HASH_VERSION}: doc ids / salts would "
+            "diverge across generations — rebuild required")
+
+
 def build_index(pages_path: str | list[str], index_dir: str,
                 params: BuildParams = BuildParams()) -> dict:
     """Build (or resume) the full index under ``index_dir``; returns manifest."""
@@ -508,11 +542,7 @@ def extend_index(pages_path: str | list[str], index_dir: str,
     """
     t0 = time.time()
     manifest = ckpt.read_json(os.path.join(index_dir, "manifest.json"))
-    fv = manifest.get("format_version")
-    if fv != FORMAT_VERSION:
-        raise ValueError(
-            f"index at {index_dir} has format_version={fv!r}, this build "
-            f"writes v{FORMAT_VERSION}: incompatible — rebuild required")
+    _check_manifest_compat(index_dir, manifest)
     params = BuildParams(**manifest["params"])
     if num_new_shards is None:
         num_new_shards = params.num_shards
@@ -659,11 +689,7 @@ def compact_index(index_dir: str, out_dir: str,
         raise ValueError("compaction writes a NEW index dir; out_dir must "
                          "differ from index_dir (old index stays live)")
     manifest = ckpt.read_json(os.path.join(index_dir, "manifest.json"))
-    fv = manifest.get("format_version")
-    if fv != FORMAT_VERSION:
-        raise ValueError(
-            f"index at {index_dir} has format_version={fv!r}, this build "
-            f"writes v{FORMAT_VERSION}: incompatible — rebuild required")
+    _check_manifest_compat(index_dir, manifest)
     params = BuildParams(**manifest["params"])
     n_old = int(manifest["n_shards"])
     if not (1 <= target_shards <= n_old):

@@ -294,7 +294,8 @@ def _pooled_topk(search_fn, k: int) -> pa.Table:
 
 
 def _bm25_pooled_topk(reader, query_text: str, k: int,
-                      mask=None, exclude=None) -> pa.Table:
+                      mask=None, exclude=None,
+                      max_expansions: int | None = 64) -> pa.Table:
     """WAND top-k with a QUANTIZED-score tie-safe cut.
 
     Ranks are assigned on the quantized score (score_m desc, doc_id asc),
@@ -309,7 +310,8 @@ def _bm25_pooled_topk(reader, query_text: str, k: int,
     (ties could extend past the pool), widen and refetch."""
     return _pooled_topk(
         lambda pool: reader.search_wand(query_text, pool, mask=mask,
-                                        exclude=exclude), k)
+                                        exclude=exclude,
+                                        max_expansions=max_expansions), k)
 
 
 def q_bm25_top10(sf_dir: str) -> pa.Table:
@@ -402,11 +404,14 @@ BM25_PREFIX_QUERY = "s* merge"
 def q_bm25_prefix(sf_dir: str) -> pa.Table:
     """Wildcard BM25 top-k: ``s*`` expands to an OR group over every
     dictionary term with the prefix (``IndexReader.expand_prefix`` —
-    lazy sorted-vocab bisect, df-capped in production; the cap cannot
-    bind at oracle scale so engine and SQL expand to the same set).
+    lazy sorted-vocab bisect, df-capped in production).  The oracle SQL
+    expands ``s%`` UNBOUNDED, so the engine path runs with
+    ``max_expansions=None`` too — engine and SQL expand to the same set
+    at ANY fixture vocabulary size, not just below the default cap.
     Each expansion scores with its own idf, standard multi-term union."""
     reader = documents_index(sf_dir)
-    return _bm25_pooled_topk(reader, BM25_PREFIX_QUERY, BM25_K)
+    return _bm25_pooled_topk(reader, BM25_PREFIX_QUERY, BM25_K,
+                             max_expansions=None)
 
 
 def _sql_bm25(query_text: str, k: int, doc_where: str = "",

@@ -420,6 +420,15 @@ class IndexReader:
         toks = _TOKEN_RE.findall(normalize(prefix))
         if not toks:
             return []
+        if len(toks) > 1:
+            # "data-base*" tokenizes to ["data", "base"]; silently expanding
+            # only the tail would DROP the leading tokens from the query.
+            # _rewrite_wildcards splits such words itself; direct callers
+            # get a loud error instead of silently changed results.
+            raise ValueError(
+                f"wildcard prefix {prefix!r} tokenizes to multiple tokens "
+                f"{toks}; pass the leading tokens as ordinary query terms "
+                "and expand only the final token")
         p = toks[-1]
         if self._sorted_vocab is None:
             self._sorted_vocab = sorted(self._df)
@@ -443,10 +452,18 @@ class IndexReader:
         proper OR-groups-inside-AND would need a grouped scorer."""
         if "*" not in query_text:
             return query_text
+        from ..functions.tokenize import _TOKEN_RE, normalize
         out = []
         for w in query_text.split():
             if len(w) > 1 and w.endswith("*"):
-                exp = self.expand_prefix(w[:-1], max_expansions)
+                # a wildcard word may tokenize to several tokens
+                # ("data-base*" -> ["data", "base"]): the leading tokens are
+                # ordinary query terms; only the FINAL token expands
+                toks = _TOKEN_RE.findall(normalize(w[:-1]))
+                if not toks:
+                    continue
+                out.extend(toks[:-1])
+                exp = self.expand_prefix(toks[-1], max_expansions)
                 if mode == "and" and len(exp) > 1:
                     raise ValueError(
                         f"wildcard {w!r} expands to {len(exp)} terms; "
@@ -457,15 +474,20 @@ class IndexReader:
         return " ".join(out)
 
     def _preprocess(self, query_text: str, mode: str,
-                    exclude: str | None) -> tuple[str, str | None]:
+                    exclude: str | None,
+                    max_expansions: int | None = 64
+                    ) -> tuple[str, str | None]:
         """Shared query-syntax pass for every scorer: leading-minus NOT
-        terms move into ``exclude``, ``word*`` wildcards expand.
+        terms move into ``exclude``, ``word*`` wildcards expand (capped at
+        ``max_expansions`` highest-df terms; None = unbounded, used by the
+        oracle-checked queries so engine and SQL expand identically).
         Idempotent (the rewritten text contains neither syntax), so the
         cost-based :meth:`search` can preprocess and still delegate."""
         query_text, neg = split_not_terms(query_text)
         if neg:
             exclude = f"{exclude} {neg}" if exclude else neg
-        return self._rewrite_wildcards(query_text, mode), exclude
+        return self._rewrite_wildcards(query_text, mode, max_expansions), \
+            exclude
 
     def make_not_mask(self, exclude_text: str) -> np.ndarray | None:
         """Boolean mask excluding every doc that contains ANY term of
@@ -521,7 +543,8 @@ class IndexReader:
                           mode: str = "or",
                           mask: np.ndarray | None = None,
                           exclude: str | None = None,
-                          after: tuple[float, int] | None = None
+                          after: tuple[float, int] | None = None,
+                          max_expansions: int | None = 64
                           ) -> list[TopkResult]:
         """Decode all query-term postings, score fully, top-k.
         ``exclude``: boolean-NOT terms (docs containing any are dropped —
@@ -537,7 +560,8 @@ class IndexReader:
         the O(P log P) ``np.unique`` + scatter-add that dominated latency on
         dense corpora.  Top-k via ``argpartition`` on the nonzero candidates,
         tie-broken (score desc, doc_id asc)."""
-        query_text, exclude = self._preprocess(query_text, mode, exclude)
+        query_text, exclude = self._preprocess(query_text, mode, exclude,
+                                                max_expansions)
         mask = self._mask_with_exclude(mask, exclude)
         terms = self._effective_terms(query_text, mode)
         if not terms:
@@ -582,7 +606,8 @@ class IndexReader:
                density_cutoff: float = 0.10,
                mask: np.ndarray | None = None,
                exclude: str | None = None,
-               after: tuple[float, int] | None = None) -> list[TopkResult]:
+               after: tuple[float, int] | None = None,
+               max_expansions: int | None = 64) -> list[TopkResult]:
         """Cost-based scorer choice: block-max WAND prunes only when scores
         are selective; on dense lists (mean df/N above the cutoff — e.g. the
         tiny-vocab synthetic corpus where every term hits most docs) every
@@ -595,7 +620,8 @@ class IndexReader:
         docs containing ``hive``; composes with the explicit ``exclude``
         parameter) and trailing-star words are prefix wildcards
         (``"spar*"`` expands to an OR group from the term dictionary)."""
-        query_text, exclude = self._preprocess(query_text, mode, exclude)
+        query_text, exclude = self._preprocess(query_text, mode, exclude,
+                                                max_expansions)
         mask = self._mask_with_exclude(mask, exclude)
         terms = self._effective_terms(query_text, mode)
         if not terms:
@@ -649,7 +675,8 @@ class IndexReader:
                     mode: str = "or",
                     mask: np.ndarray | None = None,
                     exclude: str | None = None,
-                    after: tuple[float, int] | None = None
+                    after: tuple[float, int] | None = None,
+                    max_expansions: int | None = 64
                     ) -> list[TopkResult]:
         """Block-at-a-time block-max WAND (see module docstring).
 
@@ -659,7 +686,8 @@ class IndexReader:
         sound — it just prunes less tightly when the surviving docs are
         sparse in a block).  ``exclude``: boolean-NOT terms, ANDed into the
         mask (same soundness argument — exclusion only removes candidates)."""
-        query_text, exclude = self._preprocess(query_text, mode, exclude)
+        query_text, exclude = self._preprocess(query_text, mode, exclude,
+                                                max_expansions)
         mask = self._mask_with_exclude(mask, exclude)
         terms = self._effective_terms(query_text, mode)
         if not terms:

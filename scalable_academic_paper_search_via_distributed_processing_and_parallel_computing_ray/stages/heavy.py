@@ -27,8 +27,10 @@ Two streaming reads of a pruned text column + a candidate-only shuffle,
 against ``term_df``'s one all-to-all of the full vocabulary; at web
 scale the reads win by orders of magnitude.
 
-The guarantee requires ``min_count >= total_tokens / k_sketch``; the
-function raises otherwise (a silent partial answer would look exact).
+The guarantee requires ``min_count > total_tokens / k_sketch`` (STRICTLY —
+the local threshold is strict, so pigeonhole only covers terms strictly
+above the floor); the function raises otherwise (a silent partial answer
+would look exact).
 """
 
 from __future__ import annotations
@@ -74,9 +76,14 @@ def heavy_terms(ds: Dataset, text_col: str = "text",
         lambda b: _batch_candidates(b, text_col, k_sketch),
         batch_format="pyarrow").to_pandas()  # O(k_sketch x batches) rows
     total_n = int(cand_df["n_tokens"].sum())
-    if min_count * k_sketch < total_n:
+    # STRICT inequality is required: the local keep condition is
+    # cnt * k > n, so pigeonhole only guarantees candidacy for terms with
+    # global count STRICTLY above total_n / k_sketch.  At equality
+    # (min_count == total_n / k_sketch) a term with count exactly
+    # min_count could evade every local threshold — raise there too.
+    if min_count * k_sketch <= total_n:
         raise ValueError(
-            f"min_count={min_count} is below the guarantee floor "
+            f"min_count={min_count} is at or below the guarantee floor "
             f"total_tokens/k_sketch = {total_n}/{k_sketch} = "
             f"{total_n / k_sketch:.1f}; heavy terms could be missed — "
             "raise k_sketch or min_count")

@@ -86,3 +86,26 @@ def test_termdict_generation_grace(split_dirs):
     tds = [f for f in os.listdir(d_base) if f.startswith("termdict-")]
     # base build + one extend: current + previous generation at most
     assert cur in tds and len(tds) <= 2
+
+
+def test_extend_refuses_hash_version_mismatch(split_dirs):
+    """Doc ids / salts derive from hash64; extending an index built under a
+    different hash scheme would re-id every url (ADVICE r3) — refuse."""
+    import json
+
+    d_base, _, _, _ = split_dirs
+    mf_path = os.path.join(d_base, "manifest.json")
+    mf = json.loads(open(mf_path).read())
+    orig = mf.get("hash_version")
+    try:
+        mf["hash_version"] = 1  # blake2b era
+        open(mf_path, "w").write(json.dumps(mf))
+        with pytest.raises(ValueError, match="hash_version"):
+            build.extend_index([], d_base)
+        del mf["hash_version"]  # legacy manifest with no key at all
+        open(mf_path, "w").write(json.dumps(mf))
+        with pytest.raises(ValueError, match="hash_version"):
+            build.extend_index([], d_base)
+    finally:
+        mf["hash_version"] = orig
+        open(mf_path, "w").write(json.dumps(mf))

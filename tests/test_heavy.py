@@ -56,3 +56,12 @@ def test_heavy_guarantee_floor_raises(ray_session):
 def test_heavy_empty_input(ray_session):
     got = heavy_terms(_mk_ds(["", "the a of"]), min_count=1, k_sketch=1000)
     assert got.num_rows == 0
+
+
+def test_heavy_guarantee_floor_equality_raises(ray_session):
+    """min_count * k_sketch == total_tokens is NOT covered by the strict
+    pigeonhole argument — must raise (ADVICE r3 boundary)."""
+    texts = ["word " * 50] * 20  # 1000 tokens
+    # min_count=125, k_sketch=8 -> 125*8 == 1000 exactly
+    with pytest.raises(ValueError, match="guarantee floor"):
+        heavy_terms(_mk_ds(texts), min_count=125, k_sketch=8)

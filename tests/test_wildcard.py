@@ -72,3 +72,31 @@ def test_wildcard_no_match_is_dropped(reader):
     a = _fmt(reader.search("zzzq* merge", 10))
     b = _fmt(reader.search("merge", 10))
     assert a == b
+
+
+def test_expand_prefix_multi_token_raises(reader):
+    """A wildcard word that tokenizes to several tokens must not silently
+    drop its leading tokens (ADVICE r3)."""
+    with pytest.raises(ValueError, match="multiple tokens"):
+        reader.expand_prefix("data-bas")
+
+
+def test_multi_token_wildcard_keeps_leading_terms(reader):
+    """'merge-s*' == query terms ['merge'] + expansions of 's' — identical
+    results to writing 'merge s*' explicitly."""
+    got = _fmt(reader.search_wand("merge-s*", 10))
+    want = _fmt(reader.search_wand("merge s*", 10))
+    assert got == want and got
+
+
+def test_uncapped_expansion_beyond_cap(reader):
+    """max_expansions=None expands past any cap (oracle parity path)."""
+    full = reader.expand_prefix("s", max_expansions=None)
+    via_query = reader.search_wand("s*", 5, max_expansions=None)
+    capped = reader.search_wand("s*", 5, max_expansions=1)
+    assert len(full) >= 2
+    # capped-to-1 expansion must not silently equal the full expansion's
+    # term set; results MAY coincide, so compare the rewritten queries
+    assert reader._rewrite_wildcards("s*", "or", None) != \
+        reader._rewrite_wildcards("s*", "or", 1)
+    assert via_query  # runs and returns hits
