@@ -161,6 +161,42 @@ def merge_postings(group: pa.Table) -> pa.Table:
     })
 
 
+class DocsCheckpointWriter:
+    """Pass-through ``map_batches`` stage that tees the docs checkpoint:
+    writes each batch into ``root/sid=K/`` hive layout as a side effect and
+    returns the batch unchanged, so extraction output flows STRAIGHT into
+    the postings builder — one pipeline, one fixed cost — while the docs
+    parquet checkpoint (resume + re-shard + point-lookup source) still gets
+    written without a separate wave or a docs re-read.
+
+    Idempotent under Ray task retries: filenames are content-addressed
+    (md5 of the batch's doc_id bytes), so a retried task overwrites its own
+    earlier files with identical content instead of duplicating rows, and
+    each file appears atomically via tmp + ``os.replace``."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        sids = (batch["sid"].to_numpy(zero_copy_only=False)
+                if "sid" in batch.column_names
+                else np.zeros(batch.num_rows, dtype=np.int32))
+        out = batch.select(
+            [c for c in batch.column_names if c in DOCS_SCHEMA.names])
+        for sid in np.unique(sids):
+            part = out.filter(pa.array(sids == sid))
+            d = os.path.join(self.root, f"sid={int(sid)}")
+            os.makedirs(d, exist_ok=True)
+            tag = hashlib.md5(
+                part["doc_id"].to_numpy(zero_copy_only=False).tobytes()
+            ).hexdigest()[:16]
+            tmp = os.path.join(d, f".part-{tag}.parquet.tmp")
+            pq.write_table(part, tmp)
+            os.replace(tmp, os.path.join(d, f"part-{tag}.parquet"))
+        return batch
+
+
 def _shard_inputs(input_paths: list[str], num_shards: int) -> list[list[str]]:
     """Deterministic shard assignment: sorted file list, round-robin."""
     files = sorted(input_paths)
@@ -235,6 +271,88 @@ def _read_corpus(files: list[str], cols: list[str]) -> rd.Dataset:
     return rd.read_parquet(files, columns=cols, include_paths=True)
 
 
+def _fused_wave(index_dir: str, shard_map: dict[int, list[str]],
+                params: BuildParams, pending: list[int],
+                docs_dir_for: dict[int, str],
+                seg_dir_for: dict[int, str]) -> None:
+    """ONE pipeline for shards needing both phases: read pages -> extract
+    -> docs checkpoint tee (:class:`DocsCheckpointWriter`) -> partial
+    postings -> salted (sid, term, salt) shuffle -> encoded segments.
+    Publishes docs dirs first, then segment dirs; done-markers stamp only
+    after both, so a crash anywhere re-runs the whole wave (the wave is the
+    unit of loss — SCALE.md)."""
+    import shutil
+    t0 = time.time()
+    all_files = [f for sid in pending for f in shard_map[sid]]
+    path_to_sid = {f: sid for sid in pending for f in shard_map[sid]}
+    schema_names = _input_schema_names(all_files[0])
+    cols = [c for c in ("doc_id", "url", "html") if c in schema_names]
+    if "html" not in schema_names:  # pre-extracted corpus (text input)
+        cols.append("text")
+    docs_tmp = os.path.join(index_dir, "_wave_docs")
+    seg_tmp = os.path.join(index_dir, "_wave_seg")
+    shutil.rmtree(docs_tmp, ignore_errors=True)
+    shutil.rmtree(seg_tmp, ignore_errors=True)
+
+    ds = _read_corpus(all_files, cols)
+    ds = ds.map_batches(ExtractDocs(path_to_sid=path_to_sid),
+                        batch_format="pyarrow",
+                        batch_size=params.extract_batch_size)
+    ds = ds.map_batches(DocsCheckpointWriter(docs_tmp),
+                        batch_format="pyarrow",
+                        batch_size=params.postings_batch_size)
+    partials = ds.map_batches(
+        PartialPostingsBuilder(num_salts=params.num_salts,
+                               head_df_frac=params.head_df_frac,
+                               positions=params.positions),
+        batch_format="pyarrow", batch_size=params.postings_batch_size)
+    # widen-only repartition before the sort-based groupby — same heuristic
+    # and caveats as the phase-2 path (see the comment there); sized on the
+    # PAGES payload since that is what this wave reads
+    target = params.merge_parallelism or _ncpu()
+    pages_bytes = sum(os.path.getsize(f) for f in all_files)
+    if len(all_files) < target or pages_bytes < 512 << 20:
+        partials = partials.repartition(target)
+    segs = partials.groupby(["sid", "term", "salt"]).map_groups(
+        merge_postings, batch_format="pyarrow")
+    # coalesce one-row map_groups blocks before the write (row-group
+    # metadata floor)
+    segs = segs.map_batches(lambda b: b, batch_format="pyarrow",
+                            batch_size=128)
+    segs.write_parquet(seg_tmp, partition_cols=["sid"])
+    if os.environ.get("GRAFT_BUILD_STATS"):
+        print("=== fused wave stats ===\n", segs.stats())
+    wave = round(time.time() - t0, 3)
+    _publish_partitions(docs_tmp, pending, docs_dir_for, DOCS_SCHEMA)
+    _publish_partitions(seg_tmp, pending, seg_dir_for, SEGMENT_SCHEMA)
+    ts = time.time()
+
+    def _stats(sid: int) -> tuple[int, int, int, int, int, int]:
+        stat = pq.read_table(docs_dir_for[sid], columns=["doc_len"])
+        meta = pq.read_table(seg_dir_for[sid], columns=["df"])
+        seg_bytes = sum(
+            os.path.getsize(os.path.join(seg_dir_for[sid], f))
+            for f in os.listdir(seg_dir_for[sid]) if f.endswith(".parquet"))
+        return (sid, stat.num_rows,
+                int(pc.sum(stat["doc_len"]).as_py() or 0),
+                meta.num_rows, int(pc.sum(meta["df"]).as_py() or 0),
+                seg_bytes)
+
+    for sid, n_docs, sum_dl, n_rows, n_post, seg_bytes in \
+            _threaded(_stats, pending):
+        ckpt.update_shard_record(
+            index_dir, sid, input_files=shard_map[sid],
+            n_docs=n_docs, sum_dl=sum_dl,
+            n_term_shards=n_rows, n_postings=n_post, seg_bytes=seg_bytes,
+            bytes_per_posting=round(seg_bytes / max(1, n_post), 3),
+            format_version=FORMAT_VERSION, positions=params.positions,
+            fused_wave_secs=wave)
+        ckpt.mark_done(docs_dir_for[sid])
+        ckpt.mark_done(seg_dir_for[sid])
+    ckpt.update_shard_record(index_dir, pending[0],
+                             wave_stats_secs=round(time.time() - ts, 3))
+
+
 def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
                   params: BuildParams) -> None:
     """Run phase 1 + phase 2 for the given {shard_id: input files}, skipping
@@ -282,11 +400,31 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
                     f"requests positions={params.positions}: use a fresh "
                     "index_dir to change the positional flag")
 
-    # ---- phase 1: extract + doc stats (one wave pipeline, resumable) ------
     docs_dir_for = {sid: os.path.join(ckpt.shard_dir(index_dir, sid), "docs")
                     for sid in shard_ids}
-    pending1 = [sid for sid in shard_ids
-                if not ckpt.is_done(docs_dir_for[sid])]
+    seg_dir_for = {sid: os.path.join(ckpt.shard_dir(index_dir, sid), "seg")
+                   for sid in shard_ids}
+    pending_docs = [sid for sid in shard_ids
+                    if not ckpt.is_done(docs_dir_for[sid])]
+    pending_segs = [sid for sid in shard_ids
+                    if not ckpt.is_done(seg_dir_for[sid])]
+
+    # ---- fused wave: shards needing BOTH docs and segments (the common
+    # fresh-build / extend case) run extract -> docs checkpoint (side-effect
+    # tee) -> partials -> shuffle -> segments as ONE pipeline: the two-wave
+    # split paid the per-pipeline fixed cost (scheduling + shuffle ramp,
+    # ~5.5 s measured in BASELINE.md) twice per build AND re-read the docs
+    # parquet it had just written.  Phases overlap naturally now — the term
+    # shuffle's map side consumes extraction output as it streams.
+    fused = [sid for sid in pending_docs if sid in set(pending_segs)]
+    if fused:
+        _fused_wave(index_dir, shard_map, params, fused,
+                    docs_dir_for, seg_dir_for)
+
+    # ---- phase 1 only: docs pending but segments already done (rare —
+    # manual surgery on a built index); keeps the old two-wave path alive
+    # for it and for phase-2-only resumes below.
+    pending1 = [sid for sid in pending_docs if sid not in set(fused)]
     if pending1:
         t1 = time.time()
         all_files = [f for sid in pending1 for f in shard_map[sid]]
@@ -325,11 +463,9 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
         ckpt.update_shard_record(index_dir, pending1[0],
                                  phase1_stats_secs=round(time.time() - t1s, 3))
 
-    # ---- phase 2: partial postings -> salted shuffle -> segments ----------
-    seg_dir_for = {sid: os.path.join(ckpt.shard_dir(index_dir, sid), "seg")
-                   for sid in shard_ids}
-    pending2 = [sid for sid in shard_ids
-                if not ckpt.is_done(seg_dir_for[sid])]
+    # ---- phase 2 only: docs done, segments pending (resume after a crash
+    # between the old phases, or a deleted/invalidated seg dir) ------------
+    pending2 = [sid for sid in pending_segs if sid not in set(fused)]
     if pending2:
         t2 = time.time()
         dir_to_sid = {docs_dir_for[sid]: sid for sid in pending2}

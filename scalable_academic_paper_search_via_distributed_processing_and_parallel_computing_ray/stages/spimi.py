@@ -127,6 +127,10 @@ class PartialPostingsBuilder:
         self.positions = bool(positions)
 
     def _sids(self, batch: pa.Table) -> np.ndarray:
+        if "sid" in batch.column_names:
+            # fused single-wave build: extraction already tagged each row
+            return batch["sid"].to_numpy(zero_copy_only=False) \
+                .astype(np.int32)
         if self.dir_to_sid is not None and "path" in batch.column_names:
             import os
             return np.fromiter(
