@@ -262,12 +262,19 @@ def _input_schema_names(first_file: str) -> list[str]:
     return list(pq.ParquetFile(first_file).schema_arrow.names)
 
 
-def _read_corpus(files: list[str], cols: list[str]) -> rd.Dataset:
+def _read_corpus(files: list[str], cols: list[str],
+                 num_blocks: int | None = None) -> rd.Dataset:
     """read_parquet with projection pushdown, or read_json for JSONL corpora
     (SURVEY.md §2.1 S1 — JSONL has no column pruning; projection happens in
-    the first map)."""
+    the first map).  ``num_blocks`` pins the read parallelism — the fused
+    build wave uses it to size the sort-shuffle partition count at the
+    READ (free) instead of repartitioning heavy partial postings (an extra
+    all-to-all that cost ~40% at low parallelism, measured x256 @ 8 CPUs)."""
     if files[0].endswith(_JSON_EXTS):
         return rd.read_json(files, include_paths=True)
+    if num_blocks is not None:
+        return rd.read_parquet(files, columns=cols, include_paths=True,
+                               override_num_blocks=num_blocks)
     return rd.read_parquet(files, columns=cols, include_paths=True)
 
 
@@ -294,7 +301,18 @@ def _fused_wave(index_dir: str, shard_map: dict[int, list[str]],
     shutil.rmtree(docs_tmp, ignore_errors=True)
     shutil.rmtree(seg_tmp, ignore_errors=True)
 
-    ds = _read_corpus(all_files, cols)
+    # Block-count discipline: the sort-based groupby emits one partition
+    # per input block, so the merge width is decided HERE, at the read —
+    # where changing it is free — not by repartitioning the heavy partial
+    # postings afterwards (measured x256: that extra all-to-all cost ~40%
+    # wall at 8 CPUs while Ray's default ~200-task parallelism floor made
+    # the sort overhead-bound at 32).  One read task per input file,
+    # floored at 2x cores for small many-shard builds; files are the
+    # natural shard-layout unit, so at web scale this is just "one block
+    # per crawl file".
+    target = params.merge_parallelism or _ncpu()
+    num_blocks = max(2 * target, len(all_files))
+    ds = _read_corpus(all_files, cols, num_blocks=num_blocks)
     ds = ds.map_batches(ExtractDocs(path_to_sid=path_to_sid),
                         batch_format="pyarrow",
                         batch_size=params.extract_batch_size)
@@ -306,13 +324,6 @@ def _fused_wave(index_dir: str, shard_map: dict[int, list[str]],
                                head_df_frac=params.head_df_frac,
                                positions=params.positions),
         batch_format="pyarrow", batch_size=params.postings_batch_size)
-    # widen-only repartition before the sort-based groupby — same heuristic
-    # and caveats as the phase-2 path (see the comment there); sized on the
-    # PAGES payload since that is what this wave reads
-    target = params.merge_parallelism or _ncpu()
-    pages_bytes = sum(os.path.getsize(f) for f in all_files)
-    if len(all_files) < target or pages_bytes < 512 << 20:
-        partials = partials.repartition(target)
     segs = partials.groupby(["sid", "term", "salt"]).map_groups(
         merge_postings, batch_format="pyarrow")
     # coalesce one-row map_groups blocks before the write (row-group
@@ -471,38 +482,26 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
         dir_to_sid = {docs_dir_for[sid]: sid for sid in pending2}
         docs_files = [f for sid in pending2
                       for f in _list_parquet(docs_dir_for[sid])]
+        # Merge width is pinned at the READ (one block per docs file,
+        # floored at 2x cores) — the sort-based groupby emits one output
+        # partition per input block, and sizing blocks here is free while
+        # repartitioning the heavy partial postings afterwards paid an
+        # extra all-to-all (~40% wall at 8 CPUs, x256 measured) and Ray's
+        # ~200-task parallelism floor over-split the sort at 32.  This
+        # also closes the ADVICE r3 caveat: override_num_blocks is an
+        # exact pin, not a file-count proxy Ray's bundling could defeat.
+        target = params.merge_parallelism or _ncpu()
         docs = rd.read_parquet(docs_files,
                                columns=["doc_id", "text", "doc_len"],
-                               include_paths=True)
+                               include_paths=True,
+                               override_num_blocks=max(2 * target,
+                                                       len(docs_files)))
         partials = docs.map_batches(
             PartialPostingsBuilder(num_salts=params.num_salts,
                                    head_df_frac=params.head_df_frac,
                                    dir_to_sid=dir_to_sid,
                                    positions=params.positions),
             batch_format="pyarrow", batch_size=params.postings_batch_size)
-        # the sort-based groupby emits one output partition per input block;
-        # partial-posting rows are few but heavy, so WIDEN when the corpus
-        # read produced fewer blocks than cores (small builds ran the merge
-        # ~5-way otherwise).  Only widen: on large corpora the read already
-        # yields blocks >> cores and an unconditional repartition SHRANK
-        # them (200 -> 32 at 1.28M docs) while paying ~50 s of remote CPU
-        # slicing the heavy list columns — measured via GRAFT_BUILD_STATS,
-        # the repartition cost rivaled the postings build itself.  Block
-        # count isn't knowable pre-execution (Ray 2.49), so the docs FILE
-        # count stands in for it.  CAVEAT (ADVICE r3): the file count is
-        # not a true lower bound — Ray can BUNDLE many small files into
-        # fewer read tasks, so a many-small-files corpus with
-        # len(files) >= target could still merge narrow.  Two mitigations:
-        # when the docs payload is small (< ~256 MB on disk) the
-        # repartition is cheap, so force it regardless of file count; for
-        # large many-small-files corpora Ray's ~200-task default read
-        # parallelism floor makes a narrow read unlikely, and
-        # params.merge_parallelism is the explicit override when it
-        # happens (visible as a narrow merge in GRAFT_BUILD_STATS).
-        target = params.merge_parallelism or _ncpu()
-        docs_bytes = sum(os.path.getsize(f) for f in docs_files)
-        if len(docs_files) < target or docs_bytes < 256 << 20:
-            partials = partials.repartition(target)
         # shard id is part of the shuffle key: ONE all-to-all covers every
         # pending shard (doc sets are disjoint across shards, so grouping by
         # (sid, term, salt) merges exactly what per-shard shuffles did)

@@ -18,10 +18,9 @@ Scale notes baked into the design:
 * hot buckets are bounded (``max_df`` shingle cap, ``max_bucket`` LSH cap)
   — the dropped mass is the standard recall/cost dial;
 * no step materializes anything corpus-sized on the driver; connected
-  components (minhash groups) run driver-side ONLY over candidate pairs,
-  which are orders of magnitude smaller than the corpus (documented
-  assumption; an iterative min-label-propagation groupby replaces it when
-  pairs themselves overflow the driver).
+  components (minhash groups) run distributed min-label propagation
+  (:mod:`stages.cc`) when the verified pair set exceeds one block, and a
+  single-partition union-find (same fixpoint) below that.
 """
 
 from __future__ import annotations
@@ -229,44 +228,23 @@ def minhash_verified_pairs(ds: Dataset, threshold: float = 0.8,
         .replace_schema_metadata(meta)
 
 
-def _union_find_groups(pairs: list[tuple[int, int]]) -> dict[int, int]:
-    """Driver-side union-find over the (small) candidate pair set ->
-    {doc_id: group_min}."""
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {x: find(x) for x in parent}
-
-
 def minhash_dedup_groups(ds: Dataset, threshold: float = 0.8,
                          num_perm: int = 128, num_bands: int = 16,
                          shingle_k: int = 3, text_col: str = "text",
-                         max_bucket: int = 4096) -> pa.Table:
+                         max_bucket: int = 4096,
+                         cc_local_cap: int = 1 << 20) -> pa.Table:
     """Near-dup groups via MinHash+LSH: in-bucket-verified pairs
     (:func:`minhash_verified_pairs` — signatures ride the shuffle, hot
-    buckets capped), then connected components over the (small) verified
-    pair set on the driver.  Returns (doc_id, group_id) for docs in a
-    group (group_id = min doc_id).
+    buckets capped), then connected components over the verified pair set
+    (:mod:`stages.cc` — distributed min-label propagation when the pairs
+    exceed ``cc_local_cap``; ``0`` forces the distributed path).  Returns
+    (doc_id, group_id) for docs in a group (group_id = min doc_id).
     """
+    from .cc import connected_components
     pairs = minhash_verified_pairs(ds, threshold, num_perm, num_bands,
                                    shingle_k, text_col, max_bucket)
-    verified = list(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
-    groups = _union_find_groups(verified)
-    if not groups:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "group_id": pa.array([], pa.int64())})
-    items = sorted(groups.items())
-    return pa.table({"doc_id": pa.array([k for k, _ in items], pa.int64()),
-                     "group_id": pa.array([v for _, v in items], pa.int64())})
+    labels = connected_components(pairs, "a", "b", local_cap=cc_local_cap)
+    return labels.rename_columns(["doc_id", "group_id"])
 
 
 # ---------------------------------------------------------------- simhash ---
