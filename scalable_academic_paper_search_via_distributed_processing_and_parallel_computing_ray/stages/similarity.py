@@ -49,31 +49,49 @@ def _tie_safe_keep(cos_m: np.ndarray, k: int) -> np.ndarray:
     return cos_m >= v
 
 
-def _topk_merge(g: pd.DataFrame, k: int) -> pd.DataFrame:
+def _topk_merge(g: pa.Table, k: int) -> pa.Table:
     """Per-query merge of per-batch candidates: tie-safe quantized cut."""
-    return g[_tie_safe_keep(_quant_m(g["cos"].to_numpy()), k)]
+    cos = g["cos"].to_numpy(zero_copy_only=False)
+    return g.filter(pa.array(_tie_safe_keep(_quant_m(cos), k)))
 
 
-def _rank_quantized(merged: pd.DataFrame, k: int) -> pa.Table:
+_EMPTY_RESULT = pa.table({"query_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "cos_m": pa.array([], pa.int64())})
+
+_EMPTY_CAND = pa.table({"query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "cos": pa.array([], pa.float64())})
+
+
+def _collect_arrow(ds: Dataset) -> pa.Table:
+    """Driver-side collection of a (bounded, post-merge) candidate set."""
+    tbls = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    tbls = [t for t in tbls if t.num_rows]
+    return pa.concat_tables(tbls) if tbls else _EMPTY_CAND
+
+
+def _rank_quantized(merged: pa.Table, k: int) -> pa.Table:
     """(query_id, rank, vec_id, cos_m): rank per query on (cos_m desc,
-    vec_id asc), identical to the oracle SQL's ordering."""
-    cos = merged["cos"].to_numpy()
-    merged = merged.assign(cos_m=(np.floor(np.abs(cos) * 1000 + 0.5)
-                                  * np.sign(cos)).astype(np.int64))
-    parts = []
-    for qid, g in merged.groupby("query_id", sort=True):
-        g = g.sort_values(["cos_m", "vec_id"],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        parts.append(g[["query_id", "rank", "vec_id", "cos_m"]])
-    if not parts:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         "rank": pa.array([], pa.int64()),
-                         "vec_id": pa.array([], pa.int64()),
-                         "cos_m": pa.array([], pa.int64())})
-    out = pd.concat(parts, ignore_index=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    vec_id asc), identical to the oracle SQL's ordering.  One vectorized
+    lexsort + run-relative rank — no per-group pandas loop."""
+    if merged.num_rows == 0:
+        return _EMPTY_RESULT
+    qid = merged["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vid = merged["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cos_m = _quant_m(merged["cos"].to_numpy(zero_copy_only=False))
+    order = np.lexsort((vid, -cos_m, qid))  # qid asc, cos_m desc, vid asc
+    qid, vid, cos_m = qid[order], vid[order], cos_m[order]
+    starts = np.flatnonzero(np.r_[True, qid[1:] != qid[:-1]])
+    run_len = np.diff(np.r_[starts, qid.size])
+    rank = np.arange(qid.size, dtype=np.int64) - np.repeat(starts,
+                                                           run_len) + 1
+    keep = rank <= k
+    return pa.table({"query_id": pa.array(qid[keep], pa.int64()),
+                     "rank": pa.array(rank[keep], pa.int64()),
+                     "vec_id": pa.array(vid[keep], pa.int64()),
+                     "cos_m": pa.array(cos_m[keep], pa.int64())})
 
 
 def knn_brute(ds: Dataset, queries: np.ndarray, k: int = 10,
@@ -108,8 +126,8 @@ def knn_brute(ds: Dataset, queries: np.ndarray, k: int = 10,
                          "cos": pa.array(rows_c, pa.float64())})
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
-    merged = partials.groupby("query_id").map_groups(
-        lambda g: _topk_merge(g, k), batch_format="pandas").to_pandas()
+    merged = _collect_arrow(partials.groupby("query_id").map_groups(
+        lambda g: _topk_merge(g, k), batch_format="pyarrow"))
     return _rank_quantized(merged, k)
 
 
@@ -326,8 +344,9 @@ def _pq_rerank(index_dir: str, man: dict, q: np.ndarray,
                 rows_q.append(qi)
                 rows_v.append(int(vid))
                 rows_c.append(float(cos[qi, j]))
-    merged = pd.DataFrame({"query_id": rows_q, "vec_id": rows_v,
-                           "cos": rows_c})
+    merged = pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                       "vec_id": pa.array(rows_v, pa.int64()),
+                       "cos": pa.array(rows_c, pa.float64())})
     return _rank_quantized(merged, k)
 
 
@@ -366,8 +385,7 @@ def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
         nshort = rerank if rerank is not None else max(4 * k, 32)
         ds = _probed_cells_ds(index_dir, cells)
         if ds is None:
-            return _rank_quantized(pd.DataFrame(
-                {"query_id": [], "vec_id": [], "cos": []}), k)
+            return _EMPTY_RESULT
         ref = ray.put((lut, probe))
 
         def local_adc(b: pa.Table) -> pa.Table:
@@ -396,15 +414,13 @@ def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
 
         cand = ds.map_batches(local_adc, batch_format="pyarrow").to_pandas()
         if not len(cand):
-            return _rank_quantized(pd.DataFrame(
-                {"query_id": [], "vec_id": [], "cos": []}), k)
+            return _EMPTY_RESULT
         shortlist = (cand.sort_values("adc", ascending=False)
                      .groupby("query_id", sort=False).head(nshort))
         return _pq_rerank(index_dir, man, q, shortlist, k)
     ds = _probed_cells_ds(index_dir, cells)
     if ds is None:
-        return _rank_quantized(pd.DataFrame(
-            {"query_id": [], "vec_id": [], "cos": []}), k)
+        return _EMPTY_RESULT
     ref = ray.put((q, probe))
 
     def local_topk(b: pa.Table) -> pa.Table:
@@ -429,8 +445,8 @@ def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
                          "cos": pa.array(rows_c, pa.float64())})
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
-    merged = partials.groupby("query_id").map_groups(
-        lambda g: _topk_merge(g, k), batch_format="pandas").to_pandas()
+    merged = _collect_arrow(partials.groupby("query_id").map_groups(
+        lambda g: _topk_merge(g, k), batch_format="pyarrow"))
     return _rank_quantized(merged, k)
 
 
