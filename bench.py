@@ -34,6 +34,30 @@ REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "16"))
 NUM_SHARDS = int(os.environ.get("GRAFT_BENCH_SHARDS", "4"))
 
 
+REPS = int(os.environ.get(
+    "GRAFT_BENCH_REPS", "1" if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")
+    else "3"))
+
+
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
+def _timed_reps(fn, reps: int = REPS) -> tuple[float, list[float]]:
+    """Run ``fn`` ``reps`` times -> (median_secs, all_secs).  Median-of-N
+    with the raw samples kept so BENCH json carries dispersion — VM
+    weather is visible in the artifact itself, not reconstructed from
+    prose (VERDICT r3 #7)."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return _median(ts), [round(t, 3) for t in ts]
+
+
 def run_bench() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -68,11 +92,15 @@ def run_bench() -> dict:
 
     # ---- headline: full index build (extract -> SPIMI -> shuffle -> segs)
     idx_dir = f"/dev/shm/graft_bench_idx_{NUM_CPUS}"
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    t0 = time.time()
-    manifest = build.build_index(pdir, idx_dir,
-                                 build.BuildParams(num_shards=NUM_SHARDS))
-    t_build = time.time() - t0
+    disp: dict[str, list[float]] = {}
+    manifest = {}
+
+    def one_build():
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        manifest.update(build.build_index(
+            pdir, idx_dir, build.BuildParams(num_shards=NUM_SHARDS)))
+
+    t_build, disp["index_build"] = _timed_reps(one_build)
     n_docs = manifest["n_docs"]
     out["index_build"] = round(t_build, 3)
 
@@ -136,10 +164,13 @@ def run_bench() -> dict:
     # merge; no text re-read) — the maintenance op a long-lived index runs
     if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         cdir = f"/dev/shm/graft_bench_idx_c{NUM_CPUS}"
-        shutil.rmtree(cdir, ignore_errors=True)
-        t0 = time.time()
-        build.compact_index(idx_dir, cdir, target_shards=1)
-        out["compact"] = round(time.time() - t0, 3)
+
+        def one_compact():
+            shutil.rmtree(cdir, ignore_errors=True)
+            build.compact_index(idx_dir, cdir, target_shards=1)
+
+        t_c, disp["compact"] = _timed_reps(one_compact)
+        out["compact"] = round(t_c, 3)
         shutil.rmtree(cdir, ignore_errors=True)
 
     # ---- sample of the other pipelines at the raw sf dir
@@ -149,11 +180,14 @@ def run_bench() -> dict:
         "dedup_minhash", "corpus_clean")
     for name in names:
         fn = dict(Q.registry()[0].items())[name]
-        t0 = time.time()
-        res = fn(SF_DIR)
-        if hasattr(res, "count"):
-            res.count()  # consume lazy Datasets
-        out[name] = round(time.time() - t0, 3)
+
+        def one_q(fn=fn):
+            res = fn(SF_DIR)
+            if hasattr(res, "count"):
+                res.count()  # consume lazy Datasets
+
+        t_q, disp[name] = _timed_reps(one_q)
+        out[name] = round(t_q, 3)
 
     result = {
         "metric": "index-build secs + BM25 p50 on Common-Crawl-style pages",
@@ -168,6 +202,8 @@ def run_bench() -> dict:
         "bm25_selective_p50_ms": sel_p50_ms,
         "serve_p50_ms": round(serve_p50_ms, 2),
         "serve_qps_8clients": serve_qps,
+        "reps": REPS,
+        "dispersion_sec": disp,
     }
     ray.shutdown()
     return result
