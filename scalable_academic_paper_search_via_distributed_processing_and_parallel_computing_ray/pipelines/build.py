@@ -56,8 +56,10 @@ from ..functions.codec import (BLOCK_SIZE, FORMAT_VERSION, EncodedPostings,
 from ..functions.extract import EXTRACTOR_VERSION
 from ..functions.textstats import HASH_VERSION
 from ..functions.tokenize import TOKENIZER_VERSION
+from ..stages.groupagg import sorted_groupby_agg
 from ..stages.spimi import ExtractDocs, PartialPostingsBuilder
 from ..state import checkpoint as ckpt
+from ..state import termdict as termdict_mod
 
 DOCS_SCHEMA = pa.schema([
     ("doc_id", pa.int64()),
@@ -99,6 +101,11 @@ class BuildParams:
     # roughly double the posting payload — at open-web scale you opt in
     # per index, you don't pay for it everywhere.
     positions: bool = False
+    # summed per-shard vocab rows (parquet footers only) above which the
+    # termdict finalize aggregates DISTRIBUTED instead of on the driver
+    # (SCALE.md switch point 1 — same partitioned output layout either
+    # way; 0 forces distributed, used by tests)
+    termdict_dist_threshold: int = 4_000_000
 
 
 def _ncpu() -> int:
@@ -558,31 +565,63 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
                     {"n_docs": n_total, "sum_dl": sum_dl, "avg_dl": avg_dl})
 
     # global term dictionary (term -> global df) so shard-subset readers /
-    # query actors score with the GLOBAL idf; one row per term.
-    seg_tables = _threaded(
-        lambda sid: pq.read_table(
-            os.path.join(ckpt.shard_dir(index_dir, sid), "seg"),
-            columns=["term", "df"]),
-        list(range(n_shards)))
-    if not seg_tables:  # zero shards (no input files): empty-but-valid index
-        seg_tables = [pa.schema([("term", pa.string()),
-                                 ("df", pa.int64())]).empty_table()]
-    termdict = pa.concat_tables(seg_tables).group_by("term") \
-        .aggregate([("df", "sum")]).rename_columns(["term", "df"])
-    # Versioned filename + tmp/os.replace so the atomic MANIFEST publish is
+    # query actors score with the GLOBAL idf.  Partitioned layout (a dir
+    # of term-range parts + parts.json — state/termdict.py): the driver
+    # merges only when the summed vocab rows (parquet FOOTERS, no data
+    # read) fit ``termdict_dist_threshold``; above it the aggregation is
+    # a distributed sorted_groupby_agg whose range-ordered blocks each
+    # write one part, and the driver only ever sees O(parts) metadata —
+    # SCALE.md switch point 1, flipped.
+    seg_files = [os.path.join(ckpt.shard_dir(index_dir, sid), "seg", f)
+                 for sid in range(n_shards)
+                 for f in sorted(os.listdir(
+                     os.path.join(ckpt.shard_dir(index_dir, sid), "seg")))
+                 if f.endswith(".parquet")]
+    vocab_rows = sum(pq.ParquetFile(f).metadata.num_rows
+                     for f in seg_files)
+    # Versioned dirname + tmp/os.replace so the atomic MANIFEST publish is
     # the single commit point: a reader holding the old manifest keeps
-    # reading the old termdict file; a crash mid-finalize leaves only an
-    # orphan file, never a torn or mismatched (df vs n_docs) pair.
-    td_name = f"termdict-{uuid.uuid4().hex[:12]}.parquet"
+    # reading the old termdict dir; a crash mid-finalize leaves only an
+    # orphan dir, never a torn or mismatched (df vs n_docs) pair.
+    td_name = f"termdict-{uuid.uuid4().hex[:12]}"
     td_tmp = os.path.join(index_dir, td_name + ".tmp")
-    pq.write_table(termdict.sort_by("term"), td_tmp)
+    os.makedirs(td_tmp, exist_ok=True)
+    if vocab_rows == 0:  # zero shards / empty corpus: empty-but-valid dict
+        termdict_mod.publish_parts(td_tmp, [])
+    elif vocab_rows <= params.termdict_dist_threshold:
+        seg_tables = _threaded(
+            lambda f: pq.read_table(f, columns=["term", "df"]), seg_files)
+        termdict = pa.concat_tables(seg_tables).group_by("term") \
+            .aggregate([("df", "sum")]).rename_columns(["term", "df"]) \
+            .sort_by("term")
+        termdict_mod.publish_parts(
+            td_tmp, [termdict_mod.write_part(td_tmp, termdict)])
+    else:
+        ds = rd.read_parquet(seg_files, columns=["term", "df"])
+        agg = sorted_groupby_agg(ds, ["term"], [("df", "sum", "df")])
+
+        def write_one(t: pa.Table, _dir=td_tmp) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"file": pa.array([], pa.string()),
+                                 "lo": pa.array([], pa.string()),
+                                 "hi": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            m = termdict_mod.write_part(_dir, t)
+            return pa.table({"file": [m["file"]], "lo": [m["lo"]],
+                             "hi": [m["hi"]], "n": [m["n"]]})
+
+        metas = agg.map_batches(write_one, batch_format="pyarrow",
+                                batch_size=None).take_all()
+        termdict_mod.publish_parts(
+            td_tmp, [{"file": m["file"], "lo": m["lo"], "hi": m["hi"],
+                      "n": int(m["n"])} for m in metas])
     os.replace(td_tmp, os.path.join(index_dir, td_name))
 
     n_postings = sum(r.get("n_postings", 0) for r in recs)
     seg_bytes = sum(r.get("seg_bytes", 0) for r in recs)
     manifest = {
         "format_version": FORMAT_VERSION,
-        "termdict_file": td_name,
+        "termdict_dir": td_name,
         "tokenizer_version": TOKENIZER_VERSION,
         "extractor_version": EXTRACTOR_VERSION,
         "hash_version": HASH_VERSION,
@@ -606,18 +645,22 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
     mf_path = os.path.join(index_dir, "manifest.json")
     if os.path.exists(mf_path):
         try:
-            # legacy manifests (no termdict_file key) used the fixed name
-            prev_td = ckpt.read_json(mf_path).get("termdict_file",
-                                                  "termdict.parquet")
+            old = ckpt.read_json(mf_path)
+            # single-file generations used termdict_file (and before
+            # that the fixed name termdict.parquet)
+            prev_td = old.get("termdict_dir") or old.get(
+                "termdict_file", "termdict.parquet")
         except (OSError, ValueError):
             prev_td = None
     ckpt.write_json(mf_path, manifest)
+    import shutil
     keep = {td_name, prev_td}
     for f in os.listdir(index_dir):
         if ((f == "termdict.parquet" or f.startswith("termdict-"))
                 and f not in keep):
+            p = os.path.join(index_dir, f)
             try:
-                os.unlink(os.path.join(index_dir, f))
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
             except OSError:
                 pass
     return manifest

@@ -43,6 +43,7 @@ from ..functions.codec import (FORMAT_VERSION, EncodedPostings, decode_block,
                                decode_positions, decode_postings)
 from ..functions.tokenize import tokenize_filtered
 from ..state import checkpoint as ckpt
+from ..state.termdict import TermDict
 
 _UB_MARGIN = 1.0 + 1e-5  # float32 block-max bounds -> widen before pruning
 _I64MAX = np.iinfo(np.int64).max
@@ -262,14 +263,21 @@ class IndexReader:
                 for rb in pq.read_table(f).to_batches():
                     self._load_seg_batch(rb)
         # lazy readers can't sum local df incrementally; subset readers must
-        # score with GLOBAL df — both take it from termdict
+        # score with GLOBAL df — both take it from the termdict.  The
+        # partitioned layout (termdict_dir, state/termdict.py) loads parts
+        # on demand — nothing vocabulary-sized is materialized up front;
+        # legacy single-file manifests still load eagerly into a dict.
         if shard_subset is not None or self._lazy:
-            td_path = os.path.join(
-                index_dir,
-                self.manifest.get("termdict_file", "termdict.parquet"))
-            td = pq.read_table(td_path)
-            self._df = dict(zip(td["term"].to_pylist(),
-                                (int(x) for x in td["df"].to_pylist())))
+            td_dir = self.manifest.get("termdict_dir")
+            if td_dir is not None:
+                self._df = TermDict(os.path.join(index_dir, td_dir))
+            else:
+                td_path = os.path.join(
+                    index_dir,
+                    self.manifest.get("termdict_file", "termdict.parquet"))
+                td = pq.read_table(td_path)
+                self._df = dict(zip(td["term"].to_pylist(),
+                                    (int(x) for x in td["df"].to_pylist())))
 
     def _has_term(self, t: str) -> bool:
         return t in (self._loc if self._lazy else self._postings)
@@ -430,6 +438,18 @@ class IndexReader:
                 f"{toks}; pass the leading tokens as ordinary query terms "
                 "and expand only the final token")
         p = toks[-1]
+        if isinstance(self._df, TermDict):
+            # partition-aware path: touches only the term-range parts the
+            # prefix can live in — the whole point of the partitioned
+            # termdict (nothing vocabulary-sized is materialized)
+            matches = self._df.prefix_items(p)
+            out = [t for t, _ in matches]
+            if max_expansions is not None and len(out) > max_expansions:
+                dfm = dict(matches)
+                out = sorted(out,
+                             key=lambda t: (-dfm[t], t))[:max_expansions]
+                out.sort()
+            return out
         if self._sorted_vocab is None:
             self._sorted_vocab = sorted(self._df)
         sv = self._sorted_vocab

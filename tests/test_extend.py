@@ -80,7 +80,7 @@ def test_termdict_generation_grace(split_dirs):
 
     d_base, _, _, _ = split_dirs
     with open(os.path.join(d_base, "manifest.json")) as f:
-        cur = json.load(f)["termdict_file"]
+        cur = json.load(f)["termdict_dir"]
     assert cur.startswith("termdict-") and os.path.exists(
         os.path.join(d_base, cur))
     tds = [f for f in os.listdir(d_base) if f.startswith("termdict-")]

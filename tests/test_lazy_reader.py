@@ -20,7 +20,8 @@ def test_lazy_equals_eager(ray_session, index_dir):
     eager = query.IndexReader(index_dir)
     lazy = query.IndexReader(index_dir, lazy=True)
     assert lazy.n_docs == eager.n_docs
-    assert lazy._df == eager._df, "lazy df (termdict) != eager local sums"
+    assert dict(lazy._df.items()) == eager._df, \
+        "lazy df (termdict) != eager local sums"
     for q in QUERY_SET:
         for method in ("search_wand", "search_exhaustive"):
             got = _fmt(getattr(lazy, method)(q["query_text"], q["k"], q["mode"]))
