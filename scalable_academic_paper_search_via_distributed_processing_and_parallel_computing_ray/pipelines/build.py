@@ -56,6 +56,7 @@ from ..functions.codec import (BLOCK_SIZE, FORMAT_VERSION, EncodedPostings,
 from ..functions.extract import EXTRACTOR_VERSION
 from ..functions.textstats import HASH_VERSION
 from ..functions.tokenize import TOKENIZER_VERSION
+from ..sources import fragments
 from ..stages.groupagg import sorted_groupby_agg
 from ..stages.spimi import ExtractDocs, PartialPostingsBuilder
 from ..state import checkpoint as ckpt
@@ -106,6 +107,17 @@ class BuildParams:
     # (SCALE.md switch point 1 — same partitioned output layout either
     # way; 0 forces distributed, used by tests)
     termdict_dist_threshold: int = 4_000_000
+    # doc id scheme (SCALE.md switch point 2).  "auto" = input doc_id
+    # column when present, else 62-bit url hash (birthday bound ~10^5
+    # collisions at 10^12 docs); "sharded" = collision-free-by-
+    # construction (file_seq << 40) | row_in_file from the append-only
+    # file ledger (sources/fragments.py) — the web-scale setting.
+    doc_id_mode: str = "auto"
+    # verify global doc_id uniqueness at finalize (one distributed
+    # sorted count over the docs checkpoints): catches url-hash
+    # collisions / duplicate inputs loudly instead of silently merging
+    # two documents.  Off by default — "sharded" ids can't collide.
+    verify_doc_ids: bool = False
 
 
 def _ncpu() -> int:
@@ -319,7 +331,27 @@ def _fused_wave(index_dir: str, shard_map: dict[int, list[str]],
     # per crawl file".
     target = params.merge_parallelism or _ncpu()
     num_blocks = max(2 * target, len(all_files))
-    ds = _read_corpus(all_files, cols, num_blocks=num_blocks)
+    if params.doc_id_mode == "sharded":
+        # position-based collision-free ids (SCALE.md switch point 2):
+        # read via row-group fragments that synthesize doc_id from the
+        # generation-persistent file ledger; any input doc_id column is
+        # deliberately ignored
+        if all_files[0].endswith(_JSON_EXTS):
+            raise ValueError(
+                "doc_id_mode='sharded' requires parquet input (row-group "
+                "offsets drive the id assignment); JSONL corpora use the "
+                "url-hash scheme")
+        seq_of = {f: i for i, f in
+                  enumerate(fragments.load_ledger(index_dir))}
+        missing = [f for f in all_files if f not in seq_of]
+        if missing:
+            raise RuntimeError(
+                f"{len(missing)} input files absent from the doc-id "
+                "ledger — build_index/extend_index must extend it first")
+        ds = fragments.read_fragments(
+            all_files, [c for c in cols if c != "doc_id"], seq_of)
+    else:
+        ds = _read_corpus(all_files, cols, num_blocks=num_blocks)
     ds = ds.map_batches(ExtractDocs(path_to_sid=path_to_sid),
                         batch_format="pyarrow",
                         batch_size=params.extract_batch_size)
@@ -364,7 +396,7 @@ def _fused_wave(index_dir: str, shard_map: dict[int, list[str]],
             n_term_shards=n_rows, n_postings=n_post, seg_bytes=seg_bytes,
             bytes_per_posting=round(seg_bytes / max(1, n_post), 3),
             format_version=FORMAT_VERSION, positions=params.positions,
-            fused_wave_secs=wave)
+            doc_id_mode=params.doc_id_mode, fused_wave_secs=wave)
         ckpt.mark_done(docs_dir_for[sid])
         ckpt.mark_done(seg_dir_for[sid])
     ckpt.update_shard_record(index_dir, pending[0],
@@ -417,6 +449,12 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
                     f"positions={bool(rec.get('positions'))}, this build "
                     f"requests positions={params.positions}: use a fresh "
                     "index_dir to change the positional flag")
+            if rec.get("doc_id_mode", "auto") != params.doc_id_mode:
+                raise ValueError(
+                    f"shard {sid} was built with doc_id_mode="
+                    f"{rec.get('doc_id_mode', 'auto')!r}, this build "
+                    f"requests {params.doc_id_mode!r}: mixing id schemes "
+                    "re-ids documents — use a fresh index_dir")
 
     docs_dir_for = {sid: os.path.join(ckpt.shard_dir(index_dir, sid), "docs")
                     for sid in shard_ids}
@@ -550,11 +588,40 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
                                  phase2_stats_secs=round(time.time() - t2s, 3))
 
 
+def _verify_unique_doc_ids(index_dir: str, n_shards: int) -> None:
+    """Global doc_id uniqueness over every shard's docs checkpoint: one
+    distributed sorted count on the id column, raising with examples on
+    any duplicate.  Catches url-hash collisions (62-bit birthday bound)
+    and accidentally re-ingested inputs LOUDLY instead of silently
+    merging two documents' postings (``BuildParams.verify_doc_ids``)."""
+    docs_files = [os.path.join(ckpt.shard_dir(index_dir, sid), "docs", f)
+                  for sid in range(n_shards)
+                  for f in sorted(os.listdir(
+                      os.path.join(ckpt.shard_dir(index_dir, sid), "docs")))
+                  if f.endswith(".parquet")]
+    if not docs_files:
+        return
+    counts = sorted_groupby_agg(
+        rd.read_parquet(docs_files, columns=["doc_id"]),
+        ["doc_id"], [("doc_id", "count", "n")])
+    bad = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)),
+        batch_format="pyarrow").take(5)
+    if bad:
+        ex = ", ".join(str(r["doc_id"]) for r in bad)
+        raise ValueError(
+            f"duplicate doc_ids detected across the corpus (e.g. {ex}): "
+            "url-hash collision or re-ingested input — dedup the corpus "
+            "or switch to doc_id_mode='sharded'")
+
+
 def _finalize(index_dir: str, n_shards: int, params: BuildParams,
               t0: float) -> dict:
     """Global stats + term dictionary + manifest over ALL shards (cheap:
     O(shards) lineage records + O(vocab) seg metadata)."""
     tf0 = time.time()
+    if params.verify_doc_ids:
+        _verify_unique_doc_ids(index_dir, n_shards)
     recs = [ckpt.read_shard_record(index_dir, sid) for sid in range(n_shards)]
     n_total = sum(r["n_docs"] for r in recs)
     sum_dl = sum(r["sum_dl"] for r in recs)
@@ -697,6 +764,10 @@ def build_index(pages_path: str | list[str], index_dir: str,
         paths.extend(_list_parquet(p))
     shards = _shard_inputs(paths, params.num_shards)
     os.makedirs(index_dir, exist_ok=True)
+    if params.doc_id_mode == "sharded":
+        # the ledger is written BEFORE any shard builds so file_seq -> ids
+        # are identical on fresh, resumed, and extended runs
+        fragments.extend_ledger(index_dir, paths)
     _build_shards(index_dir, dict(enumerate(shards)), params)
     return _finalize(index_dir, len(shards), params, t0)
 
@@ -730,6 +801,14 @@ def extend_index(pages_path: str | list[str], index_dir: str,
     base = int(manifest["n_shards"])
     new_shards = _shard_inputs(paths, num_new_shards)
     shard_map = {base + i: files for i, files in enumerate(new_shards)}
+    if params.doc_id_mode == "sharded":
+        ledger = set(fragments.load_ledger(index_dir))
+        dup = [f for f in paths if f in ledger]
+        if dup:
+            raise ValueError(
+                f"{len(dup)} input files already indexed (e.g. {dup[0]}) — "
+                "extending with them would duplicate every row's doc_id")
+        fragments.extend_ledger(index_dir, paths)
     _build_shards(index_dir, shard_map, params)
     return _finalize(index_dir, base + len(new_shards), params, t0)
 

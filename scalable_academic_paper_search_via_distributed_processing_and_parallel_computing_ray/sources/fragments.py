@@ -1,0 +1,128 @@
+"""Row-group-fragment parquet reader that ASSIGNS doc ids by position.
+
+SCALE.md switch point 2, flipped: the default doc id is a 62-bit url
+hash (``stages/spimi.py:stable_doc_id``) whose birthday bound at 10^12
+docs is ~10^5 expected collisions.  ``BuildParams(doc_id_mode=
+"sharded")`` switches the build to ids that are collision-free BY
+CONSTRUCTION::
+
+    doc_id = (file_seq << ROW_BITS) | row_in_file
+
+``file_seq`` is the file's index in the generation-persistent file
+ledger (``doc_id_files.json`` — append-only across extends, so ids
+never repeat between generations) and ``row_in_file`` comes from the
+parquet row-group offsets, which are deterministic regardless of task
+scheduling.  2^23 files x 2^40 rows/file keeps every id a positive
+int64; the codec and query path only need orderable int64s.
+
+The reader fans out ONE task per row group (the natural parallelism
+unit of a parquet corpus) via ``from_items(fragment metadata) ->
+map_batches(read fragment)``: the driver touches only footers
+(O(files)), never data.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data import Dataset
+
+ROW_BITS = 40
+MAX_FILE_SEQ = (1 << 23) - 1  # ids stay positive int64
+
+
+def sharded_doc_ids(file_seq: int, row_off: int, n: int) -> np.ndarray:
+    if file_seq > MAX_FILE_SEQ:
+        raise ValueError(
+            f"file_seq {file_seq} exceeds {MAX_FILE_SEQ} — widen ROW_BITS "
+            "split or shard the ledger")
+    if row_off + n > (1 << ROW_BITS):
+        raise ValueError(
+            f"file rows {row_off + n} exceed 2^{ROW_BITS} — one parquet "
+            "file holds too many rows for the id split")
+    base = (file_seq << ROW_BITS) | row_off
+    return base + np.arange(n, dtype=np.int64)
+
+
+def fragment_items(files: list[str], seq_of: dict[str, int]) -> list[dict]:
+    """One item per parquet row group: (file, file_seq, rg index, row
+    offset, rows).  Footer-only driver scan, threaded."""
+
+    def one(f: str) -> list[dict]:
+        md = pq.ParquetFile(f).metadata
+        out, off = [], 0
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            out.append({"file": f, "file_seq": seq_of[f], "rg": rg,
+                        "row_off": off, "rows": n})
+            off += n
+        return out
+
+    with ThreadPoolExecutor(min(32, max(1, len(files)))) as ex:
+        per_file = list(ex.map(one, files))
+    return [it for sub in per_file for it in sub]
+
+
+def read_fragments(files: list[str], columns: list[str],
+                   seq_of: dict[str, int]) -> Dataset:
+    """Dataset over ``files`` reading only ``columns`` plus synthesized
+    ``doc_id`` (position-based, see module docstring) and ``path``
+    columns.  One read task per row group."""
+    items = fragment_items(files, seq_of)
+
+    def read_one(b: pa.Table) -> pa.Table:
+        out = []
+        for row in b.to_pylist():
+            t = pq.ParquetFile(row["file"]).read_row_group(
+                row["rg"], columns=columns)
+            t = t.append_column("doc_id", pa.array(
+                sharded_doc_ids(row["file_seq"], row["row_off"],
+                                t.num_rows), pa.int64()))
+            t = t.append_column("path", pa.array(
+                [row["file"]] * t.num_rows, pa.string()))
+            out.append(t)
+        return pa.concat_tables(out)
+
+    return rd.from_items(items).map_batches(read_one,
+                                            batch_format="pyarrow",
+                                            batch_size=1)
+
+
+# ------------------------------------------------------- file-seq ledger ---
+
+
+LEDGER = "doc_id_files.json"
+
+
+def load_ledger(index_dir: str) -> list[str]:
+    import json
+    p = os.path.join(index_dir, LEDGER)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)["files"]
+
+
+def extend_ledger(index_dir: str, new_files: list[str]) -> dict[str, int]:
+    """Append ``new_files`` (deduped, order-preserving) to the ledger and
+    return the full {file: seq} map.  The ledger is append-only: a file's
+    seq — and therefore its rows' doc ids — never changes across
+    resume/extend generations."""
+    import json
+    cur = load_ledger(index_dir)
+    seen = set(cur)
+    for f in new_files:
+        if f not in seen:
+            cur.append(f)
+            seen.add(f)
+    p = os.path.join(index_dir, LEDGER)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"files": cur, "row_bits": ROW_BITS}, f)
+    os.replace(tmp, p)
+    return {f: i for i, f in enumerate(cur)}
