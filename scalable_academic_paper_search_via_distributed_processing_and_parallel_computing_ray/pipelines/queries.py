@@ -1062,23 +1062,73 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMBDUP_THRESHOLD}"""
 
 
-EMBDUP_LSH_THRESHOLD = 0.9
+# same domain + threshold as embdup_cosine, so the LSH result is the
+# recall-bounded subset of the exact tile join's (the fixture's pair
+# cosines top out ~0.51; at 0.4 the 24x4-bit banding finds ~98% of them
+# — miss = (1 - p(0.4)^4)^24 with p = 1 - theta/pi).  The oracle replays
+# the banding bit-exactly, so correctness never depends on recall.
+EMBDUP_LSH_THRESHOLD = 0.4
+_LSH_BANDS, _LSH_BITS, _LSH_SEED, _LSH_MAXB = 24, 4, 42, 4096
+_EMB_DIM = 64  # embeddings.parquet fixture dimension (TESTDATA.md)
 
 
 def q_embdup_lsh(sf_dir: str) -> pa.Table:
-    """Sub-quadratic near-dup pairs over GENERATED doc embeddings: the
-    actor-pool embedder feeds hyperplane-LSH band buckets with in-bucket
-    exact verification (stages/dedup.py).  Rows-only: the embedding model
-    is engine-side, so no SQL oracle exists; recall at this threshold is
-    quantified in the HyperplaneBands docstring and the lsh-vs-exact
-    equality is asserted in tests/test_dedup.py."""
+    """Sub-quadratic near-dup pairs via hyperplane LSH with in-bucket
+    exact verification (stages/dedup.py), VALUE-ORACLED (round 4): the
+    md5-integer hyperplane scheme makes every band bucket key pure int64
+    arithmetic the SQL replays bit-for-bit — banding, the hot-bucket cap,
+    and the cosine verify are all oracle-checked (the same rebase that
+    upgraded simhash in round 3).  Recall vs the exact tile join stays
+    quantified in the HyperplaneBands docstring and asserted in
+    tests/test_dedup.py."""
     from ..stages.dedup import embedding_dup_pairs_lsh
-    from ..stages.embed import EmbedDocs
-    emb = _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(EmbedDocs, batch_format="pyarrow", concurrency=(1, 4)) \
-        .map_batches(lambda b: b.rename_columns(["vec_id", "embedding"]),
-                     batch_format="pyarrow")
-    return embedding_dup_pairs_lsh(emb, EMBDUP_LSH_THRESHOLD)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dup_pairs_lsh(
+        ds, EMBDUP_LSH_THRESHOLD, num_bands=_LSH_BANDS,
+        bits_per_band=_LSH_BITS, seed=_LSH_SEED, max_bucket=_LSH_MAXB)
+
+
+# Mirrors HyperplaneBands(scheme="md5") + bucket_pairs step for step:
+# micro-quantized components x md5-integer planes -> exact int64 dots ->
+# sign bits packed high-first -> (band, key) buckets (<= max_bucket) ->
+# distinct in-bucket pairs verified by exact cosine.
+SQL_EMBDUP_LSH = f"""WITH q AS (
+  SELECT vec_id, jj.j AS j,
+         CAST(ROUND(embedding[jj.j + 1] * 1000000) AS BIGINT) AS ei
+  FROM embeddings CROSS JOIN (SELECT unnest(range({_EMB_DIM})) AS j) jj
+),
+pl AS (
+  SELECT kk.k AS k, jj.j AS j,
+         ((('0x' || substr(md5('lshplane:{_LSH_SEED}:' || kk.k || ':' || jj.j), 1, 16))::UBIGINT
+           % 65536)::BIGINT - 32768) AS h
+  FROM (SELECT unnest(range({_LSH_BANDS * _LSH_BITS})) AS k) kk
+  CROSS JOIN (SELECT unnest(range({_EMB_DIM})) AS j) jj
+),
+dots AS (
+  SELECT q.vec_id, pl.k, sum(q.ei * pl.h) AS dot
+  FROM q JOIN pl USING (j) GROUP BY q.vec_id, pl.k
+),
+keys AS (
+  SELECT vec_id, (k // {_LSH_BITS})::BIGINT AS band,
+         sum((CASE WHEN dot >= 0 THEN 1 ELSE 0 END)
+             * (1 << ({_LSH_BITS - 1} - (k % {_LSH_BITS})::INT)))::BIGINT AS key
+  FROM dots GROUP BY vec_id, k // {_LSH_BITS}
+),
+sz AS (SELECT band, key, count(*) AS n FROM keys GROUP BY band, key),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM keys a
+  JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+  JOIN sz s ON s.band = a.band AND s.key = a.key
+  WHERE s.n <= {_LSH_MAXB}
+)
+SELECT c.a, c.b,
+  CAST(ROUND(list_cosine_similarity(ea.embedding, eb.embedding) * 1000) AS BIGINT) AS cos_m
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a
+JOIN embeddings eb ON eb.vec_id = c.b
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {EMBDUP_LSH_THRESHOLD}
+ORDER BY a, b"""
 
 
 def q_multimodal_decode(sf_dir: str) -> rd.Dataset:
@@ -1944,10 +1994,10 @@ def registry():
         "dedup_minhash": _sql_dedup_minhash(),
         "sample_hash": SQL_SAMPLE_HASH,
         "embed_hash_proj": SQL_EMBED_HASH_PROJ,
+        "embdup_lsh": SQL_EMBDUP_LSH,
         "multimodal_decode": SQL_MULTIMODAL_DECODE,
         # rows-only (non-SQL-expressible): knn_ivf, knn_ivf_pq (probe
-        # recall depends on the trained coarse quantizer), embdup_lsh
-        # (random-hyperplane recall), multimodal_decode, embed_docs,
+        # recall depends on the trained coarse quantizer), embed_docs,
         # kmeans_assign (iterative fit), sample_seeded (RNG)
     }
     return queries, oracle

@@ -613,25 +613,58 @@ class HyperplaneBands:
     with (1 - p(c)^r)^b.  Defaults (b=16, r=6): cos 0.9 -> miss 2e-5,
     cos 0.8 -> miss 1.4e-2; tune per threshold.  The vector rides along so
     verification happens inside the bucket — no second pass, no driver map.
+
+    ``scheme="md5"`` (default) derives INTEGER hyperplane coefficients
+    from :func:`functions.textstats.hash64` and projects the
+    micro-quantized raw vector — pure int64 arithmetic, so each sign bit
+    is bit-reproducible in plain SQL (the ``embdup_lsh`` oracle replays
+    the banding exactly, the same move that made simhash value-exact).
+    The sign of ``round(v*1e6) @ H`` differs from the float projection
+    only within 1e-6 of a hyperplane — immaterial for recall.
+    ``scheme="gauss"`` keeps the classic float Gaussian planes.
     """
 
     def __init__(self, num_bands: int = 16, bits_per_band: int = 6,
                  seed: int = 42, id_col: str = "vec_id",
-                 vec_col: str = "embedding"):
+                 vec_col: str = "embedding", scheme: str = "md5"):
         self.num_bands = num_bands
         self.bits = bits_per_band
         self.seed = seed
         self.id_col = id_col
         self.vec_col = vec_col
+        if scheme not in ("md5", "gauss"):
+            raise ValueError(f"unknown LSH scheme {scheme!r}")
+        self.scheme = scheme
         self._H: np.ndarray | None = None  # built on first batch (needs dim)
+
+    def _planes(self, dim: int) -> np.ndarray:
+        if self.scheme == "gauss":
+            rng = np.random.RandomState(self.seed)
+            return rng.standard_normal((dim, self.num_bands * self.bits))
+        from ..functions.textstats import hash64
+        k_total = self.num_bands * self.bits
+        vals = np.fromiter(
+            (hash64(f"lshplane:{self.seed}:{k}:{j}") % 65536
+             for k in range(k_total) for j in range(dim)),
+            np.int64, k_total * dim)
+        return (vals - 32768).reshape(k_total, dim).T  # (dim, K)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, m = _norm_rows(batch, self.id_col, self.vec_col)
         if self._H is None:
-            rng = np.random.RandomState(self.seed)
-            self._H = rng.standard_normal(
-                (m.shape[1], self.num_bands * self.bits))
-        bits = (m @ self._H >= 0.0).astype(np.uint64)
+            self._H = self._planes(m.shape[1])
+        if self.scheme == "md5":
+            # micro-quantized RAW vector (sign is normalization-invariant)
+            # x integer planes: the dot products are exact int64s — the
+            # one property that lets SQL reproduce every bucket key
+            raw = np.stack(batch[self.vec_col]
+                           .to_numpy(zero_copy_only=False)) \
+                .astype(np.float64)
+            ei = (np.floor(np.abs(raw) * 1_000_000 + 0.5)
+                  * np.sign(raw)).astype(np.int64)
+            bits = (ei @ self._H >= 0).astype(np.uint64)
+        else:
+            bits = (m @ self._H >= 0.0).astype(np.uint64)
         bits = bits.reshape(len(ids), self.num_bands, self.bits)
         key = np.zeros((len(ids), self.num_bands), dtype=np.uint64)
         for r in range(self.bits):
@@ -654,7 +687,8 @@ def embedding_dup_pairs_lsh(ds: Dataset, threshold: float = 0.9,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             seed: int = 42,
-                            max_bucket: int = 4096) -> pa.Table:
+                            max_bucket: int = 4096,
+                            scheme: str = "md5") -> pa.Table:
     """Sub-quadratic near-dup pairs: hyperplane-LSH band buckets ->
     within-bucket exact cosine verification (distributed, vectors ride the
     shuffle; the driver only sees verified pairs).  Approximate with
@@ -679,7 +713,7 @@ def embedding_dup_pairs_lsh(ds: Dataset, threshold: float = 0.9,
         fn_constructor_kwargs={"num_bands": num_bands,
                                "bits_per_band": bits_per_band,
                                "seed": seed, "id_col": id_col,
-                               "vec_col": vec_col},
+                               "vec_col": vec_col, "scheme": scheme},
         batch_format="pyarrow", concurrency=(2, 8))
 
     _EMPTY = pa.table({"a": pa.array([], pa.int64()),
