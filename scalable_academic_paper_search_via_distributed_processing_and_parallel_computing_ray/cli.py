@@ -33,8 +33,8 @@ def _ray_session(num_cpus: int | None):
 
 def _serve_loop(ray, args, stdin, stdout) -> int:
     """Dispatch newline-delimited JSON requests against long-lived serving
-    state (search actor pool + optional enrich actor).  Ops mirror the
-    reference's three endpoints:
+    state (:class:`pipelines.serve_front.ServeState` — the same dispatcher
+    behind the HTTP front).  Ops mirror the reference's three endpoints:
 
       {"op": "search", "query": "...", "k": 10, "mode": "or",
        "filter_id": "en"?, "exclude": "boolean not terms"?,
@@ -51,13 +51,9 @@ def _serve_loop(ray, args, stdin, stdout) -> int:
     One JSON object per response line; malformed requests answer
     {"error": ...} and the loop continues (a serving front must not die on
     a bad request)."""
-    from .pipelines.serve import DistributedSearcher
-    searcher = DistributedSearcher(args.index, num_actors=args.actors,
-                                   lazy=args.lazy)
-    enrich_actor = None
-    if args.analytics:
-        from .pipelines.enrich import EnrichServer
-        enrich_actor = EnrichServer.remote(args.analytics)
+    from .pipelines.serve_front import ServeState
+    state = ServeState(args.index, num_actors=args.actors, lazy=args.lazy,
+                       analytics_dir=args.analytics)
 
     def respond(obj) -> None:
         stdout.write(json.dumps(obj) + "\n")
@@ -70,78 +66,15 @@ def _serve_loop(ray, args, stdin, stdout) -> int:
                 continue
             try:
                 req = json.loads(line)
-                op = req.get("op")
-                if op == "quit":
-                    respond({"ok": True})
-                    break
-                elif op == "search":
-                    if req.get("phrase"):
-                        hits = searcher.search_phrase(
-                            req["query"], int(req.get("k", 10)),
-                            int(req.get("slop", 0)))
-                    else:
-                        after = req.get("after")
-                        if after is not None:
-                            after = (float(after[0]), int(after[1]))
-                        hits = searcher.search(req["query"],
-                                               int(req.get("k", 10)),
-                                               req.get("mode", "or"),
-                                               req.get("method", "auto"),
-                                               req.get("filter_id"),
-                                               req.get("exclude"),
-                                               after)
-                    rows = [{"rank": i, "doc_id": h.doc_id,
-                             "score": round(h.score, 6)}
-                            for i, h in enumerate(hits, 1)]
-                    if req.get("snippets"):
-                        from .functions.snippet import make_snippet
-                        from .pipelines.query import fetch_doc
-                        for row in rows:
-                            doc = fetch_doc(args.index, row["doc_id"])
-                            if doc is not None:
-                                row.update(make_snippet(doc.get("text", ""),
-                                                        req["query"]))
-                    # full-precision cursor for search-after paging (the
-                    # display score is rounded; the cursor must round-trip
-                    # the raw float — json repr does, exactly)
-                    resp = {"results": rows}
-                    if hits and not req.get("phrase"):
-                        resp["next_cursor"] = [hits[-1].score,
-                                               hits[-1].doc_id]
-                    respond(resp)
-                elif op == "explain":
-                    respond({"explain": searcher.explain(
-                        req["query"], int(req["doc_id"]))})
-                elif op == "fetch":
-                    from .pipelines.query import fetch_doc
-                    doc = fetch_doc(args.index, int(req["doc_id"]))
-                    respond({"doc": json.loads(json.dumps(doc, default=str))})
-                elif op == "enrich":
-                    if enrich_actor is None:
-                        respond({"error": "no --analytics dir configured"})
-                    else:
-                        respond({"results": ray.get(
-                            enrich_actor.enrich.remote(
-                                [int(i) for i in req["ids"]]))})
-                elif op == "register_filter":
-                    n = searcher.register_filter(
-                        str(req["filter_id"]),
-                        [int(i) for i in req["allowed_ids"]])
-                    respond({"ok": True, "allowed_docs": n})
-                elif op == "drop_filter":
-                    searcher.drop_filter(str(req["filter_id"]))
-                    respond({"ok": True})
-                elif op == "stats":
-                    respond({"actors": ray.get(
-                        [a.stats.remote() for a in searcher.actors])})
-                else:
-                    respond({"error": f"unknown op: {op!r}"})
-            except Exception as exc:  # noqa: BLE001 — serve must not die
+            except ValueError as exc:
                 respond({"error": f"{type(exc).__name__}: {exc}"})
+                continue
+            resp, quit_ = state.handle(req)
+            respond(resp)
+            if quit_:
+                break
     finally:
-        searcher.shutdown()
-        if enrich_actor is not None:
-            ray.kill(enrich_actor)
+        state.shutdown()
     return 0
 
 
@@ -214,14 +147,17 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--drop-text", action="store_true")
 
     v = sub.add_parser(
-        "serve", help="long-lived JSON front: one request per stdin line, "
-        "one JSON response per stdout line (the reference serves /search, "
-        "/paper/{id} and /enrich over FastAPI, api/combined.py:159-278 + "
-        "api/enrich.py:208-240 — no web framework ships in this sandbox, "
-        "so the same request/response shapes speak newline-delimited JSON; "
-        "an HTTP wrapper is one @app.post per op)")
+        "serve", help="long-lived serving front: newline-JSON over stdio "
+        "by default, or REAL HTTP with --http PORT (stdlib http.server — "
+        "the reference serves /search, /paper/{id} and /enrich over "
+        "FastAPI, api/combined.py:159-278 + api/enrich.py:208-240; both "
+        "fronts share one dispatcher, pipelines/serve_front.py)")
     v.add_argument("--index", required=True)
     v.add_argument("--actors", type=int, default=2)
+    v.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve real HTTP on this port instead of stdio "
+                   "(0 = ephemeral; the bound address is printed as one "
+                   "JSON line)")
     v.add_argument("--analytics", default=None,
                    help="analytics dir for the enrich op (pipelines.enrich)")
     v.add_argument("--lazy", action="store_true")
@@ -305,6 +241,11 @@ def main(argv: list[str] | None = None) -> int:
                                           drop_text=args.drop_text)
             print(json.dumps(m))
         elif args.cmd == "serve":
+            if args.http is not None:
+                from .pipelines.serve_front import run_http
+                return run_http(args.index, args.http,
+                                num_actors=args.actors, lazy=args.lazy,
+                                analytics_dir=args.analytics)
             return _serve_loop(ray, args, sys.stdin, sys.stdout)
         elif args.cmd == "fetch":
             from .pipelines.query import fetch_doc

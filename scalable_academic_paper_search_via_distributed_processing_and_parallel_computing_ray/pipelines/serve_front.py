@@ -1,0 +1,270 @@
+"""Serving front: shared op dispatcher + a real HTTP server.
+
+The reference serves FastAPI endpoints — ``POST /search`` (body
+``{query_text, top_k}``), ``GET /paper/{id}``, ``POST /enrich`` (body
+``{corpus_ids}``) — at ``api/combined.py:159-278`` / ``api/enrich.py:
+208-240``.  No web framework ships in this sandbox, so the HTTP layer is
+stdlib ``http.server.ThreadingHTTPServer``: one long-lived
+:class:`ServeState` (actor pool + optional enrich actor) dispatches for
+BOTH fronts — ``cli.py serve`` (newline-JSON over stdio) and
+``cli.py serve --http PORT`` (real HTTP; also ``run_http`` here).
+
+Routes (engine names first, reference aliases accepted):
+
+  GET  /                     -> {ok, n_docs, avg_dl, shards}
+  POST /search               -> body {query|query_text, k|top_k, mode,
+                                 phrase?, slop?, snippets?, filter_id?,
+                                 exclude?, after?}
+  GET  /search?q=...&k=...   -> same, query-string form
+  GET  /paper/{doc_id}       -> full doc row (404 when absent)
+  GET  /explain?q=...&doc_id=N
+  POST /enrich               -> body {ids|corpus_ids: [...]}
+  PUT  /filters/{filter_id}  -> body {allowed_ids: [...]}
+  DELETE /filters/{filter_id}
+  GET  /stats                -> per-actor serving stats
+
+Threading note: ``ThreadingHTTPServer`` handles each request on its own
+thread; every op is a ray.get round-trip against the shard actors, which
+serialize per actor — the same safety argument as the threaded QPS bench
+in bench.py (178-193 q/s over 8 client threads).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+
+class ServeState:
+    """Long-lived serving state + op dispatcher shared by the stdio and
+    HTTP fronts.  ``handle(req)`` -> (response dict, quit?).  Every error
+    comes back as ``{"error": ...}`` — a serving front must not die on a
+    bad request."""
+
+    def __init__(self, index_dir: str, num_actors: int = 2,
+                 lazy: bool = False, analytics_dir: str | None = None):
+        import ray
+
+        from .serve import DistributedSearcher
+        self._ray = ray
+        self.index_dir = index_dir
+        self.searcher = DistributedSearcher(index_dir,
+                                            num_actors=num_actors,
+                                            lazy=lazy)
+        self.enrich_actor = None
+        if analytics_dir:
+            from .enrich import EnrichServer
+            self.enrich_actor = EnrichServer.remote(analytics_dir)
+
+    def shutdown(self) -> None:
+        self.searcher.shutdown()
+        if self.enrich_actor is not None:
+            self._ray.kill(self.enrich_actor)
+
+    # ------------------------------------------------------------- ops ---
+
+    def handle(self, req: dict) -> tuple[dict, bool]:
+        try:
+            op = req.get("op")
+            if op == "quit":
+                return {"ok": True}, True
+            fn = getattr(self, f"_op_{op}", None)
+            if fn is None:
+                return {"error": f"unknown op: {op!r}"}, False
+            return fn(req), False
+        except Exception as exc:  # noqa: BLE001 — serve must not die
+            return {"error": f"{type(exc).__name__}: {exc}"}, False
+
+    def _op_search(self, req: dict) -> dict:
+        if req.get("phrase"):
+            hits = self.searcher.search_phrase(
+                req["query"], int(req.get("k", 10)),
+                int(req.get("slop", 0)))
+        else:
+            after = req.get("after")
+            if after is not None:
+                after = (float(after[0]), int(after[1]))
+            hits = self.searcher.search(req["query"],
+                                        int(req.get("k", 10)),
+                                        req.get("mode", "or"),
+                                        req.get("method", "auto"),
+                                        req.get("filter_id"),
+                                        req.get("exclude"),
+                                        after)
+        rows = [{"rank": i, "doc_id": h.doc_id, "score": round(h.score, 6)}
+                for i, h in enumerate(hits, 1)]
+        if req.get("snippets"):
+            from ..functions.snippet import make_snippet
+            from .query import fetch_doc
+            for row in rows:
+                doc = fetch_doc(self.index_dir, row["doc_id"])
+                if doc is not None:
+                    row.update(make_snippet(doc.get("text", ""),
+                                            req["query"]))
+        # full-precision cursor for search-after paging (display score is
+        # rounded; the cursor must round-trip the raw float — json repr
+        # does, exactly)
+        resp: dict[str, Any] = {"results": rows}
+        if hits and not req.get("phrase"):
+            resp["next_cursor"] = [hits[-1].score, hits[-1].doc_id]
+        return resp
+
+    def _op_explain(self, req: dict) -> dict:
+        return {"explain": self.searcher.explain(req["query"],
+                                                 int(req["doc_id"]))}
+
+    def _op_fetch(self, req: dict) -> dict:
+        from .query import fetch_doc
+        doc = fetch_doc(self.index_dir, int(req["doc_id"]))
+        return {"doc": json.loads(json.dumps(doc, default=str))}
+
+    def _op_enrich(self, req: dict) -> dict:
+        if self.enrich_actor is None:
+            return {"error": "no --analytics dir configured"}
+        return {"results": self._ray.get(self.enrich_actor.enrich.remote(
+            [int(i) for i in req["ids"]]))}
+
+    def _op_register_filter(self, req: dict) -> dict:
+        n = self.searcher.register_filter(
+            str(req["filter_id"]), [int(i) for i in req["allowed_ids"]])
+        return {"ok": True, "allowed_docs": n}
+
+    def _op_drop_filter(self, req: dict) -> dict:
+        self.searcher.drop_filter(str(req["filter_id"]))
+        return {"ok": True}
+
+    def _op_stats(self, req: dict) -> dict:
+        return {"actors": self._ray.get(
+            [a.stats.remote() for a in self.searcher.actors])}
+
+    def _op_root(self, req: dict) -> dict:
+        import os
+
+        from ..state import checkpoint as ckpt
+        m = ckpt.read_json(os.path.join(self.index_dir, "manifest.json"))
+        return {"ok": True, "n_docs": m["n_docs"],
+                "avg_dl": m["avg_dl"], "shards": m["n_shards"]}
+
+
+# ----------------------------------------------------------------- http ---
+
+
+def _route(method: str, path: str, qs: dict, body: dict) -> tuple[dict, int]:
+    """(HTTP request) -> (op dict for ServeState.handle, ok status).
+    Raises KeyError/ValueError on malformed input (handler answers 400)."""
+    parts = [p for p in path.split("/") if p]
+    if method == "GET" and not parts:
+        return {"op": "root"}, 200
+    if path == "/search":
+        if method == "POST":
+            req = dict(body)
+        else:
+            req = {k: v[0] if isinstance(v, list) else v
+                   for k, v in qs.items()}
+            for key in ("k", "top_k", "slop", "doc_id"):
+                if key in req:
+                    req[key] = int(req[key])
+            for key in ("phrase", "snippets"):
+                if key in req:
+                    req[key] = str(req[key]).lower() in ("1", "true", "yes")
+            if "after" in req and isinstance(req["after"], str):
+                req["after"] = json.loads(req["after"])
+        # reference aliases (api/combined.py SearchQuery)
+        if "query_text" in req:
+            req.setdefault("query", req.pop("query_text"))
+        if "q" in req:
+            req.setdefault("query", req.pop("q"))
+        if "top_k" in req:
+            req.setdefault("k", req.pop("top_k"))
+        req["op"] = "search"
+        return req, 200
+    if method == "GET" and len(parts) == 2 and parts[0] == "paper":
+        return {"op": "fetch", "doc_id": int(parts[1])}, 200
+    if method == "GET" and path.startswith("/explain"):
+        q = {k: v[0] for k, v in qs.items()}
+        return {"op": "explain", "query": q.get("q") or q["query"],
+                "doc_id": int(q["doc_id"])}, 200
+    if method == "POST" and path == "/enrich":
+        ids = body.get("ids", body.get("corpus_ids", []))
+        return {"op": "enrich", "ids": ids}, 200
+    if len(parts) == 2 and parts[0] == "filters":
+        if method == "PUT" or method == "POST":
+            return {"op": "register_filter", "filter_id": parts[1],
+                    "allowed_ids": body["allowed_ids"]}, 200
+        if method == "DELETE":
+            return {"op": "drop_filter", "filter_id": parts[1]}, 200
+    if method == "GET" and path == "/stats":
+        return {"op": "stats"}, 200
+    raise KeyError(f"no route: {method} {path}")
+
+
+def make_server(state: ServeState, port: int = 0):
+    """Build (but don't run) a ThreadingHTTPServer over ``state``.
+    Port 0 binds an ephemeral port; read ``server.server_address``."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlsplit
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet: serving logs go to metrics
+            pass
+
+        def _respond(self, code: int, obj: dict) -> None:
+            payload = json.dumps(obj).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _dispatch(self, method: str) -> None:
+            try:
+                u = urlsplit(self.path)
+                body = {}
+                n = int(self.headers.get("Content-Length") or 0)
+                if n:
+                    body = json.loads(self.rfile.read(n))
+                req, _ = _route(method, u.path, parse_qs(u.query), body)
+            except KeyError as exc:
+                return self._respond(404, {"error": str(exc)})
+            except Exception as exc:  # malformed input
+                return self._respond(
+                    400, {"error": f"{type(exc).__name__}: {exc}"})
+            resp, _quit = state.handle(req)
+            if "error" in resp:
+                code = 404 if req.get("op") == "fetch" else 400
+                return self._respond(code, resp)
+            if req.get("op") == "fetch" and resp.get("doc") is None:
+                return self._respond(404, {"error": "doc not found"})
+            self._respond(200, resp)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            self._dispatch("GET")
+
+        def do_POST(self):  # noqa: N802
+            self._dispatch("POST")
+
+        def do_PUT(self):  # noqa: N802
+            self._dispatch("PUT")
+
+        def do_DELETE(self):  # noqa: N802
+            self._dispatch("DELETE")
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def run_http(index_dir: str, port: int, num_actors: int = 2,
+             lazy: bool = False, analytics_dir: str | None = None) -> int:
+    """Blocking HTTP serve (the ``cli.py serve --http`` entrypoint)."""
+    state = ServeState(index_dir, num_actors=num_actors, lazy=lazy,
+                       analytics_dir=analytics_dir)
+    server = make_server(state, port)
+    host, bound = server.server_address[:2]
+    print(json.dumps({"serving": f"http://{host}:{bound}"}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+        state.shutdown()
+    return 0
