@@ -137,13 +137,15 @@ def run_bench() -> dict:
         DistributedSearcher,
     )
     searcher = DistributedSearcher(idx_dir, num_actors=NUM_SHARDS)
-    for q in pages.QUERY_SET:  # warm actors (index load happens here)
-        searcher.search(q["query_text"], q["k"], q["mode"])
+    for _ in range(2):  # warm actors (index load + postings cache)
+        for q in pages.QUERY_SET:
+            searcher.search(q["query_text"], q["k"], q["mode"])
     slats = []
-    for q in pages.QUERY_SET:
-        t1 = time.time()
-        searcher.search(q["query_text"], q["k"], q["mode"])
-        slats.append(time.time() - t1)
+    for _ in range(reps):
+        for q in pages.QUERY_SET:
+            t1 = time.time()
+            searcher.search(q["query_text"], q["k"], q["mode"])
+            slats.append(time.time() - t1)
     slats.sort()
     serve_p50_ms = 1000 * slats[len(slats) // 2]
 
@@ -162,7 +164,8 @@ def run_bench() -> dict:
 
     # ---- segment compaction over the just-built index (encoded-level
     # merge; no text re-read) — the maintenance op a long-lived index runs
-    if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+    if (not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")
+            or os.environ.get("GRAFT_BENCH_COMPACT")):
         cdir = f"/dev/shm/graft_bench_idx_c{NUM_CPUS}"
 
         def one_compact():
@@ -217,6 +220,7 @@ def run_scaling() -> dict:
         # VM shows ~2x run-to-run noise under load
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_HEADLINE_ONLY="1",
+                   GRAFT_BENCH_COMPACT="1",
                    GRAFT_BENCH_REPLICATE=os.environ.get(
                        "GRAFT_BENCH_REPLICATE", "256"))
         best = None
@@ -233,7 +237,7 @@ def run_scaling() -> dict:
     tput_lo = lo["docs_per_sec"]
     tput_hi = hi["docs_per_sec"]
     eff = (tput_hi / tput_lo) / (32 / 8)
-    return {
+    out = {
         "metric": "scaling efficiency, same build at num_cpus=8 vs 32",
         "n_docs": lo["n_docs"],
         "build_sec_8": lo["value"], "build_sec_32": hi["value"],
@@ -241,6 +245,15 @@ def run_scaling() -> dict:
         "bm25_p50_ms_8": lo["bm25_p50_ms"], "bm25_p50_ms_32": hi["bm25_p50_ms"],
         "scaling_efficiency": round(eff, 3),
     }
+    # segment compaction at both levels (encoded-level merge; VERDICT r3
+    # #9 — confirm it stays wide as shards grow)
+    c8 = lo["queries"].get("compact")
+    c32 = hi["queries"].get("compact")
+    if c8 and c32:
+        out["compact_sec_8"] = c8
+        out["compact_sec_32"] = c32
+        out["compact_scaling_efficiency"] = round((c8 / c32) / (32 / 8), 3)
+    return out
 
 
 if __name__ == "__main__":
