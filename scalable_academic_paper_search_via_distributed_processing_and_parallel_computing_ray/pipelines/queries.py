@@ -846,6 +846,104 @@ SELECT doc_id,
 FROM t"""
 
 
+def q_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition quality signals (Rae et al. 2021 A1.1):
+    most-frequent-token share, most-frequent-2-gram coverage, duplicate
+    5-gram fraction — the repetition filters an LLM training pipeline
+    runs alongside quality/lang-id.  Vectorized (stages/text.py:
+    batch_repetition), value-oracled."""
+    from ..stages.text import batch_repetition
+
+    def f(b: pa.Table) -> pa.Table:
+        r = batch_repetition(b["text"], b.num_rows)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "top_token_frac_m": pa.array(r["top_token_frac_m"], pa.int64()),
+            "top_2gram_frac_m": pa.array(r["top_2gram_frac_m"], pa.int64()),
+            "dup_5gram_frac_m": pa.array(r["dup_5gram_frac_m"], pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(f, batch_format="pyarrow")
+
+
+SQL_REPETITION = f"""WITH {_CTE_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+mx1 AS (SELECT doc_id, max(c) AS mx FROM tf GROUP BY doc_id),
+g2 AS (
+  SELECT doc_id, ts[i] || chr(31) || ts[i+1] AS g, count(*) AS c
+  FROM toks, unnest(range(1, len(ts))) AS r(i)
+  WHERE len(ts) >= 2 GROUP BY doc_id, g
+),
+mx2 AS (SELECT doc_id, max(c) AS mx FROM g2 GROUP BY doc_id),
+g5 AS (
+  SELECT doc_id, count(*) AS tot,
+         count(DISTINCT ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2]
+               || chr(31) || ts[i+3] || chr(31) || ts[i+4]) AS dst
+  FROM toks, unnest(range(1, len(ts) - 3)) AS r(i)
+  WHERE len(ts) >= 5 GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN d.doc_len = 0 THEN 0
+       ELSE CAST(ROUND(1000.0 * coalesce(m1.mx, 0) / d.doc_len) AS BIGINT)
+  END AS top_token_frac_m,
+  CASE WHEN d.doc_len = 0 THEN 0
+       ELSE CAST(ROUND(1000.0 * 2 * coalesce(m2.mx, 0) / d.doc_len) AS BIGINT)
+  END AS top_2gram_frac_m,
+  CASE WHEN coalesce(g5.tot, 0) = 0 THEN 0
+       ELSE CAST(ROUND(1000.0 * (g5.tot - g5.dst) / g5.tot) AS BIGINT)
+  END AS dup_5gram_frac_m
+FROM dl d
+LEFT JOIN mx1 m1 USING (doc_id)
+LEFT JOIN mx2 m2 USING (doc_id)
+LEFT JOIN g5 USING (doc_id)
+ORDER BY doc_id"""
+
+
+DECON_N = 5  # fixture docs are ~56 tokens; real pipelines use 13
+
+
+def q_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Test-set decontamination (stages/decontaminate.py): every doc
+    sharing a 5-gram with the benchmark subset (doc_id % 17 == 0 — a
+    stand-in eval suite) is tagged with its distinct-hit count.  The
+    benchmark n-gram hash set broadcasts once via ray.put; the corpus
+    side is one streaming pass, no shuffle.  Value-oracled: shingle
+    hashes are md5-reproducible."""
+    from ..stages.decontaminate import decontaminate
+    def bench_subset(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(ids % 17 == 0))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(bench_subset, batch_format="pyarrow")
+    return decontaminate(docs, bench, n=DECON_N)
+
+
+SQL_DECONTAMINATE = f"""WITH {_CTE_TOKS},
+shn AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2]
+       || chr(31) || ts[i+3] || chr(31) || ts[i+4]), 1, 16))::UBIGINT AS h
+  FROM toks, unnest(range(1, len(ts) - 3)) AS r(i)
+  WHERE len(ts) >= {DECON_N}
+  UNION
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(list_aggregate(ts, 'string_agg', chr(31))), 1, 16))::UBIGINT
+  FROM toks WHERE len(ts) BETWEEN 1 AND {DECON_N - 1}
+),
+bench AS (SELECT DISTINCT h FROM shn WHERE doc_id % 17 = 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM shn s JOIN bench USING (h) GROUP BY s.doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS contaminated
+FROM dl d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id"""
+
+
 def q_corpus_clean(sf_dir: str) -> rd.Dataset:
     """Composite cleaning pipeline (pipelines/corpus.py): quality filter
     -> exact dedup, ORACLED end-to-end; the optional MinHash near-dup
@@ -1907,6 +2005,8 @@ def registry():
         "dedup_simhash": q_dedup_simhash,
         "lang_id": q_lang_id,
         "quality": q_quality,
+        "repetition": q_repetition,
+        "decontaminate": q_decontaminate,
         "corpus_clean": q_corpus_clean,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
@@ -1968,6 +2068,8 @@ def registry():
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram": SQL_DEDUP_NGRAM,
         "quality": SQL_QUALITY,
+        "repetition": SQL_REPETITION,
+        "decontaminate": SQL_DECONTAMINATE,
         "corpus_clean": SQL_CORPUS_CLEAN,
         "lang_id": _sql_lang_id(),
         "token_count": SQL_TOKEN_COUNT,

@@ -232,3 +232,84 @@ def batch_fingerprint(texts: pa.Array | pa.ChunkedArray, n: int,
     # scalar semantics: 0 < n_tok < window => ONE shingle (the whole doc)
     n_fp[(n_tok > 0) & (n_tok < window)] = 1
     return {"simhash": sim, "n_fp": np.minimum(n_fp, keep).astype(np.int64)}
+
+
+def batch_repetition(texts: pa.Array | pa.ChunkedArray, n: int) -> dict:
+    """Gopher-style repetition quality signals per doc, milli-quantized
+    (Rae et al. 2021 §A1.1 repetition filters, re-expressed over this
+    repo's stop-filtered tokens so the SQL oracle shares one tokenizer):
+
+    * ``top_token_frac_m``  — most frequent token's share of tokens;
+    * ``top_2gram_frac_m``  — tokens covered by the most frequent 2-gram
+      (count x 2 / n_tokens; may exceed 1000 on degenerate repeats);
+    * ``dup_5gram_frac_m``  — fraction of 5-gram positions whose shingle
+      already occurred in the doc (1 - distinct/total positions).
+
+    Fully vectorized: one dictionary-encode, integer keys per (doc,
+    gram), ``np.unique`` + ``np.maximum.at`` reductions.  Quantization is
+    ``floor(1000 * num / den + 0.5)`` with the multiply FIRST — the exact
+    op order of the oracle's ``ROUND(1000.0 * num / den)``, so values are
+    bit-identical.  Docs with no tokens (or too few for a gram) emit 0.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, par = flat_tokens(texts)
+    parn = par.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tok = _bincount(parn, n).astype(np.int64)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64) \
+        if len(flat) else np.zeros(0, np.int64)
+    v = len(enc.dictionary) if len(flat) else 1
+
+    def q_m(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+        out = np.zeros(n, dtype=np.int64)
+        ok = den > 0
+        out[ok] = np.floor(1000.0 * num[ok] / den[ok] + 0.5).astype(np.int64)
+        return out
+
+    # most frequent token per doc
+    mx1 = np.zeros(n, dtype=np.int64)
+    if codes.size:
+        uk, cnt = np.unique(parn * v + codes, return_counts=True)
+        np.maximum.at(mx1, uk // v, cnt)
+
+    # most frequent 2-gram per doc (adjacent same-doc positions)
+    mx2 = np.zeros(n, dtype=np.int64)
+    if codes.size >= 2:
+        adj = parn[1:] == parn[:-1]
+        d2 = parn[:-1][adj]
+        key2 = (d2 * v + codes[:-1][adj]) * v + codes[1:][adj]
+        if key2.size:
+            order = np.lexsort((key2, d2))
+            sd, sk = d2[order], key2[order]
+            new = np.r_[True, (sd[1:] != sd[:-1]) | (sk[1:] != sk[:-1])]
+            run_id = np.cumsum(new) - 1
+            cnt2 = np.bincount(run_id)
+            np.maximum.at(mx2, sd[new], cnt2)
+
+    # duplicate 5-gram positions per doc (rolling uint64 combine over the
+    # batch-local dictionary codes — equality grouping only)
+    tot5 = np.zeros(n, dtype=np.int64)
+    dst5 = np.zeros(n, dtype=np.int64)
+    w = 5
+    if codes.size >= w:
+        th = codes.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        code5 = th[: th.size - w + 1].copy()
+        P = np.uint64(1099511628211)
+        for k in range(1, w):
+            code5 = code5 * P ^ th[k: th.size - w + 1 + k]
+        valid = parn[: th.size - w + 1] == parn[w - 1:]
+        vpar = parn[: th.size - w + 1][valid]
+        vcode = code5[valid]
+        if vcode.size:
+            tot5 = _bincount(vpar, n).astype(np.int64)
+            order = np.lexsort((vcode, vpar))
+            sp, sc = vpar[order], vcode[order]
+            new = np.r_[True, (sp[1:] != sp[:-1]) | (sc[1:] != sc[:-1])]
+            dst5 = _bincount(sp, n, mask=new).astype(np.int64)
+
+    return {
+        "top_token_frac_m": q_m(mx1, n_tok),
+        "top_2gram_frac_m": q_m(2 * mx2, n_tok),
+        "dup_5gram_frac_m": q_m(tot5 - dst5, tot5),
+    }
