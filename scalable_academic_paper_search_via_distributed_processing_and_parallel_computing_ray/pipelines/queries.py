@@ -1363,27 +1363,92 @@ FROM e_dense d JOIN e_nrm n USING (doc_id)
 ORDER BY doc_id, i"""
 
 
+_KM_K, _KM_ITERS = 8, 5
+
+
 def q_kmeans_assign(sf_dir: str) -> rd.Dataset:
-    """KMeans fit on a sample driver-side, broadcast transform of the full
-    table (reference A6/ST4, ``calculate_fwci.py:56-68``; rows-only —
-    iterative clustering is not SQL-expressible)."""
+    """KMeans fit driver-side, broadcast transform of the full table
+    (reference A6/ST4, ``calculate_fwci.py:56-68``) — VALUE-ORACLED
+    (round 4): the integer-quantized Lloyd's variant
+    (``stages/similarity.py:kmeans_hash_fit`` — md5-hash seeding, exact
+    int64 distances, ROUND(mean) centroid updates, ties to the lowest
+    index) is bit-reproducible in SQL, so the generated oracle
+    (:func:`_sql_kmeans_assign`) unrolls the SAME five iterations and
+    checks every assignment.  The float/cosine ``kmeans_fit`` remains
+    the IVF quantizer (still rows-only there, recall-bounded)."""
     import ray
 
-    from ..stages.similarity import kmeans_fit
+    from ..stages.similarity import kmeans_hash_assign, kmeans_hash_fit
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    sample = ds.limit(256).to_pandas()
-    cent = kmeans_fit(np.stack(sample["embedding"].to_numpy()), nlist=8)
+    fit = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow",
+                                                batch_size=None)))
+    cent = kmeans_hash_fit(
+        fit["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        np.stack(fit["embedding"].to_numpy(zero_copy_only=False)),
+        k=_KM_K, iters=_KM_ITERS)
     ref = ray.put(cent)
 
     def assign(b: pa.Table) -> pa.Table:
         c = ray.get(ref)
-        m = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        cell = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        m = np.stack(b["embedding"].to_numpy(zero_copy_only=False))
         return pa.table({"vec_id": b["vec_id"],
-                         "cluster": pa.array(cell, pa.int64())})
+                         "cluster": pa.array(kmeans_hash_assign(m, c),
+                                             pa.int64())})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _sql_kmeans_assign(dim: int = 64, k: int = _KM_K,
+                       iters: int = _KM_ITERS) -> str:
+    """Unrolled-Lloyd oracle: ``iters`` chained (distance -> argmin ->
+    ROUND(mean) update) CTE rounds over micro-quantized integer vectors,
+    then the final assignment.  Mirrors kmeans_hash_fit step for step —
+    all arithmetic is exact int64 (one f64 divide of exact ints per
+    centroid update), so assignments match bit-for-bit."""
+    ctes = [f"""xq AS (
+  SELECT vec_id, jj.j AS j,
+         CAST(ROUND(embedding[jj.j + 1] * 1000000) AS BIGINT) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range({dim})) AS j) jj
+)""", f"""seed AS (
+  SELECT vec_id, row_number() OVER (
+    ORDER BY ('0x' || substr(md5('kmeans:' || vec_id), 1, 16))::UBIGINT,
+             vec_id) - 1 AS cid
+  FROM embeddings
+  QUALIFY cid < {k}
+)""", """c0 AS (
+  SELECT s.cid, x.j, x.x AS c FROM seed s JOIN xq x USING (vec_id)
+)"""]
+    prev = "c0"
+    for t in range(iters):
+        ctes.append(f"""d{t} AS (
+  SELECT x.vec_id, c.cid, sum((x.x - c.c) * (x.x - c.c)) AS d2
+  FROM xq x JOIN {prev} c USING (j) GROUP BY x.vec_id, c.cid
+)""")
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{t}) WHERE rn = 1
+)""")
+        ctes.append(f"""c{t + 1} AS (
+  SELECT a.cid, x.j,
+         CAST(ROUND(sum(x.x)::DOUBLE / count(*)) AS BIGINT) AS c
+  FROM a{t} a JOIN xq x USING (vec_id) GROUP BY a.cid, x.j
+  UNION ALL
+  SELECT p.cid, p.j, p.c FROM {prev} p
+  WHERE p.cid NOT IN (SELECT DISTINCT cid FROM a{t})
+)""")
+        prev = f"c{t + 1}"
+    ctes.append(f"""df AS (
+  SELECT x.vec_id, c.cid, sum((x.x - c.c) * (x.x - c.c)) AS d2
+  FROM xq x JOIN {prev} c USING (j) GROUP BY x.vec_id, c.cid
+)""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT vec_id, cid::BIGINT AS cluster FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM df) WHERE rn = 1
+ORDER BY vec_id""")
 
 
 # ====================================================================== #
@@ -2097,9 +2162,10 @@ def registry():
         "sample_hash": SQL_SAMPLE_HASH,
         "embed_hash_proj": SQL_EMBED_HASH_PROJ,
         "embdup_lsh": SQL_EMBDUP_LSH,
+        "kmeans_assign": _sql_kmeans_assign(),
         "multimodal_decode": SQL_MULTIMODAL_DECODE,
         # rows-only (non-SQL-expressible): knn_ivf, knn_ivf_pq (probe
-        # recall depends on the trained coarse quantizer), embed_docs,
-        # kmeans_assign (iterative fit), sample_seeded (RNG)
+        # recall depends on the trained coarse quantizer), embed_docs
+        # (realistic fake model output), sample_seeded (RNG)
     }
     return queries, oracle

@@ -471,3 +471,56 @@ def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, nlist: int = 16,
         build_ivf(ds, index_dir, nlist, sample_n, id_col, vec_col, seed,
                   pq_m=pq_m)
     return ivf_search(index_dir, queries, k, nprobe, rerank=rerank)
+
+
+# --------------------------------------------------- oracle-exact k-means ---
+
+
+def quantize_m(x: np.ndarray, scale: int = 1_000_000) -> np.ndarray:
+    """Half-away-from-zero rounding to int64 (DuckDB ROUND twin)."""
+    x = np.asarray(x, dtype=np.float64)
+    return (np.floor(np.abs(x) * scale + 0.5) * np.sign(x)).astype(np.int64)
+
+
+def kmeans_hash_fit(ids: np.ndarray, x: np.ndarray, k: int = 8,
+                    iters: int = 5, salt: str = "kmeans") -> np.ndarray:
+    """Deterministic INTEGER Lloyd's k-means -> quantized centroids
+    (k, dim) int64.
+
+    Every operation is exact integer (or one f64 divide of exact ints),
+    so plain SQL replays the whole iteration bit-for-bit (the generated
+    ``kmeans_assign`` oracle unrolls it): vectors micro-quantized,
+    initial centroids = the k rows with smallest (hash64(salt:vec_id),
+    vec_id), assignment = argmin squared euclidean with ties to the
+    lowest centroid index, update = ROUND(mean) per dim with empty
+    clusters keeping their previous centroid.  The float/cosine
+    :func:`kmeans_fit` stays for IVF; this variant exists so iterative
+    clustering can be VALUE-ORACLED, not just rows-checked."""
+    from ..functions.textstats import hash64
+
+    xq = quantize_m(x)
+    h = np.fromiter((hash64(f"{salt}:{int(i)}") for i in ids),
+                    np.uint64, len(ids))
+    seed = np.lexsort((ids, h))[:min(k, len(ids))]
+    cent = xq[seed].copy()
+
+    def assign_to(c: np.ndarray) -> np.ndarray:
+        d2 = ((xq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d2, axis=1)  # first min = lowest cid (SQL tie)
+
+    for _ in range(iters):
+        a = assign_to(cent)
+        for c in range(cent.shape[0]):
+            members = xq[a == c]
+            if len(members):
+                mean = members.sum(axis=0).astype(np.float64) / len(members)
+                cent[c] = quantize_m(mean, 1)
+    return cent
+
+
+def kmeans_hash_assign(batch_x: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Final assignment of (possibly distributed) rows against broadcast
+    quantized centroids — same integer math as the fit."""
+    xq = quantize_m(batch_x)
+    d2 = ((xq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1).astype(np.int64)

@@ -131,3 +131,25 @@ def test_repetition_batch_invariant(ray_session):
                                   len(texts[i:i + 7]))[k]
                  for i in range(0, 50, 7)]
         assert np.concatenate(parts).tolist() == whole[k].tolist(), k
+
+
+def test_kmeans_hash_deterministic_and_batch_invariant(ray_session):
+    """Integer Lloyd's: same centroids on reruns; distributed assignment
+    equals a single-batch assignment (broadcast math is stateless)."""
+    import numpy as np
+
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.stages.similarity import (
+        kmeans_hash_assign,
+        kmeans_hash_fit,
+    )
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(200, 16)).astype(np.float32)
+    ids = np.arange(200, dtype=np.int64)
+    c1 = kmeans_hash_fit(ids, x, k=6, iters=4)
+    c2 = kmeans_hash_fit(ids, x, k=6, iters=4)
+    assert (c1 == c2).all()
+    whole = kmeans_hash_assign(x, c1)
+    parts = np.concatenate([kmeans_hash_assign(x[i:i + 37], c1)
+                            for i in range(0, 200, 37)])
+    assert (whole == parts).all()
+    assert len(set(whole.tolist())) > 1  # not degenerate
