@@ -134,8 +134,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="actors open lazily (on-demand row-group reads)")
 
     c = sub.add_parser("clean", help="training-data cleaning pipeline: "
-                       "quality filter -> exact dedup -> optional MinHash "
-                       "near-dup removal -> partitioned parquet + manifest")
+                       "quality filter -> optional test-set decontamination "
+                       "-> exact dedup -> optional MinHash near-dup removal "
+                       "-> partitioned parquet + manifest")
     c.add_argument("--input", required=True,
                    help="parquet file/dir with (doc_id, text)")
     c.add_argument("--out", required=True)
@@ -143,6 +144,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-stop-m", type=int, default=700)
     c.add_argument("--max-punct-m", type=int, default=300)
     c.add_argument("--near-dup", action="store_true")
+    c.add_argument("--decontaminate", default=None, metavar="PARQUET",
+                   help="benchmark/eval parquet (text column); docs sharing "
+                   "any --decon-n-gram with it are dropped")
+    c.add_argument("--decon-n", type=int, default=13)
     c.add_argument("--buckets", type=int, default=16)
     c.add_argument("--drop-text", action="store_true")
 
@@ -233,9 +238,12 @@ def main(argv: list[str] | None = None) -> int:
 
             from .pipelines import corpus
             ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+            bench = (rd.read_parquet(args.decontaminate)
+                     if args.decontaminate else None)
             cleaned = corpus.clean_corpus(
                 ds, min_tokens=args.min_tokens, max_stop_m=args.max_stop_m,
-                max_punct_m=args.max_punct_m, near_dup=args.near_dup)
+                max_punct_m=args.max_punct_m, near_dup=args.near_dup,
+                benchmark=bench, decon_n=args.decon_n)
             m = corpus.write_clean_corpus(cleaned, args.out,
                                           n_buckets=args.buckets,
                                           drop_text=args.drop_text)

@@ -62,13 +62,21 @@ def quality_filter(ds: Dataset, min_tokens: int = 5,
 def clean_corpus(ds: Dataset, min_tokens: int = 5, max_stop_m: int = 700,
                  max_punct_m: int = 300, near_dup: bool = False,
                  minhash_threshold: float = 0.8,
-                 text_col: str = "text") -> Dataset:
-    """quality filter -> exact dedup -> (optional) MinHash near-dup
-    removal.  Near-dup survivors keep the group's min doc_id, matching
-    the exact-dedup survivor rule."""
-    survivors = exact_dedup(
-        quality_filter(ds, min_tokens, max_stop_m, max_punct_m, text_col),
-        text_col=text_col)
+                 text_col: str = "text",
+                 benchmark: "Dataset | pa.Table | None" = None,
+                 decon_n: int = 13) -> Dataset:
+    """quality filter -> (optional) test-set decontamination -> exact
+    dedup -> (optional) MinHash near-dup removal.  Near-dup survivors
+    keep the group's min doc_id, matching the exact-dedup survivor rule;
+    ``benchmark`` drops every doc sharing a ``decon_n``-gram with the
+    eval set (stages/decontaminate.py) before dedup pays for it."""
+    filtered = quality_filter(ds, min_tokens, max_stop_m, max_punct_m,
+                              text_col)
+    if benchmark is not None:
+        from ..stages.decontaminate import decontaminate
+        filtered = decontaminate(filtered, benchmark, n=decon_n,
+                                 text_col=text_col, mode="drop")
+    survivors = exact_dedup(filtered, text_col=text_col)
     if not near_dup:
         return survivors
     # near-dup groups over the exact-dedup survivors; drop every member

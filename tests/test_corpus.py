@@ -71,3 +71,35 @@ def test_clean_cli(ray_session, tmp_path, capsys):
     assert rc == 0
     m = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m["n_docs"] > 0 and m["n_buckets"] == 4
+
+
+def test_clean_with_decontamination(ray_session):
+    """clean_corpus(benchmark=...) drops contaminated docs before dedup;
+    everything else flows through unchanged."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.corpus import (
+        clean_corpus,
+    )
+    rows = [
+        (0, "held out benchmark question about spark joins performance"),
+        (1, "an innocent document about window functions and sorting runs"),
+        (2, "prefix words held out benchmark question about spark joins "
+            "performance suffix words"),  # contains a benchmark 5-gram
+        (3, "another clean document mentioning columnar storage formats"),
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string())}))
+    bench = pa.table({"doc_id": pa.array([99], pa.int64()),
+                      "text": pa.array([rows[0][1]], pa.string())})
+    out = pa.concat_tables(list(
+        clean_corpus(docs, min_tokens=3, benchmark=bench, decon_n=5)
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert sorted(out["doc_id"].to_pylist()) == [1, 3]
+    # without the benchmark the contaminated docs survive
+    out2 = pa.concat_tables(list(
+        clean_corpus(docs, min_tokens=3)
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert sorted(out2["doc_id"].to_pylist()) == [0, 1, 2, 3]
