@@ -270,6 +270,34 @@ def documents_index(sf_dir: str) -> query_mod.IndexReader:
     return _IDX_CACHE[tag]
 
 
+SUGGEST_PREFIX, SUGGEST_K = "s", 10
+
+
+def q_suggest(sf_dir: str) -> pa.Table:
+    """Prefix autocomplete: top-k dictionary terms for a prefix, ordered
+    (df desc, term asc) — the suggest box in front of a search engine.
+    Serving-side op (partitioned-termdict-aware via expand_prefix);
+    value-oracled against a LIKE-prefix df ranking."""
+    reader = documents_index(sf_dir)
+    terms = reader.expand_prefix(SUGGEST_PREFIX, max_expansions=None)
+    items = sorted(((t, int(reader._df.get(t, 0))) for t in terms),
+                   key=lambda x: (-x[1], x[0]))[:SUGGEST_K]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(items) + 1, dtype=np.int64)),
+        "term": pa.array([t for t, _ in items], pa.string()),
+        "df": pa.array([d for _, d in items], pa.int64()),
+    })
+
+
+SQL_SUGGEST = f"""WITH {_CTE_TOKS},
+pdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM tok WHERE term LIKE '{SUGGEST_PREFIX}%' GROUP BY term
+)
+SELECT row_number() OVER (ORDER BY df DESC, term) AS rank, term, df::BIGINT AS df
+FROM pdf ORDER BY df DESC, term LIMIT {SUGGEST_K}"""
+
+
 def _pooled_topk(search_fn, k: int) -> pa.Table:
     """Tie-safe quantized top-k over any pooled search callable
     (``search_fn(pool) -> list[TopkResult]``); see ``_bm25_pooled_topk``."""
@@ -2061,6 +2089,7 @@ def registry():
         "bm25_filtered": q_bm25_filtered,
         "bm25_not": q_bm25_not,
         "bm25_prefix": q_bm25_prefix,
+        "suggest": q_suggest,
         "bm25_explain": q_bm25_explain,
         "phrase_search": q_phrase_search,
         "phrase_slop": q_phrase_slop,
@@ -2127,6 +2156,7 @@ def registry():
             BM25_PREFIX_QUERY, BM25_K,
             terms_sql=("SELECT DISTINCT term FROM tf "
                        "WHERE term LIKE 's%' OR term = 'merge'")),
+        "suggest": SQL_SUGGEST,
         "phrase_search": _sql_phrase(PHRASE_QUERY, BM25_K),
         "phrase_slop": _sql_phrase_slop(PHRASE_QUERY, BM25_K, PHRASE_SLOP),
         "bm25_explain": _sql_bm25_explain(BM25_QUERY, EXPLAIN_DOC_ID),

@@ -95,6 +95,16 @@ class QueryShardActor:
         """Per-term BM25 breakdown if this actor's shards hold the doc."""
         return self.reader.explain(query_text, doc_id)
 
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Prefix autocomplete over the GLOBAL dictionary (df desc, term
+        asc).  Any single actor answers globally: subset readers score
+        from the global termdict, and the partitioned-termdict reader
+        loads only the parts the prefix range touches."""
+        terms = self.reader.expand_prefix(prefix, max_expansions=None)
+        items = sorted(((t, int(self.reader._df.get(t, 0)))
+                        for t in terms), key=lambda x: (-x[1], x[0]))
+        return items[:k]
+
     def stats(self) -> dict:
         r = self.reader
         n_terms = len(r._loc) if r._lazy else len(r._postings)
@@ -138,6 +148,10 @@ class DistributedSearcher:
 
     def drop_filter(self, filter_id: str) -> None:
         ray.get([a.drop_filter.remote(filter_id) for a in self.actors])
+
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """One actor suffices — the dictionary (and df) is global."""
+        return ray.get(self.actors[0].suggest.remote(prefix, k))
 
     def search(self, query_text: str, k: int = 10, mode: str = "or",
                method: str = "auto",

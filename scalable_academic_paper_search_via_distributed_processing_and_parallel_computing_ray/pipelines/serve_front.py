@@ -21,6 +21,7 @@ Routes (engine names first, reference aliases accepted):
   POST /enrich               -> body {ids|corpus_ids: [...]}
   PUT  /filters/{filter_id}  -> body {allowed_ids: [...]}
   DELETE /filters/{filter_id}
+  GET  /suggest?q=prefix&k=N -> dictionary autocomplete (df desc)
   GET  /stats                -> per-actor serving stats
 
 Threading note: ``ThreadingHTTPServer`` handles each request on its own
@@ -133,6 +134,11 @@ class ServeState:
         self.searcher.drop_filter(str(req["filter_id"]))
         return {"ok": True}
 
+    def _op_suggest(self, req: dict) -> dict:
+        items = self.searcher.suggest(str(req["prefix"]),
+                                      int(req.get("k", 10)))
+        return {"suggestions": [{"term": t, "df": d} for t, d in items]}
+
     def _op_stats(self, req: dict) -> dict:
         return {"actors": self._ray.get(
             [a.stats.remote() for a in self.searcher.actors])}
@@ -193,6 +199,12 @@ def _route(method: str, path: str, qs: dict, body: dict) -> tuple[dict, int]:
                     "allowed_ids": body["allowed_ids"]}, 200
         if method == "DELETE":
             return {"op": "drop_filter", "filter_id": parts[1]}, 200
+    if method == "GET" and path == "/suggest":
+        q = {k: v[0] for k, v in qs.items()}
+        req = {"op": "suggest", "prefix": q.get("q") or q["prefix"]}
+        if "k" in q:
+            req["k"] = int(q["k"])
+        return req, 200
     if method == "GET" and path == "/stats":
         return {"op": "stats"}, 200
     raise KeyError(f"no route: {method} {path}")

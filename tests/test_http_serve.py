@@ -167,3 +167,20 @@ def test_concurrent_http_clients(http_base):
     with ThreadPoolExecutor(8) as ex:
         outs = list(ex.map(one, range(32)))
     assert all(o["results"] == want["results"] for o in outs)
+
+
+def test_suggest_endpoint(http_base, index_dir):
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.query import (
+        IndexReader,
+    )
+    rd_ = IndexReader(index_dir)
+    terms = rd_.expand_prefix("s", max_expansions=None)
+    want = sorted(((t, rd_._df.get(t, 0)) for t in terms),
+                  key=lambda x: (-x[1], x[0]))[:5]
+    code, obj = _get(http_base, "/suggest?q=s&k=5")
+    assert code == 200
+    got = [(s["term"], s["df"]) for s in obj["suggestions"]]
+    assert got == [(t, int(d)) for t, d in want]
+    # suggestions actually search: the top suggestion returns hits
+    code, sr = _send(http_base, "/search", {"query": got[0][0], "k": 3})
+    assert code == 200 and sr["results"]
