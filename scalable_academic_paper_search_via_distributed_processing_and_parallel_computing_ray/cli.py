@@ -167,6 +167,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="analytics dir for the enrich op (pipelines.enrich)")
     v.add_argument("--lazy", action="store_true")
 
+    dl = sub.add_parser("delete", help="tombstone-delete doc ids from a "
+                        "live index (Lucene-style soft delete; compaction "
+                        "purges)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--doc-ids", required=True,
+                    help="comma-separated doc ids")
+
     f = sub.add_parser("fetch", help="point lookup by doc_id -> JSON "
                        "(reference /paper/{id} + fetch_paper_job analog)")
     f.add_argument("--index", required=True)
@@ -248,6 +255,11 @@ def main(argv: list[str] | None = None) -> int:
                                           n_buckets=args.buckets,
                                           drop_text=args.drop_text)
             print(json.dumps(m))
+        elif args.cmd == "delete":
+            from .pipelines import build
+            m = build.delete_docs(args.index,
+                                  [int(x) for x in args.doc_ids.split(",")])
+            print(json.dumps({"n_tombstones": m["n_tombstones"]}))
         elif args.cmd == "serve":
             if args.http is not None:
                 from .pipelines.serve_front import run_http

@@ -717,6 +717,11 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
             # that the fixed name termdict.parquet)
             prev_td = old.get("termdict_dir") or old.get(
                 "termdict_file", "termdict.parquet")
+            # deletions survive an extend (extend reruns finalize; only
+            # compaction purges tombstones — it writes a FRESH out_dir)
+            if old.get("tombstone_files"):
+                manifest["tombstone_files"] = old["tombstone_files"]
+                manifest["n_tombstones"] = old.get("n_tombstones")
         except (OSError, ValueError):
             prev_td = None
     ckpt.write_json(mf_path, manifest)
@@ -834,7 +839,8 @@ def _enc_from_row(row: dict) -> EncodedPostings:
     )
 
 
-def merge_segment_rows(group: pa.Table) -> pa.Table:
+def merge_segment_rows(group: pa.Table,
+                       tombstones: np.ndarray | None = None) -> pa.Table:
     """Per-(sid, term, salt) ENCODED-level merge for compaction: decode the
     member shards' posting rows, merge-sort by doc_id, re-encode.  No
     re-extraction and no re-tokenization — compaction touches only the
@@ -849,8 +855,8 @@ def merge_segment_rows(group: pa.Table) -> pa.Table:
     is merely no tighter than the sources'.  A single-row group re-encodes
     byte-identically and is passed through untouched.
     """
-    if group.num_rows == 1:
-        return group
+    if group.num_rows == 1 and tombstones is None:
+        return group  # byte-identical passthrough (no purge requested)
     sid = group["sid"][0].as_py()
     term = group["term"][0].as_py()
     salt = group["salt"][0].as_py()
@@ -876,10 +882,19 @@ def merge_segment_rows(group: pa.Table) -> pa.Table:
     doc = np.concatenate(docs_l) if docs_l else np.zeros(0, np.int64)
     tf = np.concatenate(tfs_l) if tfs_l else np.zeros(0, np.int64)
     dl = np.concatenate(dls_l) if dls_l else np.zeros(0, np.int64)
+    flat_pos = np.concatenate(poss_l) if has_pos else None
+    if tombstones is not None and tombstones.size and doc.size:
+        pos_i = np.searchsorted(tombstones, doc)
+        pos_i[pos_i >= tombstones.size] = tombstones.size - 1
+        keep = tombstones[pos_i] != doc
+        if has_pos:
+            flat_pos = flat_pos[np.repeat(keep, tf)]
+        doc, tf, dl = doc[keep], tf[keep], dl[keep]
+        if doc.size == 0:
+            return group.slice(0, 0)  # term fully deleted: drop the row
     order = np.argsort(doc, kind="stable")
     poss_sorted = None
     if has_pos:
-        flat_pos = np.concatenate(poss_l)
         tf64 = tf.astype(np.int64)
         pstart = np.concatenate(([0], np.cumsum(tf64)))[:-1]
         lens = tf64[order]
@@ -919,6 +934,46 @@ def merge_segment_rows(group: pa.Table) -> pa.Table:
     })
 
 
+def delete_docs(index_dir: str, doc_ids) -> dict:
+    """Tombstone-delete documents from a live index (Lucene-style):
+    deleted ids never surface from search / fetch / phrase / explain,
+    but global statistics (n_docs, avg_dl, df) keep counting them until
+    :func:`compact_index` purges — so scores of surviving docs are
+    UNCHANGED by a delete, and no segment byte is rewritten (O(deleted)
+    cost, not O(index)).
+
+    The tombstone set is one sorted parquet file; each delete rewrites
+    it union-merged under a fresh versioned name and republishes the
+    manifest atomically (same one-generation reader grace as the
+    termdict).  Ids not present in the index are inert.  The reference
+    has no deletion at all — its pipeline rebuilds from raw text.
+    """
+    mf_path = os.path.join(index_dir, "manifest.json")
+    manifest = ckpt.read_json(mf_path)
+    _check_manifest_compat(index_dir, manifest)
+    new = np.unique(np.fromiter((int(x) for x in doc_ids),
+                                dtype=np.int64))
+    from .query import load_tombstones
+    merged = np.union1d(load_tombstones(index_dir, manifest), new)
+    name = f"tombstones-{uuid.uuid4().hex[:12]}.parquet"
+    tmp = os.path.join(index_dir, name + ".tmp")
+    pq.write_table(pa.table({"doc_id": pa.array(merged, pa.int64())}), tmp)
+    os.replace(tmp, os.path.join(index_dir, name))
+    prev = manifest.get("tombstone_files", [])
+    manifest["tombstone_files"] = [name]
+    manifest["n_tombstones"] = int(merged.size)
+    ckpt.write_json(mf_path, manifest)
+    keep = set(prev[-1:]) | {name}  # one-generation grace
+    for f in os.listdir(index_dir):
+        if f.startswith("tombstones-") and f.endswith(".parquet") \
+                and f not in keep:
+            try:
+                os.unlink(os.path.join(index_dir, f))
+            except OSError:
+                pass
+    return manifest
+
+
 def compact_index(index_dir: str, out_dir: str,
                   target_shards: int = 1) -> dict:
     """Merge an index's shards into ``target_shards`` new shards under a
@@ -951,6 +1006,10 @@ def compact_index(index_dir: str, out_dir: str,
     n_old = int(manifest["n_shards"])
     if not (1 <= target_shards <= n_old):
         raise ValueError(f"target_shards must be in [1, {n_old}]")
+    from .query import load_tombstones
+    tombstones = load_tombstones(index_dir, manifest)
+    if not tombstones.size:
+        tombstones = None  # fast path: encoded-level merge, file-copy docs
     groups = [list(g) for g in
               np.array_split(np.arange(n_old), target_shards)]
     os.makedirs(out_dir, exist_ok=True)
@@ -967,12 +1026,29 @@ def compact_index(index_dir: str, out_dir: str,
         dest = docs_dir_for[g]
         shutil.rmtree(dest, ignore_errors=True)
         os.makedirs(dest, exist_ok=True)
+        n_docs_g, sum_dl_g = 0, 0
         for sid in members:
             src = os.path.join(ckpt.shard_dir(index_dir, sid), "docs")
             for f in sorted(os.listdir(src)):
-                if f.endswith(".parquet"):
+                if not f.endswith(".parquet"):
+                    continue
+                if tombstones is None:
                     shutil.copy2(os.path.join(src, f),
                                  os.path.join(dest, f"m{sid:04d}-{f}"))
+                else:
+                    # purge pass: drop tombstoned rows while copying
+                    t = pq.read_table(os.path.join(src, f))
+                    ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                        .astype(np.int64)
+                    pos_i = np.searchsorted(tombstones, ids)
+                    pos_i[pos_i >= tombstones.size] = tombstones.size - 1
+                    t = t.filter(pa.array(tombstones[pos_i] != ids))
+                    pq.write_table(t, os.path.join(dest, f"m{sid:04d}-{f}"))
+                    n_docs_g += t.num_rows
+                    sum_dl_g += int(pc.sum(t["doc_len"]).as_py() or 0)
+        if tombstones is None:
+            n_docs_g = sum(old_recs[sid]["n_docs"] for sid in members)
+            sum_dl_g = sum(old_recs[sid]["sum_dl"] for sid in members)
         ckpt.update_shard_record(
             out_dir, g,
             source_index=index_dir,
@@ -980,8 +1056,8 @@ def compact_index(index_dir: str, out_dir: str,
             input_files=sorted(
                 f for sid in members
                 for f in old_recs[sid].get("input_files", [])),
-            n_docs=sum(old_recs[sid]["n_docs"] for sid in members),
-            sum_dl=sum(old_recs[sid]["sum_dl"] for sid in members))
+            n_docs=n_docs_g,
+            sum_dl=sum_dl_g)
         ckpt.mark_done(docs_dir_for[g])
 
     # ---- segments: one merge wave over every pending new shard ------------
@@ -1010,8 +1086,15 @@ def compact_index(index_dir: str, out_dir: str,
         segs = rd.read_parquet(seg_files, include_paths=True) \
             .map_batches(_retag, batch_format="pyarrow")
         segs = segs.repartition(params.merge_parallelism or _ncpu())
+        if tombstones is None:
+            merge_fn = merge_segment_rows
+        else:
+            ts_ref = ray.put(tombstones)  # broadcast once, read per task
+
+            def merge_fn(g: pa.Table) -> pa.Table:
+                return merge_segment_rows(g, ray.get(ts_ref))
         segs = segs.groupby(["sid", "term", "salt"]) \
-            .map_groups(merge_segment_rows, batch_format="pyarrow")
+            .map_groups(merge_fn, batch_format="pyarrow")
         # coalesce one-row map_groups blocks before the write (row-group
         # metadata floor — same fix as phase 2)
         segs = segs.map_batches(lambda b: b, batch_format="pyarrow",

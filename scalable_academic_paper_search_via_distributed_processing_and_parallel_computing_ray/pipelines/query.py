@@ -63,6 +63,19 @@ def split_not_terms(query_text: str) -> tuple[str, str]:
     return " ".join(pos), " ".join(neg)
 
 
+def load_tombstones(index_dir: str, manifest: dict) -> np.ndarray:
+    """Sorted unique deleted doc_ids from the manifest's tombstone files
+    (``build.delete_docs``); empty array when none."""
+    files = manifest.get("tombstone_files", [])
+    if not files:
+        return np.zeros(0, dtype=np.int64)
+    parts = [pq.read_table(os.path.join(index_dir, f),
+                           columns=["doc_id"])["doc_id"]
+             .to_numpy(zero_copy_only=False).astype(np.int64)
+             for f in files]
+    return np.unique(np.concatenate(parts))
+
+
 def fetch_doc(index_dir: str, doc_id: int) -> dict | None:
     """Point lookup by doc_id over the per-shard docs tables (SURVEY.md §2.4
     J6/J8).  The reference spawns a fresh spark-submit per request and
@@ -71,8 +84,12 @@ def fetch_doc(index_dir: str, doc_id: int) -> dict | None:
     the scan (predicate pushdown) and no new process or session is needed.
     Returns the doc row as a dict, or None."""
     shards_root = os.path.join(index_dir, "shards")
-    n_shards = int(ckpt.read_json(
-        os.path.join(index_dir, "manifest.json"))["n_shards"])
+    manifest = ckpt.read_json(os.path.join(index_dir, "manifest.json"))
+    ts = load_tombstones(index_dir, manifest)
+    if ts.size and np.searchsorted(ts, int(doc_id)) < ts.size \
+            and ts[np.searchsorted(ts, int(doc_id))] == int(doc_id):
+        return None  # deleted (build.delete_docs tombstone)
+    n_shards = int(manifest["n_shards"])
     for s in (f"shard-{i:04d}" for i in range(n_shards)):
         t = pq.read_table(os.path.join(shards_root, s, "docs"),
                           filters=[("doc_id", "==", int(doc_id))])
@@ -278,6 +295,16 @@ class IndexReader:
                 td = pq.read_table(td_path)
                 self._df = dict(zip(td["term"].to_pylist(),
                                     (int(x) for x in td["df"].to_pylist())))
+        # tombstones (build.delete_docs): a local live-mask ANDed into
+        # every search via _mask_with_exclude.  Lucene-style semantics —
+        # deleted docs never surface but global stats (df, avg_dl) keep
+        # counting them until compaction purges (scores stay stable).
+        ts = load_tombstones(index_dir, self.manifest)
+        self._live: np.ndarray | None = None
+        if ts.size:
+            pos = np.searchsorted(ts, self._doc_ids)
+            pos[pos >= ts.size] = ts.size - 1
+            self._live = ts[pos] != self._doc_ids
 
     def _has_term(self, t: str) -> bool:
         return t in (self._loc if self._lazy else self._postings)
@@ -534,6 +561,11 @@ class IndexReader:
 
     def _mask_with_exclude(self, mask: np.ndarray | None,
                            exclude: str | None) -> np.ndarray | None:
+        """Effective allowed-mask: user filter AND boolean-NOT terms AND
+        the tombstone live-mask (deleted docs never surface — every
+        search entry point funnels through here)."""
+        if self._live is not None:
+            mask = self._live if mask is None else (mask & self._live)
         if not exclude:
             return mask
         nm = self.make_not_mask(exclude)
@@ -664,6 +696,8 @@ class IndexReader:
         pos = int(np.searchsorted(self._doc_ids, doc_id))
         if pos >= self._doc_ids.size or self._doc_ids[pos] != doc_id:
             return None
+        if self._live is not None and not self._live[pos]:
+            return None  # tombstoned (build.delete_docs)
         dl = int(self._doc_lens[pos])
         parts, total = [], 0.0
         for t in self._effective_terms(query_text, "or") or []:
@@ -906,6 +940,7 @@ class IndexReader:
                 f"index at {self.index_dir} was built without positions; "
                 "rebuild with BuildParams(positions=True) to serve phrase "
                 "queries")
+        mask = self._mask_with_exclude(mask, None)  # folds the live-mask
         seq = list(tokenize_filtered(query_text))
         if not seq:
             return []
