@@ -1426,13 +1426,81 @@ def q_kmeans_assign(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
-def _sql_kmeans_assign(dim: int = 64, k: int = _KM_K,
-                       iters: int = _KM_ITERS) -> str:
-    """Unrolled-Lloyd oracle: ``iters`` chained (distance -> argmin ->
-    ROUND(mean) update) CTE rounds over micro-quantized integer vectors,
-    then the final assignment.  Mirrors kmeans_hash_fit step for step —
-    all arithmetic is exact int64 (one f64 divide of exact ints per
-    centroid update), so assignments match bit-for-bit."""
+IVF_HASH_NPROBE = 3
+
+
+def q_knn_ivf_hash(sf_dir: str) -> pa.Table:
+    """IVF top-k over the deterministic integer quantizer, VALUE-ORACLED
+    (round 4): cell assignment, per-query nprobe probe ranking (exact
+    int64 centroid distances, ties to the lowest cid) and the in-cell
+    exact cosine top-k are all replayed bit-for-bit by
+    :func:`_sql_knn_ivf_hash` — the first value-exact approximate-NN
+    entry (``knn_ivf``/``knn_ivf_pq`` keep the float/FAISS-style path,
+    rows-only by recall).  Fit is driver-side on the small embeddings
+    table; assignment + candidate scoring are the distributed
+    broadcast-and-map_batches pattern of knn_brute."""
+    import ray
+
+    from ..stages.similarity import (
+        _collect_arrow,
+        _normalize,
+        _quant_m,
+        _rank_quantized,
+        _tie_safe_keep,
+        _topk_merge,
+        kmeans_hash_assign,
+        kmeans_hash_fit,
+        quantize_m,
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    fit = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow",
+                                                batch_size=None)))
+    ids = fit["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = np.stack(fit["embedding"].to_numpy(zero_copy_only=False))
+    cent = kmeans_hash_fit(ids, x, k=_KM_K, iters=_KM_ITERS)
+    row_of = {int(v): i for i, v in enumerate(ids)}
+    xq = quantize_m(x)
+    probes = []
+    for qid in KNN_QUERY_IDS:
+        d2 = ((xq[row_of[qid]][None, :] - cent) ** 2).sum(axis=1)
+        probes.append(np.lexsort((np.arange(cent.shape[0]), d2))
+                      [:IVF_HASH_NPROBE])
+    qn = _normalize(x[[row_of[q] for q in KNN_QUERY_IDS]]
+                    .astype(np.float64))
+    ref = ray.put((cent, np.stack(probes), qn))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        cent_, pr, qm = ray.get(ref)
+        vids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = np.stack(b["embedding"].to_numpy(zero_copy_only=False))
+        cluster = kmeans_hash_assign(raw, cent_)
+        mn = _normalize(raw.astype(np.float64))
+        rows_q, rows_v, rows_c = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(cluster, pr[qi])
+            if not mask.any():
+                continue
+            cos = qm[qi] @ mn[mask].T
+            sel = np.flatnonzero(_tie_safe_keep(_quant_m(cos), KNN_K))
+            rows_q.extend([qi] * sel.size)
+            rows_v.extend(vids[mask][sel].tolist())
+            rows_c.extend(cos[sel].tolist())
+        return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                         "vec_id": pa.array(rows_v, pa.int64()),
+                         "cos": pa.array(rows_c, pa.float64())})
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+    merged = _collect_arrow(partials.groupby("query_id").map_groups(
+        lambda g: _topk_merge(g, KNN_K), batch_format="pyarrow"))
+    return _rank_quantized(merged, KNN_K)
+
+
+def _kmeans_ctes(dim: int = 64, k: int = _KM_K,
+                 iters: int = _KM_ITERS) -> list[str]:
+    """Shared unrolled-Lloyd CTE chain (see :func:`_sql_kmeans_assign`):
+    ends with ``df`` = exact int64 squared distances of EVERY vector to
+    the final centroids — assignment and IVF probing both derive from
+    it."""
     ctes = [f"""xq AS (
   SELECT vec_id, jj.j AS j,
          CAST(ROUND(embedding[jj.j + 1] * 1000000) AS BIGINT) AS x
@@ -1471,12 +1539,69 @@ def _sql_kmeans_assign(dim: int = 64, k: int = _KM_K,
   SELECT x.vec_id, c.cid, sum((x.x - c.c) * (x.x - c.c)) AS d2
   FROM xq x JOIN {prev} c USING (j) GROUP BY x.vec_id, c.cid
 )""")
-    return ("WITH " + ",\n".join(ctes) + """
+    return ctes
+
+
+def _sql_kmeans_assign(dim: int = 64, k: int = _KM_K,
+                       iters: int = _KM_ITERS) -> str:
+    """Unrolled-Lloyd oracle: ``iters`` chained (distance -> argmin ->
+    ROUND(mean) update) CTE rounds over micro-quantized integer vectors,
+    then the final assignment.  Mirrors kmeans_hash_fit step for step —
+    all arithmetic is exact int64 (one f64 divide of exact ints per
+    centroid update), so assignments match bit-for-bit."""
+    return ("WITH " + ",\n".join(_kmeans_ctes(dim, k, iters)) + """
 SELECT vec_id, cid::BIGINT AS cluster FROM (
   SELECT vec_id, cid,
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
   FROM df) WHERE rn = 1
 ORDER BY vec_id""")
+
+
+def _sql_knn_ivf_hash(nprobe: int, dim: int = 64, k: int = _KM_K,
+                      iters: int = _KM_ITERS) -> str:
+    """IVF search oracle over the SAME deterministic quantizer: cell
+    assignment AND the per-query nprobe probe ranking reuse the ``df``
+    distances; candidates are vectors in probed cells; exact cosine
+    top-k within them (identical ranking discipline to SQL_KNN_BRUTE).
+    Mirrors q_knn_ivf_hash step for step."""
+    ctes = _kmeans_ctes(dim, k, iters)
+    ctes.append("""assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM df) WHERE rn = 1
+)""")
+    ctes.append(f"""qids AS (
+  SELECT * FROM (VALUES {", ".join(f"({i}, {q})" for i, q in enumerate(KNN_QUERY_IDS))})
+  v(query_id, qvec)
+)""")
+    ctes.append(f"""probe AS (
+  SELECT q.query_id, d.cid FROM qids q JOIN (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM df) d ON d.vec_id = q.qvec
+  WHERE d.rn <= {nprobe}
+)""")
+    ctes.append("""cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probe p JOIN assign a ON a.cid = p.cid
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_m DESC, vec_id) AS rank,
+       vec_id, cos_m
+FROM (
+  SELECT c.query_id, c.vec_id,
+         CAST(ROUND(list_cosine_similarity(eq.embedding, ev.embedding)
+                    * 1000) AS BIGINT) AS cos_m
+  FROM cand c
+  JOIN qids q ON q.query_id = c.query_id
+  JOIN embeddings eq ON eq.vec_id = q.qvec
+  JOIN embeddings ev ON ev.vec_id = c.vec_id
+)
+QUALIFY rank <= {KNN_K}
+ORDER BY query_id, rank""")
 
 
 # ====================================================================== #
@@ -2114,6 +2239,7 @@ def registry():
         "embed_docs": q_embed_docs,
         "embed_hash_proj": q_embed_hash_proj,
         "kmeans_assign": q_kmeans_assign,
+        "knn_ivf_hash": q_knn_ivf_hash,
         "fwci_events": q_fwci_events,
         "percentile_rank": q_percentile_rank,
         "join_revenue": q_join_revenue,
@@ -2193,6 +2319,7 @@ def registry():
         "embed_hash_proj": SQL_EMBED_HASH_PROJ,
         "embdup_lsh": SQL_EMBDUP_LSH,
         "kmeans_assign": _sql_kmeans_assign(),
+        "knn_ivf_hash": _sql_knn_ivf_hash(IVF_HASH_NPROBE),
         "multimodal_decode": SQL_MULTIMODAL_DECODE,
         # rows-only (non-SQL-expressible): knn_ivf, knn_ivf_pq (probe
         # recall depends on the trained coarse quantizer), embed_docs
