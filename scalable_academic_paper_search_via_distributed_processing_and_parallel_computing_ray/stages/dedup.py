@@ -390,6 +390,85 @@ def _pin_arrow(*cols: str):
     return f
 
 
+def _pairs_within_runs(doc: np.ndarray, run_id: np.ndarray,
+                       max_run: int) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered (a, b) doc pairs within equal-run_id groups,
+    ordered a < b.  Offset-diagonal vectorization: for each offset d,
+    positions where run_id[i] == run_id[i+d] pair doc[i] with doc[i+d]
+    — <= max_run vector passes, no per-run Python loop."""
+    outs_a, outs_b = [], []
+    for d in range(1, min(max_run, doc.size)):
+        m = run_id[d:] == run_id[:-d]
+        if not m.any():
+            break  # run lengths are contiguous: no match at d => none at d+1
+        outs_a.append(doc[:-d][m])
+        outs_b.append(doc[d:][m])
+    if not outs_a:
+        return (np.zeros(0, np.int64),) * 2
+    a = np.concatenate(outs_a)
+    b = np.concatenate(outs_b)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo != hi  # same doc twice in a run cannot happen (set rows)
+    return lo[keep].astype(np.int64), hi[keep].astype(np.int64)
+
+
+def _shingle_run_pairs(sh_act: Dataset, max_df: int) -> Dataset:
+    """(doc_id, shingle) rows -> (a, b) candidate pair rows, one per
+    shared shingle: one distributed sort co-locates each shingle's run,
+    blocks pair their INTERIOR runs vectorized, and the (small, run <=
+    max_df) first/last run of every block is delegated whole to an
+    O(blocks x max_df) driver merge so runs spanning block boundaries
+    pair exactly once."""
+    import ray as _ray
+
+    from .blocks import as_arrow_block, nonempty_block_refs
+
+    s = sh_act.sort("shingle").materialize()
+    refs = nonempty_block_refs(s)
+    if not refs:
+        return _ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
+
+    @_ray.remote(num_returns=2)
+    def block_pairs(blk, max_run: int):
+        blk = as_arrow_block(blk)
+        sh_v = blk["shingle"].to_numpy(zero_copy_only=False)
+        doc = blk["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        new = np.r_[True, sh_v[1:] != sh_v[:-1]]
+        run_id = np.cumsum(new) - 1
+        # first and last run might continue into neighbor blocks: export
+        # them whole, pair only interior runs here
+        edge = (run_id == 0) | (run_id == run_id[-1])
+        a, b = _pairs_within_runs(doc[~edge], run_id[~edge], max_run)
+        pairs = pa.table({"a": pa.array(a, pa.int64()),
+                          "b": pa.array(b, pa.int64())})
+        boundary = pa.table({"shingle": pa.array(sh_v[edge]),
+                             "doc_id": pa.array(doc[edge], pa.int64())})
+        return pairs, boundary
+
+    outs = [block_pairs.remote(r, max_df) for r in refs]
+    pair_refs = [o[0] for o in outs]
+    btbl = pa.concat_tables(_ray.get([o[1] for o in outs]))
+    # driver merge of the edge runs (sorted globally, so concatenation
+    # in block order keeps shingle runs contiguous)
+    bsh = btbl["shingle"].to_numpy(zero_copy_only=False)
+    bdoc = btbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if bsh.size:
+        order = np.argsort(bsh, kind="stable")
+        bsh, bdoc = bsh[order], bdoc[order]
+        new = np.r_[True, bsh[1:] != bsh[:-1]]
+        a, b = _pairs_within_runs(bdoc, np.cumsum(new) - 1, max_df)
+        # docs sharing the shingle may repeat across blocks? no — each
+        # (doc, shingle) row exists once (set semantics), so pairs from
+        # the merged edge runs are exactly the missing ones
+        edge_pairs = pa.table({"a": pa.array(a, pa.int64()),
+                               "b": pa.array(b, pa.int64())})
+    else:
+        edge_pairs = pa.table({"a": pa.array([], pa.int64()),
+                               "b": pa.array([], pa.int64())})
+    return _ray.data.from_arrow_refs(pair_refs + [_ray.put(edge_pairs)])
+
+
 def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
                         max_df: int = 64, text_col: str = "text") -> pa.Table:
     """Exact n-gram-set Jaccard >= threshold via shared-shingle candidate
@@ -447,35 +526,29 @@ def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
         sorted_groupby_agg(sh, ["doc_id"], [("doc_id", "count", "sz")])
         .map_batches(_pin_arrow("doc_id", "sz"), batch_format="pyarrow"))
 
-    # materialized: consumed as BOTH sides of the pair self-join — lazy,
-    # the active-shingle join would execute twice (and chaining three
-    # JoinOperators into one plan multiplies concurrent shuffle actors).
     # The active-shingle side is a bare key set: while it fits the
-    # broadcast threshold a per-batch is_in semi-filter replaces the
-    # shuffle join entirely (each extra JoinOperator costs a full actor
-    # pool + exchange); past the threshold, the hash join comes back
+    # broadcast threshold a per-batch is_in semi-filter replaces a
+    # shuffle join entirely; past the threshold, the hash join comes back
     from .joins import broadcast_semi_filter
     sh_act = broadcast_semi_filter(sh, active, "shingle", "shingle")
     if sh_act is None:
         sh_act = sh.join(active, join_type="inner", num_partitions=npart,
                          on=("shingle",))
-    sh_act = sh_act.materialize()
-    right = sh_act.map_batches(
-        lambda b: pa.table({"shingle_b": b["shingle"], "doc_b": b["doc_id"]}),
-        batch_format="pyarrow")
-    paired = sh_act.join(right, join_type="inner", num_partitions=npart,
-                         on=("shingle",), right_on=("shingle_b",))
+    # pair generation: ONE distributed sort on shingle, then vectorized
+    # within-run pairing per block (offset-diagonal trick, <= max_df
+    # vector ops) with run-spanning edges merged on the driver —
+    # replaces the pair SELF-JOIN, whose JoinOperator paid a whole
+    # shuffle-actor pool + exchange (and was the plan's deadlock hazard
+    # at high parallelism).  Runs are <= max_df rows by the active
+    # filter, so driver boundary volume is O(blocks x max_df).
+    paired = _shingle_run_pairs(sh_act, max_df)
 
     def ordered_combine(b: pa.Table) -> pa.Table:
-        """a < b ordering + LOCAL partial combine: the join co-locates a
-        shingle's rows, so a near-dup pair repeats once per shared shingle
-        mostly WITHIN one batch — np.unique here collapses that before the
-        shuffle (pre-aggregation pattern; measured ~no cross-batch dups
-        left)."""
-        a = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = a < bb
-        a, bb = a[keep], bb[keep]
+        """LOCAL partial combine: a run's pairs land in one block, so a
+        near-dup pair repeats once per shared shingle mostly WITHIN one
+        batch — np.unique collapses that before the shuffle."""
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         pairs = np.stack([a, bb], axis=1)
         up, cnt = np.unique(pairs, axis=0, return_counts=True)
         return pa.table({"a": pa.array(up[:, 0], pa.int64()),
