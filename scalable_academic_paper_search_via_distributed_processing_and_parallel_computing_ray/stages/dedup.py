@@ -172,25 +172,17 @@ def minhash_verified_pairs(ds: Dataset, threshold: float = 0.8,
                                                   "text_col": text_col},
                            batch_format="pyarrow", concurrency=concurrency)
     from .groupagg import sorted_groupby_agg
-    bands = bands.materialize()  # consumed twice (cap audit + buckets)
-    hot = sorted_groupby_agg(
-        bands.select_columns(["band", "band_hash"]),
-        ["band", "band_hash"], [("band", "count", "sz")]) \
-        .filter(expr=f"sz > {max_bucket}")
-    n_hot = hot.count()
-    if n_hot:
-        import logging
-        logging.getLogger(__name__).warning(
-            "minhash_verified_pairs: %d bucket(s) over max_bucket=%d were "
-            "dropped from candidate generation; pairs confined to hot "
-            "buckets are lost (raise max_bucket or num_bands)",
-            n_hot, max_bucket)
-    meta = {b"dropped_hot_buckets": str(int(n_hot)).encode(),
-            b"max_bucket": str(max_bucket).encode()}
 
     _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
                              "est_m": pa.array([], pa.int64())})
+    # hot-bucket observability rides the bucket pass itself as sentinel
+    # rows (a = b = -1), counted and stripped at collection — a separate
+    # audit aggregation paid a whole extra sort over the band rows
+    # (measured 4.6 s vs 0.9 s for the real bucket pass at sf0.1)
+    _HOT_SENTINEL = pa.table({"a": pa.array([-1], pa.int64()),
+                              "b": pa.array([-1], pa.int64()),
+                              "est_m": pa.array([1], pa.int64())})
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         # pyarrow group format: a pandas DataFrame per tiny bucket costs
@@ -198,7 +190,9 @@ def minhash_verified_pairs(ds: Dataset, threshold: float = 0.8,
         # lesson as the round-1 per-bucket map_groups)
         ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids, uidx = np.unique(ids, return_index=True)
-        if ids.size < 2 or ids.size > max_bucket:
+        if ids.size > max_bucket:
+            return _HOT_SENTINEL
+        if ids.size < 2:
             return _EMPTY_PAIRS
         sigs = np.stack(g["sig"].to_numpy(zero_copy_only=False)[uidx])
         ai, bi = np.triu_indices(ids.size, k=1)
@@ -215,13 +209,27 @@ def minhash_verified_pairs(ds: Dataset, threshold: float = 0.8,
 
     pairs = bands.groupby(["band", "band_hash"]) \
         .map_groups(bucket_pairs, batch_format="pyarrow")
+    # the count agg rides the SAME pass: the (-1, -1) sentinel group's
+    # row count IS the number of dropped hot buckets
     out = sorted_groupby_agg(pairs, ["a", "b"],
-                             [("est_m", "min", "est_m")]).to_pandas()
+                             [("est_m", "min", "est_m"),
+                              ("est_m", "count", "nb")]).to_pandas()
+    n_hot = 0
+    if len(out) and int(out["a"].iloc[0]) == -1:
+        n_hot = int(out["nb"].iloc[0])
+        out = out[out["a"] != -1]
+    out = out.drop(columns=["nb"], errors="ignore")
+    if n_hot:
+        import logging
+        logging.getLogger(__name__).warning(
+            "minhash_verified_pairs: %d bucket(s) over max_bucket=%d were "
+            "dropped from candidate generation; pairs confined to hot "
+            "buckets are lost (raise max_bucket or num_bands)",
+            n_hot, max_bucket)
+    meta = {b"dropped_hot_buckets": str(int(n_hot)).encode(),
+            b"max_bucket": str(max_bucket).encode()}
     if len(out) == 0:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "est_m": pa.array([], pa.int64())}) \
-            .replace_schema_metadata(meta)
+        return _EMPTY_PAIRS.replace_schema_metadata(meta)
     out = out.sort_values(["a", "b"]).reset_index(drop=True)
     out["est_m"] = out["est_m"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False) \
@@ -792,19 +800,27 @@ def embedding_dup_pairs_lsh(ds: Dataset, threshold: float = 0.9,
     _EMPTY = pa.table({"a": pa.array([], pa.int64()),
                        "b": pa.array([], pa.int64()),
                        "cos_m": pa.array([], pa.int64())})
+    # hot-bucket observability rides the bucket pass as (-1, -1)
+    # sentinel rows (counted by the same final aggregation) — the old
+    # separate audit paid an extra sort over every band row
+    _HOT = pa.table({"a": pa.array([-1], pa.int64()),
+                     "b": pa.array([-1], pa.int64()),
+                     "cos_m": pa.array([1], pa.int64())})
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         # pyarrow group format (pandas-per-tiny-bucket conversion was the
         # dominant cost at ~100k buckets — measured, see minhash twin)
         ids = g["lsh_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids, uidx = np.unique(ids, return_index=True)
-        if ids.size < 2 or ids.size > max_bucket:
+        if ids.size > max_bucket:
             # hot-bucket cap (same dial as ngram max_df): a bucket of B
             # members costs B^2 verify flops — unbounded B is the one
             # quadratic hazard in LSH.  Capped buckets are dropped; their
             # pairs are still found via any NON-hot band they share
             # (dup-pair bands are near-identical keys, so a pair lost in a
             # hot region almost always collides in a colder band too).
+            return _HOT
+        if ids.size < 2:
             return _EMPTY
         m = np.stack(g["vec"].to_numpy(zero_copy_only=False)[uidx])
         cos = m @ m.T
@@ -818,13 +834,18 @@ def embedding_dup_pairs_lsh(ds: Dataset, threshold: float = 0.9,
                          "cos_m": pa.array(cos_m, pa.int64())})
 
     from .groupagg import sorted_groupby_agg
-    bands = bands.materialize()  # consumed twice (cap audit + buckets)
-    # no silent caps: count the buckets the max_bucket dial drops so
-    # recall loss is OBSERVABLE (logged + stamped in the result metadata)
-    hot = sorted_groupby_agg(bands.select_columns(["band", "key"]),
-                             ["band", "key"], [("band", "count", "sz")]) \
-        .filter(expr=f"sz > {max_bucket}")
-    n_hot = hot.count()
+    pairs = bands.groupby(["band", "key"]) \
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    # no silent caps: the (-1, -1) sentinel group's row count is the
+    # number of dropped hot buckets — observability with NO extra pass
+    out = sorted_groupby_agg(pairs, ["a", "b"],
+                             [("cos_m", "min", "cos_m"),
+                              ("cos_m", "count", "nb")]).to_pandas()
+    n_hot = 0
+    if len(out) and int(out["a"].iloc[0]) == -1:
+        n_hot = int(out["nb"].iloc[0])
+        out = out[out["a"] != -1]
+    out = out.drop(columns=["nb"], errors="ignore")
     if n_hot:
         import logging
         logging.getLogger(__name__).warning(
@@ -834,11 +855,6 @@ def embedding_dup_pairs_lsh(ds: Dataset, threshold: float = 0.9,
             n_hot, max_bucket)
     meta = {b"dropped_hot_buckets": str(int(n_hot)).encode(),
             b"max_bucket": str(max_bucket).encode()}
-
-    pairs = bands.groupby(["band", "key"]) \
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-    out = sorted_groupby_agg(pairs, ["a", "b"],
-                             [("cos_m", "min", "cos_m")]).to_pandas()
     if len(out) == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
