@@ -1010,6 +1010,15 @@ def compact_index(index_dir: str, out_dir: str,
     tombstones = load_tombstones(index_dir, manifest)
     if not tombstones.size:
         tombstones = None  # fast path: encoded-level merge, file-copy docs
+    os.makedirs(out_dir, exist_ok=True)
+    if params.doc_id_mode == "sharded":
+        # the doc-id file ledger is part of the index identity: without
+        # it, extending the COMPACTED index would restart file_seq at 0
+        # and re-issue existing doc ids (sources/fragments.py)
+        src_ledger = os.path.join(index_dir, fragments.LEDGER)
+        if os.path.exists(src_ledger):
+            import shutil as _sh
+            _sh.copy2(src_ledger, os.path.join(out_dir, fragments.LEDGER))
     groups = [list(g) for g in
               np.array_split(np.arange(n_old), target_shards)]
     os.makedirs(out_dir, exist_ok=True)

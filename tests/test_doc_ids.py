@@ -184,3 +184,24 @@ def test_ids_above_2_62(ray_session, tmp_path):
                 oracle.oracle_topk(oidx, qt, 10, mode)]
         assert _fmt(rd_.search_wand(qt, 10, mode)) == want
         assert _fmt(rd_.search_exhaustive(qt, 10, mode)) == want
+
+
+def test_compact_preserves_ledger_then_extend(ray_session, pages_dir,
+                                              tmp_path):
+    """Compacting a sharded-id index carries the doc-id ledger, so a
+    later extend cannot re-issue existing file_seqs/doc ids."""
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    half = len(files) // 2
+    p = build.BuildParams(doc_id_mode="sharded", **PARAMS)
+    d = str(tmp_path / "idx")
+    build.build_index(files[:half], d, p)
+    c = str(tmp_path / "cidx")
+    build.compact_index(d, c, target_shards=1)
+    assert load_ledger(c) == load_ledger(d)
+    build.extend_index(files[half:], c)
+    ids = _docs_table(c)["doc_id"].to_pylist()
+    assert len(set(ids)) == len(ids)
+    # ids equal a fresh sharded build over everything
+    f = str(tmp_path / "fidx")
+    build.build_index(files, f, p)
+    assert sorted(ids) == sorted(_docs_table(f)["doc_id"].to_pylist())
