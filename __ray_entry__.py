@@ -78,9 +78,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible entry in queries()."""
+    """DuckDB-equivalent SQL for EVERY entry in queries() — the registry
+    is exactly 50 entries, all value-oracled (the driver caps the
+    correctness artifact at 50 rows; see pipelines/queries.registry)."""
     from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.queries import (
         registry,
     )
     _, o = registry()
     return o
+
+
+def extra_queries() -> dict[str, Callable[[str], Any]]:
+    """Rows-only pipelines outside the driver's 50-row artifact cap
+    (IVF/IVFPQ recall paths, fake embed model, RNG sampling) — pytest
+    -covered, each with a value-oracled twin in queries()."""
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.queries import (
+        extra_registry,
+    )
+    return extra_registry()

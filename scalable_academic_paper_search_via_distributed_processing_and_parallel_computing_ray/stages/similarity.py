@@ -524,3 +524,56 @@ def kmeans_hash_assign(batch_x: np.ndarray, cent: np.ndarray) -> np.ndarray:
     xq = quantize_m(batch_x)
     d2 = ((xq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     return np.argmin(d2, axis=1).astype(np.int64)
+
+
+# ------------------------------------------------ oracle-exact PQ / ADC ---
+
+
+def pq_hash_fit(ids: np.ndarray, x: np.ndarray, m: int = 4, ks: int = 8,
+                iters: int = 2) -> np.ndarray:
+    """Deterministic integer PQ codebooks ``(m, ks, dim//m)`` int64.
+
+    Each subspace trains an INDEPENDENT :func:`kmeans_hash_fit` (md5-hash
+    seeded, exact-int Lloyd's) on its slice of the micro-quantized
+    vectors, salted ``pq{i}`` so subspaces draw different seed rows.
+    Everything — seeding, iteration, encoding, ADC — is exact int64, so
+    the generated ``knn_ivf_pq_hash`` oracle replays the full train +
+    encode + ADC-scan bit-for-bit in SQL (the same discipline that
+    value-oracled the probe path via ``kmeans_hash_fit``).  The
+    float/FAISS-style :func:`pq_fit` stays for the realistic IVFPQ index;
+    this twin exists so the ADC path can be VALUE-ORACLED, not just
+    recall-checked (reference trains FAISS IVFPQ:
+    ``semantic_index/build_index.py:36-48``)."""
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return np.stack([
+        kmeans_hash_fit(ids, x[:, i * sub:(i + 1) * sub], k=ks,
+                        iters=iters, salt=f"pq{i}")
+        for i in range(m)])
+
+
+def pq_hash_encode(batch_x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Encode rows -> ``(n, m)`` int64 codes: per-subspace argmin exact
+    squared distance, ties to the lowest code (np.argmin first-min ==
+    the SQL ``ORDER BY d2, cid`` tie-break)."""
+    m, _, sub = books.shape
+    xq = quantize_m(batch_x)
+    codes = np.empty((xq.shape[0], m), dtype=np.int64)
+    for i in range(m):
+        d2 = ((xq[:, None, i * sub:(i + 1) * sub]
+               - books[i][None, :, :]) ** 2).sum(axis=2)
+        codes[:, i] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_hash_lut(q: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Per-query ADC lookup table ``(m, ks)`` int64: exact squared
+    distance of the query's quantized subvectors to every codeword.
+    ``adc(v) = lut[range(m), codes[v]].sum()``."""
+    m, _, sub = books.shape
+    qq = quantize_m(q)
+    return np.stack([
+        ((qq[i * sub:(i + 1) * sub][None, :] - books[i]) ** 2).sum(axis=1)
+        for i in range(m)])
