@@ -133,10 +133,11 @@ def run_bench() -> dict:
         sel_p50_ms = round(1000 * slq[len(slq) // 2], 2)
 
     # ---- distributed serving: per-shard query actors + driver merge
-    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.serve import (
-        DistributedSearcher,
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.serve_front import (
+        ServeState,
     )
-    searcher = DistributedSearcher(idx_dir, num_actors=NUM_SHARDS)
+    state = ServeState(idx_dir, num_actors=NUM_SHARDS)
+    searcher = state.searcher
     for _ in range(2):  # warm actors (index load + postings cache)
         for q in pages.QUERY_SET:
             searcher.search(q["query_text"], q["k"], q["mode"])
@@ -160,7 +161,24 @@ def run_bench() -> dict:
             list(ex.map(lambda q: searcher.search(
                 q["query_text"], q["k"], q["mode"]), qs))
             serve_qps = round(len(qs) / (time.time() - t0), 1)
-    searcher.shutdown()
+
+    # serving with snippets: one batched multi-id doc lookup per request
+    # (serve_front._op_search; VERDICT r4 #5) — measures the full
+    # search + fetch_docs + make_snippet path through ServeState.handle
+    serve_snip_p50_ms = None
+    if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        snlats = []
+        for _ in range(reps):
+            for q in pages.QUERY_SET:
+                t1 = time.time()
+                resp, _quit = state.handle(
+                    {"op": "search", "query": q["query_text"],
+                     "k": q["k"], "mode": q["mode"], "snippets": True})
+                snlats.append(time.time() - t1)
+                assert "error" not in resp, resp
+        snlats.sort()
+        serve_snip_p50_ms = round(1000 * snlats[len(snlats) // 2], 2)
+    state.shutdown()
 
     # ---- segment compaction over the just-built index (encoded-level
     # merge; no text re-read) — the maintenance op a long-lived index runs
@@ -205,6 +223,7 @@ def run_bench() -> dict:
         "bm25_selective_p50_ms": sel_p50_ms,
         "serve_p50_ms": round(serve_p50_ms, 2),
         "serve_qps_8clients": serve_qps,
+        "serve_snippets_p50_ms": serve_snip_p50_ms,
         "reps": REPS,
         "dispersion_sec": disp,
     }

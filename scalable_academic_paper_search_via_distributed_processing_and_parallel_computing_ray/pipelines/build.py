@@ -207,9 +207,18 @@ class DocsCheckpointWriter:
             part = out.filter(pa.array(sids == sid))
             d = os.path.join(self.root, f"sid={int(sid)}")
             os.makedirs(d, exist_ok=True)
-            tag = hashlib.md5(
-                part["doc_id"].to_numpy(zero_copy_only=False).tobytes()
-            ).hexdigest()[:16]
+            h = hashlib.md5(
+                part["doc_id"].to_numpy(zero_copy_only=False).tobytes())
+            # fold the text payload into the tag (ADVICE r4): two batches
+            # carrying the SAME doc_id sequence but different content (a
+            # duplicate-id corpus in auto mode without verify_doc_ids)
+            # must not collide on a filename and last-writer-win
+            if "text" in part.column_names:
+                for chunk in part["text"].chunks:
+                    buf = chunk.buffers()[-1]
+                    if buf is not None:
+                        h.update(buf)
+            tag = h.hexdigest()[:16]
             tmp = os.path.join(d, f".part-{tag}.parquet.tmp")
             pq.write_table(part, tmp)
             os.replace(tmp, os.path.join(d, f"part-{tag}.parquet"))
@@ -343,13 +352,19 @@ def _fused_wave(index_dir: str, shard_map: dict[int, list[str]],
                 "url-hash scheme")
         seq_of = {f: i for i, f in
                   enumerate(fragments.load_ledger(index_dir))}
-        missing = [f for f in all_files if f not in seq_of]
+        canon_files = [fragments.canon(f) for f in all_files]
+        # the fragment reader emits canonical spellings in the ``path``
+        # column; ExtractDocs' sid lookup must accept them too
+        path_to_sid.update({cf: path_to_sid[f]
+                            for f, cf in zip(all_files, canon_files)})
+        missing = [f for f in canon_files if f not in seq_of]
         if missing:
             raise RuntimeError(
                 f"{len(missing)} input files absent from the doc-id "
                 "ledger — build_index/extend_index must extend it first")
         ds = fragments.read_fragments(
-            all_files, [c for c in cols if c != "doc_id"], seq_of)
+            canon_files, [c for c in cols if c != "doc_id"], seq_of,
+            num_blocks=num_blocks)
     else:
         ds = _read_corpus(all_files, cols, num_blocks=num_blocks)
     ds = ds.map_batches(ExtractDocs(path_to_sid=path_to_sid),

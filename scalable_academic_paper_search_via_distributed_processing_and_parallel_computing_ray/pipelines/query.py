@@ -76,26 +76,58 @@ def load_tombstones(index_dir: str, manifest: dict) -> np.ndarray:
     return np.unique(np.concatenate(parts))
 
 
-def fetch_doc(index_dir: str, doc_id: int) -> dict | None:
+def fetch_doc(index_dir: str, doc_id: int, *, manifest: dict | None = None,
+              tombstones: np.ndarray | None = None) -> dict | None:
     """Point lookup by doc_id over the per-shard docs tables (SURVEY.md §2.4
     J6/J8).  The reference spawns a fresh spark-submit per request and
     full-scans the corpus for one id (``api/combined.py:227-278`` ->
     ``api/fetch_paper_job.py:19``); here parquet row-group statistics prune
     the scan (predicate pushdown) and no new process or session is needed.
+    ``manifest``/``tombstones`` let a long-lived caller (ServeState) skip
+    the per-call manifest + tombstone-parquet reads.
     Returns the doc row as a dict, or None."""
+    docs = fetch_docs(index_dir, [int(doc_id)], manifest=manifest,
+                      tombstones=tombstones)
+    return docs.get(int(doc_id))
+
+
+def fetch_docs(index_dir: str, doc_ids, *, manifest: dict | None = None,
+               tombstones: np.ndarray | None = None) -> dict[int, dict]:
+    """BATCHED point lookup: ONE filtered read per shard for the whole id
+    set, instead of one fetch round-trip per id (the serving snippets path
+    needs k docs per request — per-hit ``fetch_doc`` re-read the manifest,
+    every tombstone parquet, and the shard footers k times).  Tombstoned
+    and absent ids are simply missing from the result.  Early-outs once
+    every id is found, so single-id lookups touch one shard on average."""
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        return {}
     shards_root = os.path.join(index_dir, "shards")
-    manifest = ckpt.read_json(os.path.join(index_dir, "manifest.json"))
-    ts = load_tombstones(index_dir, manifest)
-    if ts.size and np.searchsorted(ts, int(doc_id)) < ts.size \
-            and ts[np.searchsorted(ts, int(doc_id))] == int(doc_id):
-        return None  # deleted (build.delete_docs tombstone)
+    if manifest is None:
+        manifest = ckpt.read_json(os.path.join(index_dir, "manifest.json"))
+    ts = load_tombstones(index_dir, manifest) if tombstones is None \
+        else tombstones
+    if ts.size:
+        arr = np.asarray(ids, dtype=np.int64)
+        pos = np.searchsorted(ts, arr)
+        dead = (pos < ts.size) & (ts[np.minimum(pos, ts.size - 1)] == arr)
+        ids = arr[~dead].tolist()
+        if not ids:
+            return {}
+    out: dict[int, dict] = {}
+    remaining = set(ids)
     n_shards = int(manifest["n_shards"])
     for s in (f"shard-{i:04d}" for i in range(n_shards)):
+        if not remaining:
+            break
         t = pq.read_table(os.path.join(shards_root, s, "docs"),
-                          filters=[("doc_id", "==", int(doc_id))])
-        if t.num_rows:
-            return t.slice(0, 1).to_pylist()[0]
-    return None
+                          filters=[("doc_id", "in", sorted(remaining))])
+        for row in t.to_pylist():
+            did = int(row["doc_id"])
+            if did in remaining:
+                out[did] = row
+                remaining.discard(did)
+    return out
 
 
 @dataclass

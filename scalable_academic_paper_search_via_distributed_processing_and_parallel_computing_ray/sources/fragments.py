@@ -69,10 +69,15 @@ def fragment_items(files: list[str], seq_of: dict[str, int]) -> list[dict]:
 
 
 def read_fragments(files: list[str], columns: list[str],
-                   seq_of: dict[str, int]) -> Dataset:
+                   seq_of: dict[str, int],
+                   num_blocks: int | None = None) -> Dataset:
     """Dataset over ``files`` reading only ``columns`` plus synthesized
     ``doc_id`` (position-based, see module docstring) and ``path``
-    columns.  One read task per row group."""
+    columns.  One read task per row group by default; ``num_blocks``
+    coalesces row groups into that many read tasks/blocks so the
+    sharded-id build gets the SAME merge-width pin as ``_read_corpus``
+    (ADVICE r4: without it the downstream sort-shuffle width reverted to
+    row-group count)."""
     items = fragment_items(files, seq_of)
 
     def read_one(b: pa.Table) -> pa.Table:
@@ -88,9 +93,11 @@ def read_fragments(files: list[str], columns: list[str],
             out.append(t)
         return pa.concat_tables(out)
 
-    return rd.from_items(items).map_batches(read_one,
-                                            batch_format="pyarrow",
-                                            batch_size=1)
+    nb = min(len(items), num_blocks) if num_blocks else len(items)
+    # batch_size=None -> one read task per from_items block (nb tasks),
+    # each reading its row groups sequentially
+    return rd.from_items(items, override_num_blocks=max(1, nb)).map_batches(
+        read_one, batch_format="pyarrow", batch_size=None)
 
 
 # ------------------------------------------------------- file-seq ledger ---
@@ -99,24 +106,36 @@ def read_fragments(files: list[str], columns: list[str],
 LEDGER = "doc_id_files.json"
 
 
+def canon(path: str) -> str:
+    """Canonical spelling for ledger identity (ADVICE r4): the same file
+    reached via a relative path, ``./``, or a symlink must map to ONE
+    ``file_seq`` — a different spelling passing the duplicate check would
+    re-ingest every row under fresh doc_ids."""
+    return os.path.realpath(path)
+
+
 def load_ledger(index_dir: str) -> list[str]:
     import json
     p = os.path.join(index_dir, LEDGER)
     if not os.path.exists(p):
         return []
+    # canonicalize on load too: ledgers written before normalization (or
+    # by hand) still dedupe correctly; position — and therefore ids —
+    # is untouched
     with open(p) as f:
-        return json.load(f)["files"]
+        return [canon(x) for x in json.load(f)["files"]]
 
 
 def extend_ledger(index_dir: str, new_files: list[str]) -> dict[str, int]:
-    """Append ``new_files`` (deduped, order-preserving) to the ledger and
-    return the full {file: seq} map.  The ledger is append-only: a file's
-    seq — and therefore its rows' doc ids — never changes across
-    resume/extend generations."""
+    """Append ``new_files`` (canonicalized, deduped, order-preserving) to
+    the ledger and return the full {file: seq} map.  The ledger is
+    append-only: a file's seq — and therefore its rows' doc ids — never
+    changes across resume/extend generations."""
     import json
     cur = load_ledger(index_dir)
     seen = set(cur)
     for f in new_files:
+        f = canon(f)
         if f not in seen:
             cur.append(f)
             seen.add(f)

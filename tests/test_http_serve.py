@@ -184,3 +184,42 @@ def test_suggest_endpoint(http_base, index_dir):
     # suggestions actually search: the top suggestion returns hits
     code, sr = _send(http_base, "/search", {"query": got[0][0], "k": 3})
     assert code == 200 and sr["results"]
+
+
+def test_snippets_one_batched_lookup(http_base, monkeypatch):
+    """Snippets do ONE bucketed multi-id lookup per request (VERDICT r4
+    #5), not k per-hit fetch_doc round-trips, and the tombstone parquet
+    reads are cached across requests."""
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines import (
+        query as qmod,
+    )
+    calls = {"fetch_docs": 0, "fetch_doc": 0, "load_tombstones": 0}
+    real_docs, real_doc = qmod.fetch_docs, qmod.fetch_doc
+    real_ts = qmod.load_tombstones
+
+    def count_docs(*a, **kw):
+        calls["fetch_docs"] += 1
+        return real_docs(*a, **kw)
+
+    def count_doc(*a, **kw):
+        calls["fetch_doc"] += 1
+        return real_doc(*a, **kw)
+
+    def count_ts(*a, **kw):
+        calls["load_tombstones"] += 1
+        return real_ts(*a, **kw)
+
+    monkeypatch.setattr(qmod, "fetch_docs", count_docs)
+    monkeypatch.setattr(qmod, "fetch_doc", count_doc)
+    monkeypatch.setattr(qmod, "load_tombstones", count_ts)
+
+    for _ in range(2):
+        code, obj = _send(http_base, "/search",
+                          {"query": "spark data join", "k": 5,
+                           "snippets": True})
+        assert code == 200
+        rows = obj["results"]
+        assert len(rows) == 5 and all(r["snippet"] for r in rows)
+    assert calls["fetch_doc"] == 0          # no per-hit round trips
+    assert calls["fetch_docs"] == 2         # exactly one pass per request
+    assert calls["load_tombstones"] <= 1    # cached across requests
