@@ -275,8 +275,81 @@ def run_scaling() -> dict:
     return out
 
 
+def compact_only(idx_dir: str) -> dict:
+    """Compact a PRE-BUILT index (best-of-2, fresh Ray session) — the
+    inner process of ``--scaling-compact``.  Prints nothing; returns the
+    result dict."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data as rd
+    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8) \
+        .map_batches(lambda b: b, batch_size=1).count()
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines import (
+        build,
+    )
+    cdir = f"/dev/shm/graft_scale_c{NUM_CPUS}"
+    best, samples = None, []
+    for _ in range(2):
+        shutil.rmtree(cdir, ignore_errors=True)
+        t0 = time.time()
+        m = build.compact_index(idx_dir, cdir, target_shards=1)
+        dt = round(time.time() - t0, 3)
+        samples.append(dt)
+        if best is None or dt < best["compact_sec"]:
+            best = {"compact_sec": dt,
+                    "phases": m.get("compact_secs"),
+                    "n_docs": m["n_docs"]}
+    shutil.rmtree(cdir, ignore_errors=True)
+    ray.shutdown()
+    best["samples"] = samples
+    best["num_cpus"] = NUM_CPUS
+    return best
+
+
+def run_scaling_compact() -> dict:
+    """Compaction scaling pair at a wall where the merge dominates the
+    fixed pipeline spin-up (VERDICT r4 #2): build ONE large index at 32
+    CPUs, then compact it at num_cpus=8 and 32 in fresh processes
+    (best-of-2 each) — compaction of an EXISTING index is exactly the
+    job a cluster resizes for, so the build need not repeat per level."""
+    repl = os.environ.get("GRAFT_BENCH_REPLICATE", "4096")
+    env = dict(os.environ, RAY_GRAFT_CPUS="32",
+               GRAFT_BENCH_HEADLINE_ONLY="1",
+               GRAFT_BENCH_REPS="1",
+               GRAFT_BENCH_REPLICATE=repl)
+    env.pop("GRAFT_BENCH_COMPACT", None)
+    subprocess.run([sys.executable, os.path.abspath(__file__)],
+                   env=env, capture_output=True, text=True, check=True)
+    idx = "/dev/shm/graft_bench_idx_32"
+    out = {"metric": "compaction scaling, same pre-built index at "
+                     "num_cpus=8 vs 32", "replicate": int(repl)}
+    for n in (8, 32):
+        env_c = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--compact-only", idx],
+            env=env_c, capture_output=True, text=True, check=True)
+        r = json.loads(p.stdout.strip().splitlines()[-1])
+        out[f"compact_sec_{n}"] = r["compact_sec"]
+        out[f"compact_samples_{n}"] = r["samples"]
+        out[f"compact_phases_{n}"] = r["phases"]
+        out["n_docs"] = r["n_docs"]
+    out["compact_scaling_efficiency"] = round(
+        (out["compact_sec_8"] / out["compact_sec_32"]) / (32 / 8), 3)
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--scaling-compact" in sys.argv:
+        print(json.dumps(run_scaling_compact()))
+    elif "--compact-only" in sys.argv:
+        print(json.dumps(compact_only(
+            sys.argv[sys.argv.index("--compact-only") + 1])))
     else:
         print(json.dumps(run_bench()))

@@ -60,6 +60,7 @@ from ..sources import fragments
 from ..stages.groupagg import sorted_groupby_agg
 from ..stages.spimi import ExtractDocs, PartialPostingsBuilder
 from ..state import checkpoint as ckpt
+from ..state import fsio
 from ..state import termdict as termdict_mod
 
 DOCS_SCHEMA = pa.schema([
@@ -206,7 +207,7 @@ class DocsCheckpointWriter:
         for sid in np.unique(sids):
             part = out.filter(pa.array(sids == sid))
             d = os.path.join(self.root, f"sid={int(sid)}")
-            os.makedirs(d, exist_ok=True)
+            fsio.makedirs(d, exist_ok=True)
             h = hashlib.md5(
                 part["doc_id"].to_numpy(zero_copy_only=False).tobytes())
             # fold the text payload into the tag (ADVICE r4): two batches
@@ -220,8 +221,8 @@ class DocsCheckpointWriter:
                         h.update(buf)
             tag = h.hexdigest()[:16]
             tmp = os.path.join(d, f".part-{tag}.parquet.tmp")
-            pq.write_table(part, tmp)
-            os.replace(tmp, os.path.join(d, f"part-{tag}.parquet"))
+            fsio.pq_write_table(part, tmp)
+            fsio.replace(tmp, os.path.join(d, f"part-{tag}.parquet"))
         return batch
 
 
@@ -254,25 +255,25 @@ def _publish_partitions(tmp_root: str, pending: list[int],
     import shutil
     for sid in pending:
         dest = dest_for[sid]
-        shutil.rmtree(dest, ignore_errors=True)
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        fsio.rmtree(dest, ignore_errors=True)
+        fsio.makedirs(os.path.dirname(dest), exist_ok=True)
         src = os.path.join(tmp_root, f"sid={sid}")
-        if os.path.isdir(src):
-            os.replace(src, dest)
+        if fsio.isdir(src):
+            fsio.replace(src, dest)
         else:
-            os.makedirs(dest, exist_ok=True)
-            pq.write_table(empty_schema.empty_table(),
+            fsio.makedirs(dest, exist_ok=True)
+            fsio.pq_write_table(empty_schema.empty_table(),
                            os.path.join(dest, "empty.parquet"))
-    shutil.rmtree(tmp_root, ignore_errors=True)
+    fsio.rmtree(tmp_root, ignore_errors=True)
 
 
 _JSON_EXTS = (".jsonl", ".json", ".jsonl.gz", ".json.gz")
 
 
 def _list_parquet(path: str) -> list[str]:
-    if os.path.isdir(path):
+    if fsio.isdir(path):
         return sorted(
-            os.path.join(path, f) for f in os.listdir(path)
+            os.path.join(path, f) for f in fsio.listdir(path)
             if f.endswith(".parquet") or f.endswith(_JSON_EXTS))
     return [path]
 
@@ -326,8 +327,8 @@ def _fused_wave(index_dir: str, shard_map: dict[int, list[str]],
         cols.append("text")
     docs_tmp = os.path.join(index_dir, "_wave_docs")
     seg_tmp = os.path.join(index_dir, "_wave_seg")
-    shutil.rmtree(docs_tmp, ignore_errors=True)
-    shutil.rmtree(seg_tmp, ignore_errors=True)
+    fsio.rmtree(docs_tmp, ignore_errors=True)
+    fsio.rmtree(seg_tmp, ignore_errors=True)
 
     # Block-count discipline: the sort-based groupby emits one partition
     # per input block, so the merge width is decided HERE, at the read —
@@ -384,7 +385,8 @@ def _fused_wave(index_dir: str, shard_map: dict[int, list[str]],
     # metadata floor)
     segs = segs.map_batches(lambda b: b, batch_format="pyarrow",
                             batch_size=128)
-    segs.write_parquet(seg_tmp, partition_cols=["sid"])
+    _fs, _p = fsio.ray_fs_path(seg_tmp)
+    segs.write_parquet(_p, partition_cols=["sid"], filesystem=_fs)
     if os.environ.get("GRAFT_BUILD_STATS"):
         print("=== fused wave stats ===\n", segs.stats())
     wave = round(time.time() - t0, 3)
@@ -393,11 +395,11 @@ def _fused_wave(index_dir: str, shard_map: dict[int, list[str]],
     ts = time.time()
 
     def _stats(sid: int) -> tuple[int, int, int, int, int, int]:
-        stat = pq.read_table(docs_dir_for[sid], columns=["doc_len"])
-        meta = pq.read_table(seg_dir_for[sid], columns=["df"])
+        stat = fsio.pq_read_table(docs_dir_for[sid], columns=["doc_len"])
+        meta = fsio.pq_read_table(seg_dir_for[sid], columns=["df"])
         seg_bytes = sum(
-            os.path.getsize(os.path.join(seg_dir_for[sid], f))
-            for f in os.listdir(seg_dir_for[sid]) if f.endswith(".parquet"))
+            fsio.getsize(os.path.join(seg_dir_for[sid], f))
+            for f in fsio.listdir(seg_dir_for[sid]) if f.endswith(".parquet"))
         return (sid, stat.num_rows,
                 int(pc.sum(stat["doc_len"]).as_py() or 0),
                 meta.num_rows, int(pc.sum(meta["df"]).as_py() or 0),
@@ -513,8 +515,9 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
                             batch_size=params.extract_batch_size)
         tmp_root = os.path.join(index_dir, "_wave_docs")
         import shutil
-        shutil.rmtree(tmp_root, ignore_errors=True)
-        ds.write_parquet(tmp_root, partition_cols=["sid"])
+        fsio.rmtree(tmp_root, ignore_errors=True)
+        _fs, _p = fsio.ray_fs_path(tmp_root)
+        ds.write_parquet(_p, partition_cols=["sid"], filesystem=_fs)
         if os.environ.get("GRAFT_BUILD_STATS"):
             print("=== phase-1 wave stats ===\n", ds.stats())
         wave1 = round(time.time() - t1, 3)
@@ -523,7 +526,7 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
 
         def _doc_stats(sid: int) -> tuple[int, int, int]:
             # per-shard doc stats from the written column (projection-pruned)
-            stat = pq.read_table(docs_dir_for[sid], columns=["doc_len"])
+            stat = fsio.pq_read_table(docs_dir_for[sid], columns=["doc_len"])
             return sid, stat.num_rows, int(pc.sum(stat["doc_len"]).as_py() or 0)
 
         for sid, n_docs, sum_dl in _threaded(_doc_stats, pending1):
@@ -574,8 +577,9 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
                                 batch_size=128)
         tmp_root = os.path.join(index_dir, "_wave_seg")
         import shutil
-        shutil.rmtree(tmp_root, ignore_errors=True)
-        segs.write_parquet(tmp_root, partition_cols=["sid"])
+        fsio.rmtree(tmp_root, ignore_errors=True)
+        _fs, _p = fsio.ray_fs_path(tmp_root)
+        segs.write_parquet(_p, partition_cols=["sid"], filesystem=_fs)
         if os.environ.get("GRAFT_BUILD_STATS"):
             print("=== phase-2 wave stats ===\n", segs.stats())
         wave2 = round(time.time() - t2, 3)
@@ -583,10 +587,10 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
         t2s = time.time()
 
         def _seg_stats(sid: int) -> tuple[int, int, int, int]:
-            meta = pq.read_table(seg_dir_for[sid], columns=["df"])
+            meta = fsio.pq_read_table(seg_dir_for[sid], columns=["df"])
             seg_bytes = sum(
-                os.path.getsize(os.path.join(seg_dir_for[sid], f))
-                for f in os.listdir(seg_dir_for[sid]) if f.endswith(".parquet"))
+                fsio.getsize(os.path.join(seg_dir_for[sid], f))
+                for f in fsio.listdir(seg_dir_for[sid]) if f.endswith(".parquet"))
             return (sid, meta.num_rows,
                     int(pc.sum(meta["df"]).as_py() or 0), seg_bytes)
 
@@ -611,7 +615,7 @@ def _verify_unique_doc_ids(index_dir: str, n_shards: int) -> None:
     merging two documents' postings (``BuildParams.verify_doc_ids``)."""
     docs_files = [os.path.join(ckpt.shard_dir(index_dir, sid), "docs", f)
                   for sid in range(n_shards)
-                  for f in sorted(os.listdir(
+                  for f in sorted(fsio.listdir(
                       os.path.join(ckpt.shard_dir(index_dir, sid), "docs")))
                   if f.endswith(".parquet")]
     if not docs_files:
@@ -656,10 +660,10 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
     # SCALE.md switch point 1, flipped.
     seg_files = [os.path.join(ckpt.shard_dir(index_dir, sid), "seg", f)
                  for sid in range(n_shards)
-                 for f in sorted(os.listdir(
+                 for f in sorted(fsio.listdir(
                      os.path.join(ckpt.shard_dir(index_dir, sid), "seg")))
                  if f.endswith(".parquet")]
-    vocab_rows = sum(pq.ParquetFile(f).metadata.num_rows
+    vocab_rows = sum(fsio.pq_file(f).metadata.num_rows
                      for f in seg_files)
     # Versioned dirname + tmp/os.replace so the atomic MANIFEST publish is
     # the single commit point: a reader holding the old manifest keeps
@@ -667,12 +671,12 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
     # orphan dir, never a torn or mismatched (df vs n_docs) pair.
     td_name = f"termdict-{uuid.uuid4().hex[:12]}"
     td_tmp = os.path.join(index_dir, td_name + ".tmp")
-    os.makedirs(td_tmp, exist_ok=True)
+    fsio.makedirs(td_tmp, exist_ok=True)
     if vocab_rows == 0:  # zero shards / empty corpus: empty-but-valid dict
         termdict_mod.publish_parts(td_tmp, [])
     elif vocab_rows <= params.termdict_dist_threshold:
         seg_tables = _threaded(
-            lambda f: pq.read_table(f, columns=["term", "df"]), seg_files)
+            lambda f: fsio.pq_read_table(f, columns=["term", "df"]), seg_files)
         termdict = pa.concat_tables(seg_tables).group_by("term") \
             .aggregate([("df", "sum")]).rename_columns(["term", "df"]) \
             .sort_by("term")
@@ -697,7 +701,7 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
         termdict_mod.publish_parts(
             td_tmp, [{"file": m["file"], "lo": m["lo"], "hi": m["hi"],
                       "n": int(m["n"])} for m in metas])
-    os.replace(td_tmp, os.path.join(index_dir, td_name))
+    fsio.replace(td_tmp, os.path.join(index_dir, td_name))
 
     n_postings = sum(r.get("n_postings", 0) for r in recs)
     seg_bytes = sum(r.get("seg_bytes", 0) for r in recs)
@@ -727,7 +731,7 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
     # reader two extends behind must re-open — snapshot-DB semantics)
     prev_td = None
     mf_path = os.path.join(index_dir, "manifest.json")
-    if os.path.exists(mf_path):
+    if fsio.exists(mf_path):
         try:
             old = ckpt.read_json(mf_path)
             # single-file generations used termdict_file (and before
@@ -744,12 +748,12 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
     ckpt.write_json(mf_path, manifest)
     import shutil
     keep = {td_name, prev_td}
-    for f in os.listdir(index_dir):
+    for f in fsio.listdir(index_dir):
         if ((f == "termdict.parquet" or f.startswith("termdict-"))
                 and f not in keep):
             p = os.path.join(index_dir, f)
             try:
-                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+                fsio.rmtree(p) if fsio.isdir(p) else fsio.unlink(p)
             except OSError:
                 pass
     return manifest
@@ -785,7 +789,7 @@ def build_index(pages_path: str | list[str], index_dir: str,
     for p in ([pages_path] if isinstance(pages_path, str) else pages_path):
         paths.extend(_list_parquet(p))
     shards = _shard_inputs(paths, params.num_shards)
-    os.makedirs(index_dir, exist_ok=True)
+    fsio.makedirs(index_dir, exist_ok=True)
     if params.doc_id_mode == "sharded":
         # the ledger is written BEFORE any shard builds so file_seq -> ids
         # are identical on fresh, resumed, and extended runs
@@ -967,7 +971,7 @@ def _merge_range(files: dict[str, tuple[int, list[int]]],
     None for the byte-identical passthrough fast path."""
     by_gid: dict[int, list[pa.Table]] = {}
     for f, (gid, rgs) in files.items():
-        t = pq.ParquetFile(f).read_row_groups(sorted(rgs))
+        t = fsio.pq_file(f).read_row_groups(sorted(rgs))
         if t.num_rows:
             by_gid.setdefault(gid, []).append(t)
     for gid, parts in by_gid.items():
@@ -1014,10 +1018,10 @@ def _merge_range(files: dict[str, tuple[int, list[int]]],
             .drop_columns(["sid"]) \
             .select(SEGMENT_SCHEMA.names).cast(SEGMENT_SCHEMA)
         d = os.path.join(tmp_root, f"sid={gid}")
-        os.makedirs(d, exist_ok=True)
+        fsio.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".part-r{ridx:06d}.parquet.tmp")
-        pq.write_table(out, tmp)
-        os.replace(tmp, os.path.join(d, f"part-r{ridx:06d}.parquet"))
+        fsio.pq_write_table(out, tmp)
+        fsio.replace(tmp, os.path.join(d, f"part-r{ridx:06d}.parquet"))
 
 
 def delete_docs(index_dir: str, doc_ids) -> dict:
@@ -1043,18 +1047,18 @@ def delete_docs(index_dir: str, doc_ids) -> dict:
     merged = np.union1d(load_tombstones(index_dir, manifest), new)
     name = f"tombstones-{uuid.uuid4().hex[:12]}.parquet"
     tmp = os.path.join(index_dir, name + ".tmp")
-    pq.write_table(pa.table({"doc_id": pa.array(merged, pa.int64())}), tmp)
-    os.replace(tmp, os.path.join(index_dir, name))
+    fsio.pq_write_table(pa.table({"doc_id": pa.array(merged, pa.int64())}), tmp)
+    fsio.replace(tmp, os.path.join(index_dir, name))
     prev = manifest.get("tombstone_files", [])
     manifest["tombstone_files"] = [name]
     manifest["n_tombstones"] = int(merged.size)
     ckpt.write_json(mf_path, manifest)
     keep = set(prev[-1:]) | {name}  # one-generation grace
-    for f in os.listdir(index_dir):
+    for f in fsio.listdir(index_dir):
         if f.startswith("tombstones-") and f.endswith(".parquet") \
                 and f not in keep:
             try:
-                os.unlink(os.path.join(index_dir, f))
+                fsio.unlink(os.path.join(index_dir, f))
             except OSError:
                 pass
     return manifest
@@ -1081,8 +1085,10 @@ def compact_index(index_dir: str, out_dir: str,
     task exactly as in the build shuffle.
     """
     t0 = time.time()
-    index_dir = os.path.abspath(index_dir)
-    out_dir = os.path.abspath(out_dir)
+    if not fsio.is_uri(index_dir):
+        index_dir = os.path.abspath(index_dir)
+    if not fsio.is_uri(out_dir):
+        out_dir = os.path.abspath(out_dir)
     if out_dir == index_dir:
         raise ValueError("compaction writes a NEW index dir; out_dir must "
                          "differ from index_dir (old index stays live)")
@@ -1096,18 +1102,18 @@ def compact_index(index_dir: str, out_dir: str,
     tombstones = load_tombstones(index_dir, manifest)
     if not tombstones.size:
         tombstones = None  # fast path: encoded-level merge, file-copy docs
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.makedirs(out_dir, exist_ok=True)
     if params.doc_id_mode == "sharded":
         # the doc-id file ledger is part of the index identity: without
         # it, extending the COMPACTED index would restart file_seq at 0
         # and re-issue existing doc ids (sources/fragments.py)
         src_ledger = os.path.join(index_dir, fragments.LEDGER)
-        if os.path.exists(src_ledger):
+        if fsio.exists(src_ledger):
             import shutil as _sh
             _sh.copy2(src_ledger, os.path.join(out_dir, fragments.LEDGER))
     groups = [list(g) for g in
               np.array_split(np.arange(n_old), target_shards)]
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.makedirs(out_dir, exist_ok=True)
 
     # ---- docs: file-level copy per new shard (content unchanged) ----------
     # One Ray task per source file (copy, or tombstone-purge rewrite), all
@@ -1130,16 +1136,16 @@ def compact_index(index_dir: str, out_dir: str,
         # de-references top-level args): zero-copy from the object store
         # in every task, put exactly once on the driver
         if ts is None:
-            shutil.copy2(src_f, dest_f)
+            fsio.copy_file(src_f, dest_f)
             return (0, 0)
-        t = pq.read_table(src_f)
+        t = fsio.pq_read_table(src_f)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         pos_i = np.searchsorted(ts, ids)
         pos_i[pos_i >= ts.size] = ts.size - 1
         t = t.filter(pa.array(ts[pos_i] != ids))
         tmp = dest_f + ".tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, dest_f)
+        fsio.pq_write_table(t, tmp)
+        fsio.replace(tmp, dest_f)
         return (t.num_rows, int(pc.sum(t["doc_len"]).as_py() or 0))
 
     copy_refs: dict[int, list] = {}
@@ -1147,12 +1153,12 @@ def compact_index(index_dir: str, out_dir: str,
         if ckpt.is_done(docs_dir_for[g]):
             continue
         dest = docs_dir_for[g]
-        shutil.rmtree(dest, ignore_errors=True)
-        os.makedirs(dest, exist_ok=True)
+        fsio.rmtree(dest, ignore_errors=True)
+        fsio.makedirs(dest, exist_ok=True)
         refs = []
         for sid in members:
             src = os.path.join(ckpt.shard_dir(index_dir, sid), "docs")
-            for f in sorted(os.listdir(src)):
+            for f in sorted(fsio.listdir(src)):
                 if f.endswith(".parquet"):
                     refs.append(_copy_docs_file.remote(
                         os.path.join(src, f),
@@ -1189,8 +1195,8 @@ def compact_index(index_dir: str, out_dir: str,
         rg_meta: list[tuple[str, int, int, tuple, tuple, int]] = []
         total_bytes = 0
         for f, g in file_gid:
-            total_bytes += os.path.getsize(f)
-            md = pq.ParquetFile(f).metadata
+            total_bytes += fsio.getsize(f)
+            md = fsio.pq_file(f).metadata
             sch = md.schema.to_arrow_schema()
             ti = sch.get_field_index("term")
             si = sch.get_field_index("salt")
@@ -1233,7 +1239,7 @@ def compact_index(index_dir: str, out_dir: str,
             if w <= step:
                 stream.append((key, float(w)))
                 continue
-            t = pq.ParquetFile(f).read_row_groups(
+            t = fsio.pq_file(f).read_row_groups(
                 [i], columns=["term", "salt", "df"])
             dfs = t["df"].to_numpy(zero_copy_only=False) \
                 .astype(np.float64) + 1.0
@@ -1267,8 +1273,8 @@ def compact_index(index_dir: str, out_dir: str,
                 ent[1].append(i)
         ts_merge_ref = ray.put(tombstones) if tombstones is not None \
             else None
-        shutil.rmtree(tmp_root, ignore_errors=True)
-        os.makedirs(tmp_root, exist_ok=True)
+        fsio.rmtree(tmp_root, ignore_errors=True)
+        fsio.makedirs(tmp_root, exist_ok=True)
         merge_refs = [
             _merge_range.remote(dict(per_range[ridx]), lo, hi,
                                 tmp_root, ridx, ts_merge_ref)
@@ -1303,10 +1309,10 @@ def compact_index(index_dir: str, out_dir: str,
         _publish_partitions(tmp_root, pending, seg_dir_for, SEGMENT_SCHEMA)
 
         def _seg_stats(g: int) -> tuple[int, int, int, int]:
-            meta = pq.read_table(seg_dir_for[g], columns=["df"])
+            meta = fsio.pq_read_table(seg_dir_for[g], columns=["df"])
             seg_bytes = sum(
-                os.path.getsize(os.path.join(seg_dir_for[g], f))
-                for f in os.listdir(seg_dir_for[g])
+                fsio.getsize(os.path.join(seg_dir_for[g], f))
+                for f in fsio.listdir(seg_dir_for[g])
                 if f.endswith(".parquet"))
             return (g, meta.num_rows,
                     int(pc.sum(meta["df"]).as_py() or 0), seg_bytes)

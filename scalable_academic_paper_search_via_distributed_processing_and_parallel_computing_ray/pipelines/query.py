@@ -43,6 +43,7 @@ from ..functions.codec import (FORMAT_VERSION, EncodedPostings, decode_block,
                                decode_positions, decode_postings)
 from ..functions.tokenize import tokenize_filtered
 from ..state import checkpoint as ckpt
+from ..state import fsio
 from ..state.termdict import TermDict
 
 _UB_MARGIN = 1.0 + 1e-5  # float32 block-max bounds -> widen before pruning
@@ -69,7 +70,7 @@ def load_tombstones(index_dir: str, manifest: dict) -> np.ndarray:
     files = manifest.get("tombstone_files", [])
     if not files:
         return np.zeros(0, dtype=np.int64)
-    parts = [pq.read_table(os.path.join(index_dir, f),
+    parts = [fsio.pq_read_table(os.path.join(index_dir, f),
                            columns=["doc_id"])["doc_id"]
              .to_numpy(zero_copy_only=False).astype(np.int64)
              for f in files]
@@ -120,7 +121,7 @@ def fetch_docs(index_dir: str, doc_ids, *, manifest: dict | None = None,
     for s in (f"shard-{i:04d}" for i in range(n_shards)):
         if not remaining:
             break
-        t = pq.read_table(os.path.join(shards_root, s, "docs"),
+        t = fsio.pq_read_table(os.path.join(shards_root, s, "docs"),
                           filters=[("doc_id", "in", sorted(remaining))])
         for row in t.to_pylist():
             did = int(row["doc_id"])
@@ -271,7 +272,7 @@ class IndexReader:
             f"shard-{i:04d}" for i in range(int(self.manifest["n_shards"]))]
         ids_parts, dl_parts = [], []
         for s in shard_names:
-            t = pq.read_table(os.path.join(shards_root, s, "docs"),
+            t = fsio.pq_read_table(os.path.join(shards_root, s, "docs"),
                               columns=["doc_id", "doc_len"])
             ids_parts.append(t["doc_id"].to_numpy())
             dl_parts.append(t["doc_len"].to_numpy())
@@ -293,7 +294,7 @@ class IndexReader:
         for s in shard_names:
             seg_dir = os.path.join(shards_root, s, "seg")
             seg_files.extend(os.path.join(seg_dir, f)
-                             for f in sorted(os.listdir(seg_dir))
+                             for f in sorted(fsio.listdir(seg_dir))
                              if f.endswith(".parquet"))
         if self._lazy:
             # term -> [(file_idx, row_group_idx), ...] from the term column
@@ -302,14 +303,14 @@ class IndexReader:
             self._loc: dict[str, list[tuple[int, int]]] = {}
             self._loaded_rgs: set[tuple[int, int]] = set()
             for fi, f in enumerate(seg_files):
-                pf = pq.ParquetFile(f)
+                pf = fsio.pq_file(f)
                 for rg in range(pf.metadata.num_row_groups):
                     terms = pf.read_row_group(rg, columns=["term"])["term"]
                     for term in set(terms.to_pylist()):
                         self._loc.setdefault(term, []).append((fi, rg))
         else:
             for f in seg_files:
-                for rb in pq.read_table(f).to_batches():
+                for rb in fsio.pq_read_table(f).to_batches():
                     self._load_seg_batch(rb)
         # lazy readers can't sum local df incrementally; subset readers must
         # score with GLOBAL df — both take it from the termdict.  The
@@ -324,7 +325,7 @@ class IndexReader:
                 td_path = os.path.join(
                     index_dir,
                     self.manifest.get("termdict_file", "termdict.parquet"))
-                td = pq.read_table(td_path)
+                td = fsio.pq_read_table(td_path)
                 self._df = dict(zip(td["term"].to_pylist(),
                                     (int(x) for x in td["df"].to_pylist())))
         # tombstones (build.delete_docs): a local live-mask ANDed into
@@ -350,7 +351,7 @@ class IndexReader:
                 if (fi, rg) in self._loaded_rgs:
                     continue
                 self._loaded_rgs.add((fi, rg))
-                pf = pq.ParquetFile(self._seg_files[fi])
+                pf = fsio.pq_file(self._seg_files[fi])
                 for rb in pf.read_row_group(rg).to_batches():
                     self._load_seg_batch(rb)
         return self._postings.get(t, [])

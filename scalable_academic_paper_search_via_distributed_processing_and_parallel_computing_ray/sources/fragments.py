@@ -115,15 +115,14 @@ def canon(path: str) -> str:
 
 
 def load_ledger(index_dir: str) -> list[str]:
-    import json
+    from ..state import fsio
     p = os.path.join(index_dir, LEDGER)
-    if not os.path.exists(p):
+    if not fsio.exists(p):
         return []
     # canonicalize on load too: ledgers written before normalization (or
     # by hand) still dedupe correctly; position — and therefore ids —
     # is untouched
-    with open(p) as f:
-        return [canon(x) for x in json.load(f)["files"]]
+    return [canon(x) for x in fsio.read_json(p)["files"]]
 
 
 def extend_ledger(index_dir: str, new_files: list[str]) -> dict[str, int]:
@@ -139,9 +138,7 @@ def extend_ledger(index_dir: str, new_files: list[str]) -> dict[str, int]:
         if f not in seen:
             cur.append(f)
             seen.add(f)
+    from ..state import fsio
     p = os.path.join(index_dir, LEDGER)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"files": cur, "row_bits": ROW_BITS}, f)
-    os.replace(tmp, p)
+    fsio.write_json_atomic(p, {"files": cur, "row_bits": ROW_BITS})
     return {f: i for i, f in enumerate(cur)}

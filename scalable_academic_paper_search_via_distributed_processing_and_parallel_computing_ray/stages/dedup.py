@@ -190,6 +190,13 @@ def minhash_verified_pairs(ds: Dataset, threshold: float = 0.8,
         # lesson as the round-1 per-bucket map_groups)
         ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids, uidx = np.unique(ids, return_index=True)
+        if ids.size and ids[0] < 0:
+            # the hot-bucket count rides in-band as an (a,b)=(-1,-1)
+            # sentinel row; a caller-supplied negative id would collide
+            # with it and silently drop pairs (ADVICE r4) — refuse loudly
+            raise ValueError(
+                "minhash_verified_pairs requires non-negative doc ids "
+                f"(got {int(ids[0])}); remap ids before deduplication")
         if ids.size > max_bucket:
             return _HOT_SENTINEL
         if ids.size < 2:
@@ -812,6 +819,11 @@ def embedding_dup_pairs_lsh(ds: Dataset, threshold: float = 0.9,
         # dominant cost at ~100k buckets — measured, see minhash twin)
         ids = g["lsh_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids, uidx = np.unique(ids, return_index=True)
+        if ids.size and ids[0] < 0:
+            # sentinel-collision guard (ADVICE r4) — see minhash twin
+            raise ValueError(
+                "embedding_dup_pairs_lsh requires non-negative ids "
+                f"(got {int(ids[0])}); remap ids before deduplication")
         if ids.size > max_bucket:
             # hot-bucket cap (same dial as ngram max_df): a bucket of B
             # members costs B^2 verify flops — unbounded B is the one

@@ -8,50 +8,48 @@ mandated by SURVEY.md §4.3.3: per-shard output directories with
 row counts, metrics, stage versions) and a final ``manifest.json``.  A
 restarted build skips every shard whose marker exists; ``tests/test_resume``
 asserts resumed == fresh.
+
+All paths go through :mod:`state.fsio`, so ``index_dir`` may be a URI
+(``file://``, ``mock://`` in tests, or any pyarrow/fsspec filesystem) —
+plain POSIX paths take the zero-overhead local fast path.
 """
 
 from __future__ import annotations
 
-import json
-import os
+from . import fsio
 
 SUCCESS = "_SUCCESS"
 
 
 def is_done(dir_path: str) -> bool:
-    return os.path.exists(os.path.join(dir_path, SUCCESS))
+    return fsio.exists(fsio.join(dir_path, SUCCESS))
 
 
 def mark_done(dir_path: str) -> None:
-    with open(os.path.join(dir_path, SUCCESS), "w") as f:
-        f.write("ok\n")
+    fsio.write_bytes(fsio.join(dir_path, SUCCESS), b"ok\n")
 
 
 def write_json(path: str, obj: dict) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=2, sort_keys=True)
-    os.replace(tmp, path)  # atomic publish
+    fsio.write_json_atomic(path, obj)  # atomic publish (see fsio notes)
 
 
 def read_json(path: str) -> dict:
-    with open(path) as f:
-        return json.load(f)
+    return fsio.read_json(path)
 
 
 def shard_dir(index_dir: str, shard_id: int) -> str:
-    return os.path.join(index_dir, "shards", f"shard-{shard_id:04d}")
+    return fsio.join(index_dir, "shards", f"shard-{shard_id:04d}")
 
 
 def update_shard_record(index_dir: str, shard_id: int, **fields) -> dict:
     sd = shard_dir(index_dir, shard_id)
-    os.makedirs(sd, exist_ok=True)
-    path = os.path.join(sd, "shard.json")
-    rec = read_json(path) if os.path.exists(path) else {"shard_id": shard_id}
+    fsio.makedirs(sd)
+    path = fsio.join(sd, "shard.json")
+    rec = read_json(path) if fsio.exists(path) else {"shard_id": shard_id}
     rec.update(fields)
     write_json(path, rec)
     return rec
 
 
 def read_shard_record(index_dir: str, shard_id: int) -> dict:
-    return read_json(os.path.join(shard_dir(index_dir, shard_id), "shard.json"))
+    return read_json(fsio.join(shard_dir(index_dir, shard_id), "shard.json"))

@@ -1,0 +1,248 @@
+"""One I/O seam for every index-directory path (VERDICT r4 #3).
+
+Everything the engine persists under ``index_dir`` — manifests, shard
+records, done-markers, segments, docs parquet, the doc-id ledger, the
+termdict, tombstones — goes through this module, so ``index_dir`` may be:
+
+* a plain POSIX path (the default; fast-pathed straight to ``os``/
+  ``open`` — zero overhead and byte-identical behavior to before the
+  seam existed),
+* ``file:///abs/path`` — explicit local,
+* ``mock://name/...`` — the test scheme: a deterministic local shadow
+  root (``/tmp/graft_mockfs/name/...``) reached ONLY through a
+  :class:`pyarrow.fs.SubTreeFileSystem`.  Deterministic so every Ray
+  worker process resolves the same shadow with no env or broadcast —
+  a multi-process-safe fake remote.  Any call site that bypasses the
+  seam with a raw ``os.*`` on the URI string fails loudly (there is no
+  literal ``mock:`` directory), which is exactly what the fake-remote
+  test asserts,
+* any URI :func:`pyarrow.fs.FileSystem.from_uri` understands (``s3://``,
+  ``gs://``, ``hdfs://``) or, failing that, an ``fsspec`` filesystem
+  wrapped in :class:`pyarrow.fs.PyFileSystem` — resolved lazily so no
+  cloud SDK is touched for local runs.
+
+The reference's only remote layer is an HDFS upload script
+(``dataset/s2orc/load_hdfs.sh:31-46``); here the whole index lifecycle
+(build → extend → delete → compact → serve) runs against the seam.
+
+Semantics note: ``replace`` is ``os.replace`` (atomic) on the local fast
+path and ``FileSystem.move`` otherwise.  POSIX/HDFS moves are atomic;
+object stores emulate move as copy+delete — on such stores the
+manifest-publish discipline degrades from atomic to last-writer-wins,
+which is safe for single-writer builds (the documented deployment mode)
+but callers wanting multi-writer safety need a coordination layer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+MOCK_ROOT = "/tmp/graft_mockfs"
+
+
+def is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def _mock_fs(rest: str):
+    from pyarrow import fs as pafs
+    root = os.path.join(MOCK_ROOT, rest.split("/", 1)[0])
+    os.makedirs(root, exist_ok=True)
+    return pafs.SubTreeFileSystem(root, pafs.LocalFileSystem()), \
+        rest.split("/", 1)[1] if "/" in rest else ""
+
+
+def resolve(path: str):
+    """URI -> (pyarrow FileSystem, in-fs path).  Plain paths -> (None,
+    path): callers fast-path None to the ``os`` implementations."""
+    if not is_uri(path):
+        return None, path
+    scheme, rest = path.split("://", 1)
+    if scheme == "file":
+        from pyarrow import fs as pafs
+        return pafs.LocalFileSystem(), rest if rest.startswith("/") \
+            else "/" + rest
+    if scheme == "mock":
+        return _mock_fs(rest)
+    from pyarrow import fs as pafs
+    try:
+        return pafs.FileSystem.from_uri(path)
+    except Exception:
+        import fsspec
+        from pyarrow.fs import FSSpecHandler, PyFileSystem
+        return PyFileSystem(FSSpecHandler(fsspec.filesystem(scheme))), rest
+
+
+def join(base: str, *parts: str) -> str:
+    """Path join that keeps URI schemes intact."""
+    if is_uri(base):
+        return "/".join([base.rstrip("/")] + [p.strip("/") for p in parts])
+    return os.path.join(base, *parts)
+
+
+def _info(fs, p):
+    from pyarrow import fs as pafs
+    return fs.get_file_info([p])[0], pafs.FileType
+
+
+def exists(path: str) -> bool:
+    fs, p = resolve(path)
+    if fs is None:
+        return os.path.exists(p)
+    info, FT = _info(fs, p)
+    return info.type != FT.NotFound
+
+
+def isdir(path: str) -> bool:
+    fs, p = resolve(path)
+    if fs is None:
+        return os.path.isdir(p)
+    info, FT = _info(fs, p)
+    return info.type == FT.Directory
+
+
+def makedirs(path: str, exist_ok: bool = True) -> None:
+    fs, p = resolve(path)
+    if fs is None:
+        os.makedirs(p, exist_ok=exist_ok)
+    else:
+        fs.create_dir(p, recursive=True)
+
+
+def listdir(path: str) -> list[str]:
+    """Base names of the direct children (files and dirs)."""
+    fs, p = resolve(path)
+    if fs is None:
+        return sorted(os.listdir(p))
+    from pyarrow import fs as pafs
+    sel = pafs.FileSelector(p, recursive=False)
+    return sorted(i.base_name for i in fs.get_file_info(sel))
+
+
+def getsize(path: str) -> int:
+    fs, p = resolve(path)
+    if fs is None:
+        return os.path.getsize(p)
+    info, _ = _info(fs, p)
+    return int(info.size or 0)
+
+
+def open_read(path: str, binary: bool = False):
+    fs, p = resolve(path)
+    if fs is None:
+        return open(p, "rb" if binary else "r")
+    f = fs.open_input_stream(p)
+    if binary:
+        return f
+    import io
+    return io.TextIOWrapper(f, encoding="utf-8")
+
+
+def write_bytes(path: str, data: bytes) -> None:
+    fs, p = resolve(path)
+    if fs is None:
+        with open(p, "wb") as f:
+            f.write(data)
+    else:
+        with fs.open_output_stream(p) as f:
+            f.write(data)
+
+
+def replace(src: str, dst: str) -> None:
+    """Atomic rename on the local fast path; FileSystem.move otherwise
+    (see module docstring for object-store semantics).  src and dst must
+    share a scheme."""
+    fs, s = resolve(src)
+    if fs is None:
+        os.replace(s, dst)
+    else:
+        _, d = resolve(dst)
+        fs2, d2 = resolve(dst)
+        # delete-then-move: pyarrow move refuses existing destinations on
+        # some backends; single-writer discipline makes this safe
+        info, FT = _info(fs2, d2)
+        if info.type != FT.NotFound:
+            if info.type == FT.Directory:
+                fs2.delete_dir(d2)
+            else:
+                fs2.delete_file(d2)
+        fs.move(s, d)
+
+
+def rmtree(path: str, ignore_errors: bool = True) -> None:
+    fs, p = resolve(path)
+    if fs is None:
+        shutil.rmtree(p, ignore_errors=ignore_errors)
+        return
+    try:
+        fs.delete_dir(p)
+    except (FileNotFoundError, OSError):
+        if not ignore_errors:
+            raise
+
+
+def unlink(path: str) -> None:
+    fs, p = resolve(path)
+    if fs is None:
+        os.unlink(p)
+    else:
+        fs.delete_file(p)
+
+
+def copy_file(src: str, dst: str) -> None:
+    fs, s = resolve(src)
+    if fs is None and not is_uri(dst):
+        shutil.copy2(s, dst)
+        return
+    # cross- or same-fs copy via streams (local<->remote both directions)
+    with open_read(src, binary=True) as fi:
+        data = fi.read()
+    write_bytes(dst, data)
+
+
+def read_json(path: str) -> dict:
+    with open_read(path) as f:
+        return json.load(f)
+
+
+def write_json_atomic(path: str, obj: dict) -> None:
+    data = json.dumps(obj, indent=2, sort_keys=True).encode()
+    tmp = path + ".tmp"
+    write_bytes(tmp, data)
+    replace(tmp, path)
+
+
+# ---------------------------------------------------------- parquet I/O ---
+
+def pq_read_table(path: str, **kw):
+    import pyarrow.parquet as pq
+    fs, p = resolve(path)
+    if fs is None:
+        return pq.read_table(p, **kw)
+    return pq.read_table(p, filesystem=fs, **kw)
+
+
+def pq_write_table(table, path: str) -> None:
+    import pyarrow.parquet as pq
+    fs, p = resolve(path)
+    if fs is None:
+        pq.write_table(table, p)
+    else:
+        pq.write_table(table, p, filesystem=fs)
+
+
+def pq_file(path: str):
+    """pyarrow.parquet.ParquetFile for footer/row-group access."""
+    import pyarrow.parquet as pq
+    fs, p = resolve(path)
+    if fs is None:
+        return pq.ParquetFile(p)
+    return pq.ParquetFile(fs.open_input_file(p))
+
+
+def ray_fs_path(path: str):
+    """(filesystem, path) pair for ray.data read_/write_parquet — None
+    filesystem means a plain local path Ray handles natively."""
+    return resolve(path)

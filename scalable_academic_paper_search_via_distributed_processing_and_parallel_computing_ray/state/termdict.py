@@ -52,8 +52,9 @@ def write_part(out_dir: str, tbl: pa.Table) -> dict:
     {"file", "lo", "hi", "n"} metadata row.  ``tbl`` must be sorted by
     term (callers: the driver merge sorts explicitly; the distributed
     path's blocks come out of the sort shuffle ordered)."""
+    from . import fsio
     name = f"part-{uuid.uuid4().hex[:12]}.parquet"
-    pq.write_table(tbl, os.path.join(out_dir, name))
+    fsio.pq_write_table(tbl, os.path.join(out_dir, name))
     return {"file": name,
             "lo": tbl["term"][0].as_py(),
             "hi": tbl["term"][-1].as_py(),
@@ -66,11 +67,10 @@ def publish_parts(out_dir: str, parts: list[dict]) -> None:
     plus one small driver-merged boundary block whose keys interleave
     between them) but every term lives in exactly ONE part — the reader
     stabs all covering intervals."""
+    from . import fsio
     parts = sorted(parts, key=lambda p: p["lo"])
-    tmp = os.path.join(out_dir, PARTS_META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump({"parts": parts}, f)
-    os.replace(tmp, os.path.join(out_dir, PARTS_META))
+    fsio.write_json_atomic(os.path.join(out_dir, PARTS_META),
+                           {"parts": parts})
 
 
 # ------------------------------------------------------------------- read ---
@@ -85,9 +85,10 @@ class TermDict:
     of materializing the vocabulary)."""
 
     def __init__(self, td_dir: str):
+        from . import fsio
         self._dir = td_dir
-        with open(os.path.join(td_dir, PARTS_META)) as f:
-            self._parts: list[dict] = json.load(f)["parts"]
+        self._parts: list[dict] = fsio.read_json(
+            os.path.join(td_dir, PARTS_META))["parts"]
         self._los = [p["lo"] for p in self._parts]
         # interval-stabbing helper: running max of hi over parts[0..i]
         # (spans can overlap — see publish_parts) so the left walk in
@@ -107,8 +108,9 @@ class TermDict:
     def _load(self, i: int) -> tuple[list[str], np.ndarray]:
         part = self._cache.get(i)
         if part is None:
-            t = pq.read_table(os.path.join(self._dir,
-                                           self._parts[i]["file"]))
+            from . import fsio
+            t = fsio.pq_read_table(os.path.join(self._dir,
+                                                self._parts[i]["file"]))
             part = (t["term"].to_pylist(),
                     t["df"].to_numpy(zero_copy_only=False).astype(np.int64))
             self._cache[i] = part

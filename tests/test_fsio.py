@@ -1,0 +1,113 @@
+"""Remote-storage seam (state/fsio.py, VERDICT r4 #3): the whole index
+lifecycle — build -> search -> extend -> delete -> compact -> point fetch —
+runs with ``index_dir`` as a URI on a fake remote filesystem.
+
+``mock://name/...`` maps to a local shadow root through a
+``pyarrow.fs.SubTreeFileSystem`` — deterministic, so every Ray worker
+process resolves the same shadow (a multi-process-safe fake remote).  A
+call site that bypasses the seam with a raw ``os.*`` on the URI string
+would create a literal ``mock:`` directory or crash; the test asserts
+neither happened.
+"""
+
+import os
+import shutil
+
+import pytest
+
+from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.state import (
+    fsio,
+)
+
+MOCK = "mock://fsio-test"
+
+
+@pytest.fixture(autouse=True)
+def _clean_mock_root():
+    shutil.rmtree(os.path.join(fsio.MOCK_ROOT, "fsio-test"),
+                  ignore_errors=True)
+    yield
+    shutil.rmtree(os.path.join(fsio.MOCK_ROOT, "fsio-test"),
+                  ignore_errors=True)
+
+
+def test_primitives_on_mock_fs():
+    d = f"{MOCK}/prim"
+    fsio.makedirs(f"{d}/sub")
+    assert fsio.exists(f"{d}/sub") and fsio.isdir(f"{d}/sub")
+    fsio.write_json_atomic(f"{d}/a.json", {"x": 1})
+    assert fsio.read_json(f"{d}/a.json") == {"x": 1}
+    assert not fsio.exists(f"{d}/a.json.tmp")  # replace consumed the tmp
+    fsio.write_bytes(f"{d}/sub/b.bin", b"hi")
+    assert fsio.getsize(f"{d}/sub/b.bin") == 2
+    assert fsio.listdir(d) == ["a.json", "sub"]
+    fsio.replace(f"{d}/sub/b.bin", f"{d}/sub/c.bin")
+    assert fsio.listdir(f"{d}/sub") == ["c.bin"]
+    # cross-fs copy: local -> mock
+    local = "/tmp/fsio_local_src.txt"
+    with open(local, "w") as f:
+        f.write("payload")
+    fsio.copy_file(local, f"{d}/copied.txt")
+    with fsio.open_read(f"{d}/copied.txt") as f:
+        assert f.read() == "payload"
+    fsio.rmtree(f"{d}/sub")
+    assert not fsio.exists(f"{d}/sub")
+    os.unlink(local)
+
+
+def test_index_lifecycle_on_mock_fs(ray_session, tmp_path):
+    import importlib
+
+    pkg = ("scalable_academic_paper_search_via_distributed_processing_"
+           "and_parallel_computing_ray")
+    pages = importlib.import_module(pkg + ".sources.pages")
+    build = importlib.import_module(pkg + ".pipelines.build")
+    query = importlib.import_module(pkg + ".pipelines.query")
+
+    pdir = pages.ensure_pages_parquet("/root/testdata/sf0.001", num_files=6)
+    files = sorted(os.path.join(pdir, f) for f in os.listdir(pdir)
+                   if f.endswith(".parquet"))
+    uri = f"{MOCK}/idx"
+    local = str(tmp_path / "idx_local")
+
+    # build half remotely and locally, extend both with the rest
+    params = build.BuildParams(num_shards=2)
+    build.build_index(files[:3], uri, params)
+    build.build_index(files[:3], local, params)
+    build.extend_index(files[3:], uri)
+    build.extend_index(files[3:], local)
+
+    r_uri = query.IndexReader(uri)
+    r_loc = query.IndexReader(local)
+    for q in pages.QUERY_SET:
+        a = [(h.doc_id, round(h.score, 6)) for h in
+             r_uri.search_wand(q["query_text"], q["k"],
+                               mode=q.get("mode", "or"))]
+        b = [(h.doc_id, round(h.score, 6)) for h in
+             r_loc.search_wand(q["query_text"], q["k"],
+                               mode=q.get("mode", "or"))]
+        assert a == b, q
+
+    # delete + compact on the remote index; point fetch through the seam
+    victims = [h.doc_id for h in
+               r_uri.search_wand("spark data join", 10)][:3]
+    build.delete_docs(uri, victims)
+    assert query.fetch_doc(uri, victims[0]) is None
+    curi = f"{MOCK}/idx_compact"
+    build.compact_index(uri, curi, target_shards=1)
+    rc = query.IndexReader(curi)
+    for q in pages.QUERY_SET:
+        hits = rc.search_wand(q["query_text"], q["k"],
+                              mode=q.get("mode", "or"))
+        assert not any(h.doc_id in set(victims) for h in hits)
+    surviving = [h.doc_id for h in rc.search_wand("spark data join", 5)]
+    assert surviving and query.fetch_doc(curi, surviving[0]) is not None
+
+    # no call site bypassed the seam: a raw os.* on the URI string would
+    # have created a literal "mock:" directory somewhere local
+    assert not os.path.exists("mock:")
+    assert not os.path.exists(os.path.join(os.getcwd(), "mock:"))
+    # the shadow root actually holds the index (it IS the fake remote)
+    shadow = os.path.join(fsio.MOCK_ROOT, "fsio-test", "idx",
+                          "manifest.json")
+    assert os.path.exists(shadow)
