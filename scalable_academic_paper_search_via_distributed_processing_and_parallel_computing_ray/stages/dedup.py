@@ -427,60 +427,112 @@ def _pairs_within_runs(doc: np.ndarray, run_id: np.ndarray,
     return lo[keep].astype(np.int64), hi[keep].astype(np.int64)
 
 
-def _shingle_run_pairs(sh_act: Dataset, max_df: int) -> Dataset:
-    """(doc_id, shingle) rows -> (a, b) candidate pair rows, one per
-    shared shingle: one distributed sort co-locates each shingle's run,
-    blocks pair their INTERIOR runs vectorized, and the (small, run <=
-    max_df) first/last run of every block is delegated whole to an
-    O(blocks x max_df) driver merge so runs spanning block boundaries
-    pair exactly once."""
+def _combine_pairs(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """(a, b) pair rows -> distinct (a, b, n) with multiplicity counts."""
+    if a.size == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    up, cnt = np.unique(np.stack([a, b], axis=1), axis=0,
+                        return_counts=True)
+    return pa.table({"a": pa.array(up[:, 0], pa.int64()),
+                     "b": pa.array(up[:, 1], pa.int64()),
+                     "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+
+def _shingle_run_pairs_df(sh: Dataset, max_df: int) -> Dataset:
+    """(doc_id, shingle) rows -> locally-combined (a, b, n) candidate-pair
+    rows with the df gate (2 <= df <= max_df) FUSED into the one shingle
+    sort.  Each block detects its shingle runs, drops singleton and hot
+    runs locally (the run length IS the global df for interior runs),
+    pairs the survivors vectorized, and pre-combines duplicate pairs with
+    ``np.unique`` before they ever leave the block.
+
+    The first/last run of a block may continue into neighbor blocks, so
+    its global df is unknown locally: it exports at most ``max_df + 1``
+    rows PLUS the fragment's true length, and the driver reconstructs
+    every boundary run's exact df from O(blocks) metadata (equal shingles
+    are adjacent in fragment order — the table is globally sorted).  A
+    fragment that truncated its export belongs to a run hotter than
+    max_df and is dropped without needing its rows.
+
+    Replaces the round-4 shape — df-aggregate sort, then a semi-filter
+    pass, then a SECOND sort of the (barely smaller) filtered table:
+    ONE all-to-all instead of two, no candidate-set materialization in
+    between, and no driver-side broadcast of the active-shingle set, so
+    the fused path has no small-side size threshold at all."""
     import ray as _ray
 
     from .blocks import as_arrow_block, nonempty_block_refs
 
-    s = sh_act.sort("shingle").materialize()
+    empty = _combine_pairs(np.zeros(0, np.int64), np.zeros(0, np.int64))
+    s = sh.sort("shingle").materialize()
     refs = nonempty_block_refs(s)
     if not refs:
-        return _ray.data.from_arrow(pa.table({
-            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
+        return _ray.data.from_arrow(empty)
 
-    @_ray.remote(num_returns=2)
+    @_ray.remote(num_returns=3)
     def block_pairs(blk, max_run: int):
         blk = as_arrow_block(blk)
         sh_v = blk["shingle"].to_numpy(zero_copy_only=False)
         doc = blk["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = sh_v.size
         new = np.r_[True, sh_v[1:] != sh_v[:-1]]
         run_id = np.cumsum(new) - 1
-        # first and last run might continue into neighbor blocks: export
-        # them whole, pair only interior runs here
-        edge = (run_id == 0) | (run_id == run_id[-1])
-        a, b = _pairs_within_runs(doc[~edge], run_id[~edge], max_run)
-        pairs = pa.table({"a": pa.array(a, pa.int64()),
-                          "b": pa.array(b, pa.int64())})
-        boundary = pa.table({"shingle": pa.array(sh_v[edge]),
-                             "doc_id": pa.array(doc[edge], pa.int64())})
-        return pairs, boundary
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n]
+        rlen = ends - starts
+        m = starts.size
+        # interior runs are fully contained here: local length == global
+        # df, so the df gate applies block-locally
+        ok = (rlen >= 2) & (rlen <= max_run)
+        ok[0] = False
+        ok[-1] = False
+        sel = np.repeat(ok, rlen)
+        a, b = _pairs_within_runs(doc[sel], run_id[sel], max_run)
+        pairs = _combine_pairs(a, b)
+        # boundary fragments: row export capped at max_run + 1 (a longer
+        # fragment proves df > max_df already), true length carried so
+        # the driver can df-gate the merged run exactly
+        edge_idx = (0,) if m == 1 else (0, m - 1)
+        rows, meta_sh, meta_len = [], [], []
+        for i in edge_idx:
+            take = min(int(rlen[i]), max_run + 1)
+            rows.append(blk.select(["shingle", "doc_id"])
+                        .slice(int(starts[i]), take))
+            meta_sh.append(sh_v[starts[i]])
+            meta_len.append(int(rlen[i]))
+        boundary = pa.concat_tables(rows)
+        meta = pa.table({"shingle": pa.array(meta_sh, boundary.schema
+                                             .field("shingle").type),
+                         "flen": pa.array(meta_len, pa.int64())})
+        return pairs, boundary, meta
 
     outs = [block_pairs.remote(r, max_df) for r in refs]
     pair_refs = [o[0] for o in outs]
     btbl = pa.concat_tables(_ray.get([o[1] for o in outs]))
-    # driver merge of the edge runs (sorted globally, so concatenation
-    # in block order keeps shingle runs contiguous)
+    mtbl = pa.concat_tables(_ray.get([o[2] for o in outs]))
+    # boundary-run reconstruction: fragments arrive in block order, and
+    # global sortedness makes equal-shingle fragments adjacent
+    msh = mtbl["shingle"].to_numpy(zero_copy_only=False)
+    mlen = mtbl["flen"].to_numpy(zero_copy_only=False)
+    fnew = np.r_[True, msh[1:] != msh[:-1]]
+    df = np.add.reduceat(mlen, np.flatnonzero(fnew))
+    run_ok = (df >= 2) & (df <= max_df)
+    allowed = msh[fnew][run_ok]
     bsh = btbl["shingle"].to_numpy(zero_copy_only=False)
     bdoc = btbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.isin(bsh, allowed)
+    bsh, bdoc = bsh[keep], bdoc[keep]
     if bsh.size:
-        order = np.argsort(bsh, kind="stable")
-        bsh, bdoc = bsh[order], bdoc[order]
+        # a surviving run (df <= max_df) cannot have truncated any
+        # fragment, so its exported rows are complete; rows stay in
+        # global sorted order, so runs are contiguous as concatenated
         new = np.r_[True, bsh[1:] != bsh[:-1]]
         a, b = _pairs_within_runs(bdoc, np.cumsum(new) - 1, max_df)
-        # docs sharing the shingle may repeat across blocks? no — each
-        # (doc, shingle) row exists once (set semantics), so pairs from
-        # the merged edge runs are exactly the missing ones
-        edge_pairs = pa.table({"a": pa.array(a, pa.int64()),
-                               "b": pa.array(b, pa.int64())})
+        edge_pairs = _combine_pairs(a, b)
     else:
-        edge_pairs = pa.table({"a": pa.array([], pa.int64()),
-                               "b": pa.array([], pa.int64())})
+        edge_pairs = empty
     return _ray.data.from_arrow_refs(pair_refs + [_ray.put(edge_pairs)])
 
 
@@ -492,23 +544,28 @@ def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
     SQL oracle keeps the comparison exact).  Returns (a, b, jaccard_m) with
     jaccard_m = round(jaccard*1000) as int64.
 
-    Shape: everything is joins + pre-combined aggregates — the round-1
-    per-shingle ``map_groups`` paid a pandas task per bucket (~100k tiny
-    groups = minutes at sf0.1); the shingle self-join emits the same
-    bounded pair volume vectorized, and doc sizes reach the Jaccard
-    computation by joining them onto the pair table instead of a
-    driver-side dict of every doc."""
+    Shape (round 5): TWO all-to-alls total.  The shingle table is sorted
+    ONCE — the df gate (2 <= df <= max_df), run pairing AND the local
+    pair combine all ride that sort (:func:`_shingle_run_pairs_df`) —
+    and the combined pairs pay one sorted aggregation for the global
+    intersection counts.  Per-doc set sizes cost NO shuffle at all:
+    ``shingle_rows`` emits each doc's rows consecutively, Ray preserves
+    task output order, and every doc lives in exactly one input batch,
+    so doc runs are contiguous by construction and a presorted
+    boundary-carry aggregate reads the materialized blocks in place.
+    The round-4 shape paid 4 sorts + ~8 pipeline executions on the same
+    data (profiled at sf0.1: fixed per-execution cost dominated a 242k-row
+    shingle table); this one pays 2 sorts + 4."""
     import ray as _ray
     from .blocks import drop_empty_blocks
 
     sh = ds.map_batches(lambda b: shingle_rows(b, k, text_col),
                         batch_format="pyarrow")
-    sh = sh.materialize()  # consumed 3x (sizes + join sides)
-    # data-adaptive partition count: this plan chains THREE JoinOperators,
-    # each spawning num_partitions shuffle-aggregator actors CONCURRENTLY —
-    # at npart=cpus the 3x actor pool starves the map tasks and the plan
-    # can deadlock (observed at 32 CPUs); ~500k shingle rows per partition
-    # keeps actor count modest at small scale and still grows with data
+    sh = sh.materialize()  # consumed 2x (pair sort + per-doc sizes)
+    # npart only sizes the big-side hash-join FALLBACK below (taken when
+    # the sizes map outgrows the broadcast threshold); ~500k rows per
+    # partition keeps the JoinOperator actor pool from starving the map
+    # tasks at high parallelism (deadlock observed at npart=cpus)
     cpus = int(_ray.cluster_resources().get("CPU", 8))
     n_sh = sh.count()
     npart = max(8, min(cpus, n_sh // 500_000 + 1))
@@ -521,60 +578,27 @@ def ngram_jaccard_pairs(ds: Dataset, threshold: float = 0.8, k: int = 3,
     if n_sh == 0:
         return _empty_pairs()
 
-    # grouped counts via ONE sort + per-block reduceat (stages/groupagg):
-    # Ray's hash/sort aggregate pays ~20s per million grouped rows in its
-    # reduce phase (measured in groupagg.py's header) — the sort-based
-    # exact replacement is ~20x faster and bit-identical
+    # candidate pairs, df-gated and locally combined, off ONE sort
+    paired = _shingle_run_pairs_df(sh, max_df)
+
+    # global intersection counts via sorted-agg (stages/groupagg: Ray's
+    # hash aggregate pays ~20s per million grouped rows; the sort-based
+    # exact replacement is ~20x faster and bit-identical)
     from .groupagg import sorted_groupby_agg
-    active = drop_empty_blocks(
-        sorted_groupby_agg(sh, ["shingle"], [("shingle", "count", "df")])
-        .filter(expr=f"df >= 2 and df <= {max_df}")
-        .map_batches(_pin_arrow("shingle"), batch_format="pyarrow"))
-    if active.count() == 0:
+    inter = drop_empty_blocks(
+        sorted_groupby_agg(paired, ["a", "b"], [("n", "sum", "inter")])
+        .map_batches(_pin_arrow("a", "b", "inter"), batch_format="pyarrow"))
+    if inter.count() == 0:
         # no shared (non-hot) shingle anywhere => no candidate pairs; the
         # joins below would also choke on an all-empty (schema-less) side
         return _empty_pairs()
 
-    # computed only AFTER the early return — a shared-nothing corpus
-    # shouldn't pay the per-doc sizes shuffle for a discarded result
+    # per-doc set sizes: shuffle-free presorted aggregate (contiguity by
+    # construction — see docstring), computed only once pairs exist
     sizes = drop_empty_blocks(
-        sorted_groupby_agg(sh, ["doc_id"], [("doc_id", "count", "sz")])
+        sorted_groupby_agg(sh, ["doc_id"], [("doc_id", "count", "sz")],
+                           presorted=True)
         .map_batches(_pin_arrow("doc_id", "sz"), batch_format="pyarrow"))
-
-    # The active-shingle side is a bare key set: while it fits the
-    # broadcast threshold a per-batch is_in semi-filter replaces a
-    # shuffle join entirely; past the threshold, the hash join comes back
-    from .joins import broadcast_semi_filter
-    sh_act = broadcast_semi_filter(sh, active, "shingle", "shingle")
-    if sh_act is None:
-        sh_act = sh.join(active, join_type="inner", num_partitions=npart,
-                         on=("shingle",))
-    # pair generation: ONE distributed sort on shingle, then vectorized
-    # within-run pairing per block (offset-diagonal trick, <= max_df
-    # vector ops) with run-spanning edges merged on the driver —
-    # replaces the pair SELF-JOIN, whose JoinOperator paid a whole
-    # shuffle-actor pool + exchange (and was the plan's deadlock hazard
-    # at high parallelism).  Runs are <= max_df rows by the active
-    # filter, so driver boundary volume is O(blocks x max_df).
-    paired = _shingle_run_pairs(sh_act, max_df)
-
-    def ordered_combine(b: pa.Table) -> pa.Table:
-        """LOCAL partial combine: a run's pairs land in one block, so a
-        near-dup pair repeats once per shared shingle mostly WITHIN one
-        batch — np.unique collapses that before the shuffle."""
-        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pairs = np.stack([a, bb], axis=1)
-        up, cnt = np.unique(pairs, axis=0, return_counts=True)
-        return pa.table({"a": pa.array(up[:, 0], pa.int64()),
-                         "b": pa.array(up[:, 1], pa.int64()),
-                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
-
-    inter = drop_empty_blocks(
-        sorted_groupby_agg(
-            paired.map_batches(ordered_combine, batch_format="pyarrow"),
-            ["a", "b"], [("n", "sum", "inter")])
-        .map_batches(_pin_arrow("a", "b", "inter"), batch_format="pyarrow"))
 
     sz_a = sizes.map_batches(
         lambda b: pa.table({"a": b["doc_id"], "sz_a": b["sz"]}),

@@ -82,15 +82,24 @@ def _block_agg(blk, keys: list, aggs: list):
 
 
 def sorted_groupby_agg(ds: Dataset, keys: list[str],
-                       aggs: list[tuple[str, str, str]]) -> Dataset:
+                       aggs: list[tuple[str, str, str]],
+                       presorted: bool = False) -> Dataset:
     """Exact grouped aggregation via ONE sort + per-block ``reduceat``.
 
     ``aggs`` = [(value_col, how, out_col)] with how in
     {"sum", "min", "max", "count"} ("count" ignores value_col).  Output
     columns = keys + out_cols.  Keys may be any numpy-comparable type
     (int, string); value columns must be integer — outputs are int64
-    (every caller here aggregates counts or milli-quantized ints)."""
-    s = ds.sort(keys).materialize()
+    (every caller here aggregates counts or milli-quantized ints).
+
+    ``presorted``: the caller asserts each key's rows are already
+    CONTIGUOUS in global block order (grouped by construction — e.g. a
+    per-doc exploder emits one doc's rows consecutively and Ray preserves
+    task output order).  The sort (the only all-to-all here) is skipped
+    and blocks aggregate as-is; correctness needs only contiguity, not
+    global key order, because the boundary merge coalesces equal keys in
+    ADJACENT block fragments only."""
+    s = ds.materialize() if presorted else ds.sort(keys).materialize()
     refs = nonempty_block_refs(s)
     if not refs:
         try:  # pandas-block schemas (e.g. empty map_groups output) have
