@@ -18,6 +18,7 @@ north rule's N vs 4N cluster sizes (BASELINE.md).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -193,6 +194,69 @@ def run_bench() -> dict:
         t_c, disp["compact"] = _timed_reps(one_compact)
         out["compact"] = round(t_c, 3)
         shutil.rmtree(cdir, ignore_errors=True)
+
+    # ---- deletion lifecycle at corpus scale (VERDICT r4 #7): tombstone
+    # 1% of the docs (O(deleted), no segment rewrite), purge via
+    # compaction, and assert the purged index scores rank+score identical
+    # to a FRESH BUILD over the survivors (the test_delete.py invariant —
+    # purge recomputes n_docs / avg_dl / df from survivors only, so the
+    # tombstone-masked index is NOT the right comparison target)
+    if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        # every 100th REAL id = 1% (replicated corpora use sparse id
+        # spaces — doc_id + r*1e9 — so ids must come from the data)
+        import pyarrow.dataset as pads
+        all_ids = pads.dataset(pdir).to_table(
+            columns=["doc_id"])["doc_id"].to_numpy()
+        all_ids.sort()
+        victims = [int(x) for x in all_ids[::100]]
+        vset = set(victims)
+
+        t1 = time.time()
+        build.delete_docs(idx_dir, victims)
+        out["delete_1pct"] = round(time.time() - t1, 3)
+
+        masked = query.IndexReader(idx_dir)
+        for q in pages.QUERY_SET:
+            assert all(r.doc_id not in vset for r in
+                       masked.search(q["query_text"], q["k"], q["mode"])), \
+                "tombstoned doc surfaced"
+
+        pdir_c = f"/dev/shm/graft_bench_idx_p{NUM_CPUS}"
+        shutil.rmtree(pdir_c, ignore_errors=True)
+        t1 = time.time()
+        build.compact_index(idx_dir, pdir_c, target_shards=NUM_SHARDS)
+        out["purge_compact"] = round(time.time() - t1, 3)
+
+        # survivor pages + fresh build (untimed — correctness anchor only)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        sdir = f"/dev/shm/graft_bench_surv_{NUM_CPUS}"
+        shutil.rmtree(sdir, ignore_errors=True)
+        os.makedirs(sdir)
+        for i, f in enumerate(sorted(glob.glob(
+                os.path.join(pdir, "*.parquet")))):
+            t = pq.read_table(f)
+            pq.write_table(
+                t.filter(pc.invert(pc.is_in(
+                    t["doc_id"], value_set=pa.array(victims)))),
+                os.path.join(sdir, f"p{i:03d}.parquet"))
+        fdir = f"/dev/shm/graft_bench_idx_f{NUM_CPUS}"
+        shutil.rmtree(fdir, ignore_errors=True)
+        build.build_index(sdir, fdir,
+                          build.BuildParams(num_shards=NUM_SHARDS))
+
+        purged, fresh = query.IndexReader(pdir_c), query.IndexReader(fdir)
+        assert purged.n_docs == fresh.n_docs
+        for q in pages.QUERY_SET:
+            got = [(r.doc_id, round(r.score, 6)) for r in
+                   purged.search(q["query_text"], q["k"], q["mode"])]
+            want = [(r.doc_id, round(r.score, 6)) for r in
+                    fresh.search(q["query_text"], q["k"], q["mode"])]
+            assert got == want, \
+                f"purge != fresh-survivor build on {q['query_text']!r}"
+        for dd in (pdir_c, sdir, fdir):
+            shutil.rmtree(dd, ignore_errors=True)
 
     # ---- sample of the other pipelines at the raw sf dir
     names = () if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else (
