@@ -125,6 +125,10 @@ class MinHashBands:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if doc_ids.size and doc_ids.min() < 0:
+            # the hot-bucket count rides in-band as an (a,b)=(-1,-1)
+            # sentinel row downstream — a negative id would collide
+            raise ValueError("minhash LSH requires non-negative doc_ids")
         texts = batch[self.text_col].to_pylist()
         sigs = np.stack([self.signature(t) for t in texts])  # (n, num_perm)
         n = sigs.shape[0]
@@ -763,6 +767,10 @@ class HyperplaneBands:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, m = _norm_rows(batch, self.id_col, self.vec_col)
+        if ids.size and ids.min() < 0:
+            # the hot-bucket count rides in-band as an (a,b)=(-1,-1)
+            # sentinel row downstream — a negative id would collide
+            raise ValueError("embedding LSH requires non-negative ids")
         if self._H is None:
             self._H = self._planes(m.shape[1])
         if self.scheme == "md5":

@@ -194,3 +194,18 @@ def test_simhash_no_driver_materialization(dup_ds):
     for a, b in brute:
         if ts.hamming64(sims[a], sims[b]) <= 3:
             assert (a, b) in got
+
+
+def test_lsh_rejects_negative_ids(ray_session):
+    """ADVICE r4: the hot-bucket count rides in-band as an (a,b)=(-1,-1)
+    sentinel row — negative caller ids would collide with it, so both LSH
+    entries refuse them loudly instead of silently dropping pairs."""
+    import ray.data as rd
+    docs = rd.from_items([{"doc_id": -5, "text": "alpha beta gamma " * 10},
+                          {"doc_id": 3, "text": "alpha beta gamma " * 10}])
+    with pytest.raises(Exception, match="non-negative"):
+        dedup.minhash_verified_pairs(docs, num_perm=16, num_bands=4)
+    vecs = rd.from_items([{"vec_id": -1, "embedding": [1.0, 0.0, 0.0]},
+                          {"vec_id": 2, "embedding": [1.0, 0.0, 0.0]}])
+    with pytest.raises(Exception, match="non-negative"):
+        dedup.embedding_dup_pairs_lsh(vecs, num_bands=4, bits_per_band=2)
