@@ -194,6 +194,19 @@ def unlink(path: str) -> None:
 def copy_file(src: str, dst: str) -> None:
     fs, s = resolve(src)
     if fs is None and not is_uri(dst):
+        # immutable-file fast path: hard-link instead of copying bytes —
+        # index files are write-once (atomic-replace publishes a NEW
+        # inode, never mutates in place), so a link is content-safe and
+        # turns compaction's docs phase from O(bytes) into O(files)
+        # metadata, exactly like LSM segment references.  EXDEV (different
+        # filesystem) or an FS without link support falls back to a copy.
+        try:
+            if os.path.exists(dst):
+                os.remove(dst)
+            os.link(s, dst)
+            return
+        except OSError:
+            pass
         shutil.copy2(s, dst)
         return
     # cross- or same-fs copy via streams (local<->remote both directions)
