@@ -1131,22 +1131,30 @@ def compact_index(index_dir: str, out_dir: str,
     ts_copy_ref = ray.put(tombstones) if tombstones is not None else None
 
     @ray.remote(num_cpus=1)
-    def _copy_docs_file(src_f: str, dest_f: str, ts) -> tuple[int, int]:
+    def _copy_docs_files(pairs: list, ts) -> tuple[int, int]:
         # ``ts`` arrives as the broadcast ObjectRef's value (Ray
         # de-references top-level args): zero-copy from the object store
-        # in every task, put exactly once on the driver
-        if ts is None:
-            fsio.copy_file(src_f, dest_f)
-            return (0, 0)
-        t = fsio.pq_read_table(src_f)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos_i = np.searchsorted(ts, ids)
-        pos_i[pos_i >= ts.size] = ts.size - 1
-        t = t.filter(pa.array(ts[pos_i] != ids))
-        tmp = dest_f + ".tmp"
-        fsio.pq_write_table(t, tmp)
-        fsio.replace(tmp, dest_f)
-        return (t.num_rows, int(pc.sum(t["doc_len"]).as_py() or 0))
+        # in every task, put exactly once on the driver.  Each task
+        # handles a CHUNK of files — per-task scheduling latency was the
+        # whole docs wall once copy_file became a hard link (measured
+        # 1.5 s for one-file tasks at x4096/8 CPUs vs ~0 work).
+        n_rows = sum_dl = 0
+        for src_f, dest_f in pairs:
+            if ts is None:
+                fsio.copy_file(src_f, dest_f)
+                continue
+            t = fsio.pq_read_table(src_f)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pos_i = np.searchsorted(ts, ids)
+            pos_i[pos_i >= ts.size] = ts.size - 1
+            t = t.filter(pa.array(ts[pos_i] != ids))
+            tmp = dest_f + ".tmp"
+            fsio.pq_write_table(t, tmp)
+            fsio.replace(tmp, dest_f)
+            n_rows += t.num_rows
+            sum_dl += int(pc.sum(t["doc_len"]).as_py() or 0)
+        return (n_rows, sum_dl)
 
     copy_refs: dict[int, list] = {}
     for g, members in enumerate(groups):
@@ -1155,16 +1163,22 @@ def compact_index(index_dir: str, out_dir: str,
         dest = docs_dir_for[g]
         fsio.rmtree(dest, ignore_errors=True)
         fsio.makedirs(dest, exist_ok=True)
-        refs = []
+        pairs = []
         for sid in members:
             src = os.path.join(ckpt.shard_dir(index_dir, sid), "docs")
-            for f in sorted(fsio.listdir(src)):
-                if f.endswith(".parquet"):
-                    refs.append(_copy_docs_file.remote(
-                        os.path.join(src, f),
-                        os.path.join(dest, f"m{sid:04d}-{f}"),
-                        ts_copy_ref))
-        copy_refs[g] = refs
+            pairs.extend(
+                (os.path.join(src, f),
+                 os.path.join(dest, f"m{sid:04d}-{f}"))
+                for f in sorted(fsio.listdir(src))
+                if f.endswith(".parquet"))
+        # ~2 chunks per CPU across ALL groups: parallel enough for real
+        # byte copies, without a scheduling round-trip per file
+        n_chunks = max(1, min(len(pairs),
+                              (2 * _ncpu()) // max(1, target_shards)))
+        size = -(-len(pairs) // n_chunks)
+        copy_refs[g] = [
+            _copy_docs_files.remote(pairs[i:i + size], ts_copy_ref)
+            for i in range(0, len(pairs), size)]
 
     # ---- segments: shuffle-FREE range-partitioned merge wave --------------
     # Every (sid, term, salt) group's rows live in known source files, so
@@ -1183,6 +1197,7 @@ def compact_index(index_dir: str, out_dir: str,
     wave = 0.0
     tmp_root = os.path.join(out_dir, "_wave_compact")
     merge_refs: list = []
+    phase: dict[str, float] = {}
     if pending:
         t2 = time.time()
         file_gid: list[tuple[str, int]] = []
@@ -1275,6 +1290,7 @@ def compact_index(index_dir: str, out_dir: str,
             else None
         fsio.rmtree(tmp_root, ignore_errors=True)
         fsio.makedirs(tmp_root, exist_ok=True)
+        phase["plan"] = round(time.time() - t2, 3)
         merge_refs = [
             _merge_range.remote(dict(per_range[ridx]), lo, hi,
                                 tmp_root, ridx, ts_merge_ref)
@@ -1305,8 +1321,10 @@ def compact_index(index_dir: str, out_dir: str,
 
     if pending:
         ray.get(merge_refs)
+        phase["merge"] = round(time.time() - t2 - phase["plan"], 3)
         wave = round(time.time() - t2, 3)
         _publish_partitions(tmp_root, pending, seg_dir_for, SEGMENT_SCHEMA)
+        phase["publish"] = round(time.time() - t2 - wave, 3)
 
         def _seg_stats(g: int) -> tuple[int, int, int, int]:
             meta = fsio.pq_read_table(seg_dir_for[g], columns=["df"])
@@ -1329,4 +1347,5 @@ def compact_index(index_dir: str, out_dir: str,
 
     return _finalize(out_dir, target_shards, params, t0,
                      extra={"compact_secs": {"docs": docs_secs,
-                                             "wave": round(wave, 3)}})
+                                             "wave": round(wave, 3),
+                                             **phase}})
