@@ -959,7 +959,8 @@ def merge_segment_rows(group: pa.Table,
 def _merge_range(files: dict[str, tuple[int, list[int]]],
                  lo: tuple | None, hi: tuple | None,
                  tmp_root: str, ridx: int,
-                 ts: np.ndarray | None) -> None:
+                 ts: np.ndarray | None,
+                 heavy_passthrough_bytes: int = 4 << 20) -> tuple[float, int]:
     """One compaction range task: merge every (sid, term, salt) group whose
     (term, salt) key falls in [``lo``, ``hi``) — reading ONLY the assigned
     row groups of each source file (``files``: file -> (target sid,
@@ -968,11 +969,19 @@ def _merge_range(files: dict[str, tuple[int, list[int]]],
     ``os.replace`` — re-runs after a crash are idempotent).  No shuffle:
     the driver's footer pass already routed the bytes here.  ``ts`` is the
     broadcast tombstone array (Ray de-references the ObjectRef arg) or
-    None for the byte-identical passthrough fast path."""
+    None for the byte-identical passthrough fast path.
+
+    Returns ``(task_secs, rows_read)`` so the driver can stamp a
+    per-task duration summary into the compact metrics — straggler
+    imbalance vs fixed overhead is observable from the manifest instead
+    of needing a profiler on a 256-node run."""
+    t_start = time.time()
+    rows_read = 0
     by_gid: dict[int, list[pa.Table]] = {}
     for f, (gid, rgs) in files.items():
         t = fsio.pq_file(f).read_row_groups(sorted(rgs))
         if t.num_rows:
+            rows_read += t.num_rows
             by_gid.setdefault(gid, []).append(t)
     for gid, parts in by_gid.items():
         t = pa.concat_tables(parts, promote_options="default")
@@ -1004,9 +1013,30 @@ def _merge_range(files: dict[str, tuple[int, list[int]]],
         outs: list[pa.Table] = []
         if ts is None:
             single = (ends - starts) == 1
-            if single.any():  # byte-identical passthrough, one take
-                outs.append(t.take(starts[single]))
-            s_m, e_m = starts[~single], ends[~single]
+            # HEAVY groups pass through too: a head term's (term, salt)
+            # group is the one indivisible unit of merge work — at x4096
+            # the single heaviest group's decode+re-encode (~8 s) WAS the
+            # wave wall at 32 CPUs (merge_tasks max_s ≈ wave secs).  Its
+            # source rows are already doc-disjoint (shards hold disjoint
+            # docs) and the reader makes one cursor per row regardless
+            # (query.py _load_seg_batch appends to a per-term LIST), so
+            # keeping k rows instead of re-encoding to 1 costs k-1 extra
+            # cursors on a handful of head terms and saves O(payload)
+            # CPU; rows stay byte-identical.
+            row_bytes = (
+                pc.binary_length(t["doc_bytes"]).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                + pc.binary_length(t["tf_bytes"]).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                + pc.binary_length(t["pos_bytes"]).to_numpy(
+                    zero_copy_only=False).astype(np.int64))
+            run_bytes = np.add.reduceat(row_bytes, starts)
+            heavy = run_bytes > heavy_passthrough_bytes
+            keep_asis = single | heavy
+            if keep_asis.any():  # byte-identical passthrough
+                outs.append(t.filter(pa.array(
+                    np.repeat(keep_asis, ends - starts))))
+            s_m, e_m = starts[~keep_asis], ends[~keep_asis]
         else:
             s_m, e_m = starts, ends
         outs.extend(merge_segment_rows(t.slice(s, e - s), ts)
@@ -1022,6 +1052,7 @@ def _merge_range(files: dict[str, tuple[int, list[int]]],
         tmp = os.path.join(d, f".part-r{ridx:06d}.parquet.tmp")
         fsio.pq_write_table(out, tmp)
         fsio.replace(tmp, os.path.join(d, f"part-r{ridx:06d}.parquet"))
+    return (round(time.time() - t_start, 3), rows_read)
 
 
 def delete_docs(index_dir: str, doc_ids) -> dict:
@@ -1065,7 +1096,8 @@ def delete_docs(index_dir: str, doc_ids) -> dict:
 
 
 def compact_index(index_dir: str, out_dir: str,
-                  target_shards: int = 1) -> dict:
+                  target_shards: int = 1,
+                  heavy_passthrough_bytes: int = 4 << 20) -> dict:
     """Merge an index's shards into ``target_shards`` new shards under a
     NEW directory, without re-reading any source text.
 
@@ -1083,6 +1115,16 @@ def compact_index(index_dir: str, out_dir: str,
     an incomplete out_dir whose done-markers make a re-run resume.  Salt
     splits are preserved, so a head term's merge work stays bounded per
     task exactly as in the build shuffle.
+
+    ``heavy_passthrough_bytes``: a (term, salt) group whose summed encoded
+    payload exceeds this is NOT re-encoded — its (doc-disjoint) source
+    rows pass through byte-identical and the reader keeps one cursor per
+    row, because a single head group's decode+re-encode is the wave's one
+    indivisible unit of work and becomes the scaling floor (measured: the
+    max merge task ≈ the whole wave wall at x4096/32 CPUs).  0 forces
+    passthrough for every multi-row group; set it huge to always merge.
+    Tombstone purges still re-encode every group (the purge must rewrite
+    the postings anyway).
     """
     t0 = time.time()
     if not fsio.is_uri(index_dir):
@@ -1250,8 +1292,13 @@ def compact_index(index_dir: str, out_dir: str,
         # single head-term rg pins the wave to its whole weight
         # (measured: a 2.5 s straggler over a 0.3 s p50 at x1024/32 CPUs)
         stream: list[tuple[tuple, float]] = []
+        # a group headed for heavy passthrough costs ~file-copy, not
+        # decode+merge+re-encode — weight it at ~10% so the balanced
+        # ranges equalize actual MERGE work (otherwise ranges rich in
+        # passthrough bytes idle while small-group ranges do everything)
+        _PT_COST = 0.1
         for f, g, i, key, hi_key, w in rg_meta:
-            if w <= step:
+            if w <= step and w <= heavy_passthrough_bytes:
                 stream.append((key, float(w)))
                 continue
             t = fsio.pq_file(f).read_row_groups(
@@ -1259,10 +1306,17 @@ def compact_index(index_dir: str, out_dir: str,
             dfs = t["df"].to_numpy(zero_copy_only=False) \
                 .astype(np.float64) + 1.0
             frac = dfs / dfs.sum()
+            est = float(w) * frac
+            cost = np.where(est > heavy_passthrough_bytes,
+                            est * _PT_COST, est)
             stream.extend(
-                ((tm, sl), float(w) * fr) for tm, sl, fr in
-                zip(t["term"].to_pylist(), t["salt"].to_pylist(), frac))
+                ((tm, sl), float(c)) for tm, sl, c in
+                zip(t["term"].to_pylist(), t["salt"].to_pylist(), cost))
         stream.sort(key=lambda x: x[0])
+        # re-derive the per-range share from the COST stream (the byte
+        # total no longer equals the cost total once passthrough groups
+        # are down-weighted)
+        step = sum(w for _, w in stream) / width
         bounds: list[tuple] = []
         cum, nxt = 0.0, step
         for key, w in stream:
@@ -1293,7 +1347,8 @@ def compact_index(index_dir: str, out_dir: str,
         phase["plan"] = round(time.time() - t2, 3)
         merge_refs = [
             _merge_range.remote(dict(per_range[ridx]), lo, hi,
-                                tmp_root, ridx, ts_merge_ref)
+                                tmp_root, ridx, ts_merge_ref,
+                                heavy_passthrough_bytes)
             for ridx, (lo, hi) in enumerate(ranges) if per_range[ridx]]
 
     # gather the docs-copy tasks (they ran while the merge plan was built
@@ -1320,8 +1375,19 @@ def compact_index(index_dir: str, out_dir: str,
     docs_secs = round(time.time() - t1, 3)
 
     if pending:
-        ray.get(merge_refs)
+        task_stats = ray.get(merge_refs)
+        secs = sorted(s for s, _ in task_stats)
         phase["merge"] = round(time.time() - t2 - phase["plan"], 3)
+        # per-task duration summary: wall - max ≈ scheduling/dispatch
+        # overhead, sum/width vs max ≈ range imbalance — readable from
+        # the manifest on any cluster size (no profiler needed)
+        phase["merge_tasks"] = {
+            "n": len(secs),
+            "p50_s": secs[len(secs) // 2] if secs else 0.0,
+            "max_s": secs[-1] if secs else 0.0,
+            "sum_s": round(sum(secs), 3),
+            "rows_read": int(sum(r for _, r in task_stats)),
+        }
         wave = round(time.time() - t2, 3)
         _publish_partitions(tmp_root, pending, seg_dir_for, SEGMENT_SCHEMA)
         phase["publish"] = round(time.time() - t2 - wave, 3)

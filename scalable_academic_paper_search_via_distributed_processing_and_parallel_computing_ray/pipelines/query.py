@@ -118,6 +118,26 @@ def fetch_docs(index_dir: str, doc_ids, *, manifest: dict | None = None,
     out: dict[int, dict] = {}
     remaining = set(ids)
     n_shards = int(manifest["n_shards"])
+    if len(remaining) > 1 and n_shards > 1:
+        # multi-id lookups (the serving snippets path: k hits spread
+        # across shards — url-hash ids carry no shard locality, so every
+        # shard gets probed) read the shards CONCURRENTLY: the filtered
+        # parquet reads release the GIL, so a small thread pool turns
+        # n_shards sequential row-group scans into one round-trip
+        from concurrent.futures import ThreadPoolExecutor
+        flt = [("doc_id", "in", sorted(remaining))]
+        with ThreadPoolExecutor(min(n_shards, 8)) as ex:
+            tables = list(ex.map(
+                lambda s: fsio.pq_read_table(
+                    os.path.join(shards_root, s, "docs"), filters=flt),
+                (f"shard-{i:04d}" for i in range(n_shards))))
+        for t in tables:
+            for row in t.to_pylist():
+                did = int(row["doc_id"])
+                if did in remaining:
+                    out[did] = row
+                    remaining.discard(did)
+        return out
     for s in (f"shard-{i:04d}" for i in range(n_shards)):
         if not remaining:
             break

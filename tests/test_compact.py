@@ -65,6 +65,40 @@ def test_compact_scores_identical(compacted):
             q["query_text"], q["k"], q["mode"])) == want
 
 
+def test_compact_heavy_passthrough_scores_identical(compacted,
+                                                    tmp_path_factory):
+    """heavy_passthrough_bytes=0 forces EVERY multi-row (term, salt) group
+    through un-merged (the head-term scaling escape hatch): the output
+    keeps several doc-disjoint rows per term and the reader runs one
+    cursor per row — results must stay rank+score identical and global
+    stats exact."""
+    d_grown, _, m_grown, _ = compacted
+    d_pt = str(tmp_path_factory.mktemp("compact_pt") / "idx_pt")
+    m_pt = build.compact_index(d_grown, d_pt, target_shards=1,
+                               heavy_passthrough_bytes=0)
+    assert m_pt["n_shards"] == 1
+    assert m_pt["n_docs"] == m_grown["n_docs"]
+    assert m_pt["n_postings"] == m_grown["n_postings"]
+    # un-merged: the single output shard holds MORE term rows than a
+    # fully merged compact-to-1 would (source shards' rows survive)
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.state import (
+        checkpoint as ckpt,
+    )
+    d_merged = str(tmp_path_factory.mktemp("compact_m1") / "idx_m1")
+    build.compact_index(d_grown, d_merged, target_shards=1)
+    assert ckpt.read_shard_record(d_pt, 0)["n_term_shards"] > \
+        ckpt.read_shard_record(d_merged, 0)["n_term_shards"]
+    r_old = query.IndexReader(d_grown)
+    r_new = query.IndexReader(d_pt)
+    assert r_old._df == r_new._df
+    for q in list(QUERY_SET) + list(SELECTIVE_QUERY_SET):
+        want = _fmt(r_old.search_wand(q["query_text"], q["k"], q["mode"]))
+        assert _fmt(r_new.search_wand(q["query_text"], q["k"], q["mode"])) \
+            == want, f"passthrough compact != source for q{q['query_id']}"
+        assert _fmt(r_new.search_exhaustive(
+            q["query_text"], q["k"], q["mode"])) == want
+
+
 def test_compact_resume_is_noop(compacted):
     d_grown, d_out, _, m_out = compacted
     import time
