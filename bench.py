@@ -379,8 +379,18 @@ def run_scaling_compact() -> dict:
     fixed pipeline spin-up (VERDICT r4 #2): build ONE large index at 32
     CPUs, then compact it at num_cpus=8 and 32 in fresh processes
     (best-of-2 each) — compaction of an EXISTING index is exactly the
-    job a cluster resizes for, so the build need not repeat per level."""
-    repl = os.environ.get("GRAFT_BENCH_REPLICATE", "4096")
+    job a cluster resizes for, so the build need not repeat per level.
+
+    ``--purge``: tombstone 1% of the docs first, so the compaction runs
+    the PURGE path (every group re-encoded, every docs file rewritten
+    filtered).  Plain compaction became nearly work-free this round
+    (heavy-group byte passthrough + hard-linked docs copy — sub-second
+    even at x256, all fixed spin-up), so its 8-vs-32 ratio no longer
+    measures anything; the purge variant carries compaction's real
+    per-byte work and is what a delete-heavy index actually runs."""
+    purge = "--purge" in sys.argv or os.environ.get("GRAFT_SCALE_PURGE")
+    repl = os.environ.get("GRAFT_BENCH_REPLICATE",
+                          "1024" if purge else "4096")
     env = dict(os.environ, RAY_GRAFT_CPUS="32",
                GRAFT_BENCH_HEADLINE_ONLY="1",
                GRAFT_BENCH_REPS="1",
@@ -389,8 +399,25 @@ def run_scaling_compact() -> dict:
     subprocess.run([sys.executable, os.path.abspath(__file__)],
                    env=env, capture_output=True, text=True, check=True)
     idx = "/dev/shm/graft_bench_idx_32"
-    out = {"metric": "compaction scaling, same pre-built index at "
-                     "num_cpus=8 vs 32", "replicate": int(repl)}
+    if purge:
+        # tombstone every 100th doc id (driver-side file op, no Ray):
+        # the source index keeps its tombstones across both levels, so
+        # each compact_only run purges identical work
+        import pyarrow.dataset as pads
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines import (
+            build,
+        )
+        files = glob.glob(os.path.join(
+            idx, "shards", "shard-*", "docs", "*.parquet"))
+        ids = pads.dataset(files).to_table(
+            columns=["doc_id"])["doc_id"].to_numpy()
+        ids.sort()
+        build.delete_docs(idx, [int(x) for x in ids[::100]])
+    out = {"metric": ("PURGE-" if purge else "") +
+                     "compaction scaling, same pre-built index at "
+                     "num_cpus=8 vs 32", "replicate": int(repl),
+           "purge_1pct": bool(purge)}
     for n in (8, 32):
         env_c = dict(os.environ, RAY_GRAFT_CPUS=str(n))
         p = subprocess.run(

@@ -63,6 +63,11 @@ from ..state import checkpoint as ckpt
 from ..state import fsio
 from ..state import termdict as termdict_mod
 
+# docs parts are written with small row groups so a sidecar-resolved
+# point read (state/docstore.py) decompresses ~1k rows of text, not a
+# whole multi-thousand-row part; scans pay only footer overhead for it
+DOCS_ROW_GROUP = 1024
+
 DOCS_SCHEMA = pa.schema([
     ("doc_id", pa.int64()),
     ("url", pa.string()),
@@ -221,7 +226,7 @@ class DocsCheckpointWriter:
                         h.update(buf)
             tag = h.hexdigest()[:16]
             tmp = os.path.join(d, f".part-{tag}.parquet.tmp")
-            fsio.pq_write_table(part, tmp)
+            fsio.pq_write_table(part, tmp, row_group_size=DOCS_ROW_GROUP)
             fsio.replace(tmp, os.path.join(d, f"part-{tag}.parquet"))
         return batch
 
@@ -642,6 +647,21 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
     if params.verify_doc_ids:
         _verify_unique_doc_ids(index_dir, n_shards)
     recs = [ckpt.read_shard_record(index_dir, sid) for sid in range(n_shards)]
+
+    # doc-store sidecars (state/docstore.py): one task per shard, each
+    # reading only its docs parts' doc_id columns + footers.  Dispatched
+    # here so the termdict work below overlaps the sidecar I/O; rebuilt
+    # on every finalize (build, extend, compact, purge) BEFORE the
+    # manifest publish, so a manifest generation and its sidecars agree.
+    from ..state import docstore
+
+    @ray.remote(num_cpus=1)
+    def _docs_idx_task(shard_dir: str) -> int:
+        return docstore.build_shard_docs_idx(shard_dir)
+
+    docs_idx_refs = [_docs_idx_task.remote(ckpt.shard_dir(index_dir, sid))
+                     for sid in range(n_shards)]
+
     n_total = sum(r["n_docs"] for r in recs)
     sum_dl = sum(r["sum_dl"] for r in recs)
     avg_dl = (sum_dl / n_total) if n_total else 1.0
@@ -703,9 +723,12 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
                       "n": int(m["n"])} for m in metas])
     fsio.replace(td_tmp, os.path.join(index_dir, td_name))
 
+    n_idx_rows = sum(ray.get(docs_idx_refs))
     n_postings = sum(r.get("n_postings", 0) for r in recs)
     seg_bytes = sum(r.get("seg_bytes", 0) for r in recs)
     manifest = {
+        "docs_idx": {"version": docstore.IDX_VERSION,
+                     "n_rows": n_idx_rows},
         "format_version": FORMAT_VERSION,
         "termdict_dir": td_name,
         "tokenizer_version": TOKENIZER_VERSION,
@@ -1192,7 +1215,7 @@ def compact_index(index_dir: str, out_dir: str,
             pos_i[pos_i >= ts.size] = ts.size - 1
             t = t.filter(pa.array(ts[pos_i] != ids))
             tmp = dest_f + ".tmp"
-            fsio.pq_write_table(t, tmp)
+            fsio.pq_write_table(t, tmp, row_group_size=DOCS_ROW_GROUP)
             fsio.replace(tmp, dest_f)
             n_rows += t.num_rows
             sum_dl += int(pc.sum(t["doc_len"]).as_py() or 0)

@@ -93,13 +93,20 @@ def fetch_doc(index_dir: str, doc_id: int, *, manifest: dict | None = None,
 
 
 def fetch_docs(index_dir: str, doc_ids, *, manifest: dict | None = None,
-               tombstones: np.ndarray | None = None) -> dict[int, dict]:
+               tombstones: np.ndarray | None = None,
+               columns: list[str] | None = None) -> dict[int, dict]:
     """BATCHED point lookup: ONE filtered read per shard for the whole id
     set, instead of one fetch round-trip per id (the serving snippets path
     needs k docs per request — per-hit ``fetch_doc`` re-read the manifest,
     every tombstone parquet, and the shard footers k times).  Tombstoned
     and absent ids are simply missing from the result.  Early-outs once
-    every id is found, so single-id lookups touch one shard on average."""
+    every id is found, so single-id lookups touch one shard on average.
+
+    Fast path: each shard's doc-store sidecar (``state/docstore.py``)
+    resolves ids to exact (file, row group, row) in O(k) pruned reads —
+    a lookup never scans a shard.  Missing/stale sidecars fall back to
+    the filtered scan below.  ``columns`` prunes the doc payload read
+    (``doc_id`` is always included — the result is keyed on it)."""
     ids = sorted({int(i) for i in doc_ids})
     if not ids:
         return {}
@@ -115,9 +122,32 @@ def fetch_docs(index_dir: str, doc_ids, *, manifest: dict | None = None,
         ids = arr[~dead].tolist()
         if not ids:
             return {}
+    if columns is not None and "doc_id" not in columns:
+        columns = ["doc_id", *columns]
     out: dict[int, dict] = {}
     remaining = set(ids)
     n_shards = int(manifest["n_shards"])
+    if manifest.get("docs_idx"):
+        # sidecar fast path, shards probed concurrently (the pruned
+        # reads release the GIL); None from any shard = missing/stale
+        # sidecar -> whole-call fallback to the scan (the sidecar is an
+        # accelerator, not a correctness dependency)
+        from concurrent.futures import ThreadPoolExecutor
+        from ..state import docstore
+        wanted = sorted(remaining)
+        with ThreadPoolExecutor(min(n_shards, 8)) as ex:
+            results = list(ex.map(
+                lambda i: docstore.lookup_shard_docs(
+                    ckpt.shard_dir(index_dir, i), wanted, columns=columns),
+                range(n_shards)))
+        if all(r is not None for r in results):
+            for r in results:
+                for did, row in r.items():
+                    if did in remaining:
+                        out[did] = row
+                        remaining.discard(did)
+            return out
+        out.clear()
     if len(remaining) > 1 and n_shards > 1:
         # multi-id lookups (the serving snippets path: k hits spread
         # across shards — url-hash ids carry no shard locality, so every
@@ -129,7 +159,8 @@ def fetch_docs(index_dir: str, doc_ids, *, manifest: dict | None = None,
         with ThreadPoolExecutor(min(n_shards, 8)) as ex:
             tables = list(ex.map(
                 lambda s: fsio.pq_read_table(
-                    os.path.join(shards_root, s, "docs"), filters=flt),
+                    os.path.join(shards_root, s, "docs"), filters=flt,
+                    columns=columns),
                 (f"shard-{i:04d}" for i in range(n_shards))))
         for t in tables:
             for row in t.to_pylist():
@@ -142,7 +173,8 @@ def fetch_docs(index_dir: str, doc_ids, *, manifest: dict | None = None,
         if not remaining:
             break
         t = fsio.pq_read_table(os.path.join(shards_root, s, "docs"),
-                          filters=[("doc_id", "in", sorted(remaining))])
+                          filters=[("doc_id", "in", sorted(remaining))],
+                          columns=columns)
         for row in t.to_pylist():
             did = int(row["doc_id"])
             if did in remaining:

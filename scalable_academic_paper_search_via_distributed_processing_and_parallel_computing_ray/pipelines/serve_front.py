@@ -123,7 +123,8 @@ class ServeState:
             manifest, ts = self._manifest_tombstones()
             docs = fetch_docs(self.index_dir,
                               [row["doc_id"] for row in rows],
-                              manifest=manifest, tombstones=ts)
+                              manifest=manifest, tombstones=ts,
+                              columns=["text"])
             for row in rows:
                 doc = docs.get(row["doc_id"])
                 if doc is not None:

@@ -237,13 +237,13 @@ def pq_read_table(path: str, **kw):
     return pq.read_table(p, filesystem=fs, **kw)
 
 
-def pq_write_table(table, path: str) -> None:
+def pq_write_table(table, path: str, **kw) -> None:
     import pyarrow.parquet as pq
     fs, p = resolve(path)
     if fs is None:
-        pq.write_table(table, p)
+        pq.write_table(table, p, **kw)
     else:
-        pq.write_table(table, p, filesystem=fs)
+        pq.write_table(table, p, filesystem=fs, **kw)
 
 
 def pq_file(path: str):

@@ -1,0 +1,124 @@
+"""Doc-store sidecar (state/docstore.py): sidecar-resolved point lookups
+== filtered-scan fallback, column pruning, staleness fallback, and
+lifecycle coverage (delete visibility through fetch_docs).
+
+Reference analog: none — the reference re-reads the corpus through Spark
+for every lookup (``webapp/backend`` fetch path); this is the Lucene
+stored-fields-index design over the docs checkpoint."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines import (
+    build,
+    query,
+)
+from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.state import (
+    checkpoint as ckpt,
+    docstore,
+)
+
+
+@pytest.fixture(scope="module")
+def doc_ids(index_dir):
+    files = glob.glob(os.path.join(index_dir, "shards", "shard-*",
+                                   "docs", "*.parquet"))
+    ids = pq.ParquetDataset(files).read(columns=["doc_id"])
+    return sorted(ids["doc_id"].to_pylist())
+
+
+def _hide_sidecars(index_dir, hide=True):
+    for sd in glob.glob(os.path.join(index_dir, "shards", "shard-*")):
+        a = os.path.join(sd, docstore.DOCS_IDX)
+        b = a + ".hidden"
+        src, dst = (a, b) if hide else (b, a)
+        if os.path.exists(src):
+            os.rename(src, dst)
+
+
+def test_sidecar_written_per_shard_and_counted(index_dir):
+    mf = ckpt.read_json(os.path.join(index_dir, "manifest.json"))
+    assert mf["docs_idx"]["version"] == docstore.IDX_VERSION
+    assert mf["docs_idx"]["n_rows"] == mf["n_docs"]
+    for sd in glob.glob(os.path.join(index_dir, "shards", "shard-*")):
+        p = os.path.join(sd, docstore.DOCS_IDX)
+        assert os.path.exists(p)
+        t = pq.read_table(p)
+        # sorted by doc_id — the property row-group pruning relies on
+        col = t["doc_id"].to_pylist()
+        assert col == sorted(col)
+        assert t.schema.metadata and b"files" in t.schema.metadata
+
+
+def test_fetch_docs_sidecar_equals_scan(index_dir, doc_ids):
+    wanted = doc_ids[::7] + [doc_ids[0], 999_999_999_999]
+    fast = query.fetch_docs(index_dir, wanted)
+    _hide_sidecars(index_dir)
+    try:
+        scan = query.fetch_docs(index_dir, wanted)
+    finally:
+        _hide_sidecars(index_dir, hide=False)
+    assert fast == scan
+    assert set(fast) == set(doc_ids[::7]) | {doc_ids[0]}
+    assert 999_999_999_999 not in fast
+
+
+def test_fetch_docs_column_pruning(index_dir, doc_ids):
+    got = query.fetch_docs(index_dir, doc_ids[:3], columns=["text"])
+    assert set(got) == set(doc_ids[:3])
+    for row in got.values():
+        assert set(row) == {"doc_id", "text"}  # doc_id forced in
+
+
+def test_single_id_and_empty(index_dir, doc_ids):
+    one = query.fetch_docs(index_dir, [doc_ids[5]])
+    assert list(one) == [doc_ids[5]]
+    assert one[doc_ids[5]]["doc_len"] > 0
+    assert query.fetch_docs(index_dir, []) == {}
+
+
+def test_stale_sidecar_falls_back(index_dir, doc_ids, tmp_path):
+    """A sidecar referencing a vanished part must not break lookups —
+    lookup_shard_docs returns None and fetch_docs falls back to the
+    scan.  Simulated by pointing one shard's sidecar at a bogus file
+    list (metadata rewrite, data unchanged)."""
+    sd = glob.glob(os.path.join(index_dir, "shards", "shard-*"))[0]
+    p = os.path.join(sd, docstore.DOCS_IDX)
+    orig = pq.read_table(p)
+    bogus = orig.replace_schema_metadata(
+        {b"files": b'["does-not-exist.parquet"]',
+         b"version": str(docstore.IDX_VERSION).encode()})
+    try:
+        pq.write_table(bogus, p)
+        got = query.fetch_docs(index_dir, doc_ids[:5])
+        assert set(got) == set(doc_ids[:5])
+    finally:
+        pq.write_table(orig, p, row_group_size=docstore.IDX_ROW_GROUP)
+
+
+def test_lookup_shard_docs_missing_sidecar_none(tmp_path):
+    assert docstore.lookup_shard_docs(str(tmp_path), [1, 2]) is None
+
+
+def test_delete_then_fetch_miss(pages_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ds_del_idx"))
+    build.build_index(pages_dir, d, build.BuildParams(num_shards=2))
+    files = glob.glob(os.path.join(d, "shards", "shard-*",
+                                   "docs", "*.parquet"))
+    ids = sorted(pq.ParquetDataset(files).read(
+        columns=["doc_id"])["doc_id"].to_pylist())
+    victim, survivor = ids[0], ids[1]
+    assert victim in query.fetch_docs(d, [victim, survivor])
+    build.delete_docs(d, [victim])
+    got = query.fetch_docs(d, [victim, survivor])
+    assert victim not in got and survivor in got
+    # purge-compact to a fresh dir: sidecars rebuilt there, victim gone
+    out = str(tmp_path_factory.mktemp("ds_del_out"))
+    build.compact_index(d, out, target_shards=1)
+    mf = ckpt.read_json(os.path.join(out, "manifest.json"))
+    assert mf["docs_idx"]["n_rows"] == mf["n_docs"]
+    got2 = query.fetch_docs(out, [victim, survivor])
+    assert victim not in got2 and survivor in got2
