@@ -49,6 +49,27 @@ from ..state.termdict import TermDict
 _UB_MARGIN = 1.0 + 1e-5  # float32 block-max bounds -> widen before pruning
 _I64MAX = np.iinfo(np.int64).max
 
+# persistent per-shard fan-out pool for fetch_docs: creating a
+# ThreadPoolExecutor costs ~4 ms per call — more than the concurrent
+# reads save — so the pool is lazy module state.  Distinct from
+# state/docstore.py's reader pool (its lookups run INSIDE these tasks;
+# two pools -> no nested-submit deadlock).
+import threading as _threading
+
+_FETCH_POOL = None
+_FETCH_POOL_LOCK = _threading.Lock()
+
+
+def _fetch_pool():
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        with _FETCH_POOL_LOCK:
+            if _FETCH_POOL is None:
+                from concurrent.futures import ThreadPoolExecutor
+                _FETCH_POOL = ThreadPoolExecutor(
+                    8, thread_name_prefix="fetch-shard")
+    return _FETCH_POOL
+
 
 def split_not_terms(query_text: str) -> tuple[str, str]:
     """Split leading-minus NOT syntax: ``"spark join -hive"`` ->
@@ -132,14 +153,12 @@ def fetch_docs(index_dir: str, doc_ids, *, manifest: dict | None = None,
         # reads release the GIL); None from any shard = missing/stale
         # sidecar -> whole-call fallback to the scan (the sidecar is an
         # accelerator, not a correctness dependency)
-        from concurrent.futures import ThreadPoolExecutor
         from ..state import docstore
         wanted = sorted(remaining)
-        with ThreadPoolExecutor(min(n_shards, 8)) as ex:
-            results = list(ex.map(
-                lambda i: docstore.lookup_shard_docs(
-                    ckpt.shard_dir(index_dir, i), wanted, columns=columns),
-                range(n_shards)))
+        results = list(_fetch_pool().map(
+            lambda i: docstore.lookup_shard_docs(
+                ckpt.shard_dir(index_dir, i), wanted, columns=columns),
+            range(n_shards)))
         if all(r is not None for r in results):
             for r in results:
                 for did, row in r.items():
@@ -154,14 +173,12 @@ def fetch_docs(index_dir: str, doc_ids, *, manifest: dict | None = None,
         # shard gets probed) read the shards CONCURRENTLY: the filtered
         # parquet reads release the GIL, so a small thread pool turns
         # n_shards sequential row-group scans into one round-trip
-        from concurrent.futures import ThreadPoolExecutor
         flt = [("doc_id", "in", sorted(remaining))]
-        with ThreadPoolExecutor(min(n_shards, 8)) as ex:
-            tables = list(ex.map(
-                lambda s: fsio.pq_read_table(
-                    os.path.join(shards_root, s, "docs"), filters=flt,
-                    columns=columns),
-                (f"shard-{i:04d}" for i in range(n_shards))))
+        tables = list(_fetch_pool().map(
+            lambda s: fsio.pq_read_table(
+                os.path.join(shards_root, s, "docs"), filters=flt,
+                columns=columns),
+            (f"shard-{i:04d}" for i in range(n_shards))))
         for t in tables:
             for row in t.to_pylist():
                 did = int(row["doc_id"])

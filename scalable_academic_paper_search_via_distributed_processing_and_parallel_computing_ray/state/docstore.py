@@ -43,6 +43,8 @@ from __future__ import annotations
 
 import json
 import os
+import threading
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
@@ -54,6 +56,119 @@ IDX_VERSION = 1
 # small row groups keep the pruned lookup read tight: 4096 rows of the
 # sidecar ~= 64 KB; the footer grows O(n_docs / 4096) entries per shard
 IDX_ROW_GROUP = 4096
+
+# ---- footer cache ------------------------------------------------------
+# Point lookups are footer-bound: ParquetFile open + thrift footer parse
+# is ~100us/file and the filter-expression scanner ~3ms/call, repeated
+# for the SAME immutable files on every serve request.  Cache parsed
+# FileMetaData (read-only, thread-safe to share) keyed on (realpath,
+# mtime_ns, size) — a rewritten file re-keys, a vanished file raises and
+# the caller falls back — and, for sidecars, the derived per-row-group
+# (min, max) doc_id bound arrays so covering row groups come from two
+# np.searchsorted calls instead of the dataset scanner.  Local paths
+# only; URI-backed stores skip the cache (no cheap stat) and pay the
+# plain open.  LRU-capped: ~8k entries bounds worst-case footer memory.
+_MD_LOCK = threading.Lock()
+_MD_CACHE: OrderedDict = OrderedDict()
+_MD_CAP = 8192
+
+# persistent reader pool: creating a ThreadPoolExecutor costs ~4 ms —
+# more than the parallel reads it enables — so per-call pools erased
+# the whole win (measured).  One lazy module-level pool, reused by
+# every lookup in the process; distinct from the per-shard fan-out pool
+# in pipelines/query.py (different pools -> no nested-submit deadlock).
+_POOL_LOCK = threading.Lock()
+_READ_POOL = None
+
+
+def _read_pool():
+    global _READ_POOL
+    if _READ_POOL is None:
+        with _POOL_LOCK:
+            if _READ_POOL is None:
+                from concurrent.futures import ThreadPoolExecutor
+                _READ_POOL = ThreadPoolExecutor(
+                    16, thread_name_prefix="docstore-read")
+    return _READ_POOL
+
+
+def _cached_md(path: str, with_bounds: bool = False):
+    """(FileMetaData, bounds|None) for a LOCAL parquet file, LRU-cached;
+    None when the path is URI-backed (caller uses fsio.pq_file)."""
+    import pyarrow.parquet as pq
+    fs, p = fsio.resolve(path)
+    if fs is not None:
+        return None
+    st = os.stat(p)  # OSError -> caller treats as stale
+    key = (p, st.st_mtime_ns, st.st_size)
+    with _MD_LOCK:
+        ent = _MD_CACHE.get(key)
+        if ent is not None and (not with_bounds or ent[1] is not None):
+            _MD_CACHE.move_to_end(key)
+            return ent
+    md = pq.ParquetFile(p).metadata
+    bounds = None
+    if with_bounds:
+        n = md.num_row_groups
+        mins = np.empty(n, dtype=np.int64)
+        maxs = np.empty(n, dtype=np.int64)
+        # bounds are the doc_id column's stats: only meaningful when
+        # doc_id is physically column 0 (how write_table lays out the
+        # sidecar schema); anything else -> scanner fallback
+        ok = n == 0 or md.schema.column(0).name == "doc_id"
+        for i in range(n if ok else 0):
+            s = md.row_group(i).column(0).statistics
+            if s is None or not s.has_min_max:
+                ok = False
+                break
+            mins[i], maxs[i] = s.min, s.max
+        bounds = (mins, maxs) if ok else None
+    ent = (md, bounds)
+    with _MD_LOCK:
+        _MD_CACHE[key] = ent
+        while len(_MD_CACHE) > _MD_CAP:
+            _MD_CACHE.popitem(last=False)
+    return ent
+
+
+def _open_pf(path: str):
+    """ParquetFile with the footer parse skipped via the cache when the
+    path is local; plain open (and full parse) otherwise."""
+    import pyarrow.parquet as pq
+    ent = _cached_md(path)
+    if ent is None:
+        return fsio.pq_file(path)
+    fs, p = fsio.resolve(path)
+    return pq.ParquetFile(p, metadata=ent[0])
+
+
+# per-THREAD open-handle LRU: ParquetFile construction is ~0.1 ms of
+# GIL-held Python even with a cached footer, which serializes the
+# reader pool; a handle per (thread, file) removes it entirely for hot
+# parts without sharing a ParquetFile across threads (not documented
+# thread-safe).  Keyed on (path, mtime_ns, size) like the footer cache
+# so rewritten parts re-open; 64 handles/thread bounds fd usage.
+_TL = threading.local()
+
+
+def _thread_pf(path: str):
+    fs, p = fsio.resolve(path)
+    if fs is not None:
+        return fsio.pq_file(path)  # URI-backed: no cheap stat, no cache
+    st = os.stat(p)
+    key = (p, st.st_mtime_ns, st.st_size)
+    cache = getattr(_TL, "pf", None)
+    if cache is None:
+        cache = _TL.pf = OrderedDict()
+    pf = cache.get(key)
+    if pf is None:
+        pf = _open_pf(path)
+        cache[key] = pf
+        while len(cache) > 64:
+            cache.popitem(last=False)
+    else:
+        cache.move_to_end(key)
+    return pf
 
 
 def _docs_files(docs_dir: str) -> list[str]:
@@ -120,9 +235,28 @@ def lookup_shard_docs(shard_dir: str, wanted: list[int],
     idx_path = os.path.join(shard_dir, DOCS_IDX)
     if not fsio.exists(idx_path):
         return None
+    want_arr = np.array(sorted({int(w) for w in wanted}), dtype=np.int64)
     try:
-        idx = fsio.pq_read_table(
-            idx_path, filters=[("doc_id", "in", sorted(set(wanted)))])
+        ent = _cached_md(idx_path, with_bounds=True)
+        if ent is not None and ent[1] is not None:
+            # covering row groups straight from the cached bounds: the
+            # sidecar is doc_id-sorted, so ranges are disjoint and a
+            # wanted id's only candidate group is the last one whose
+            # min <= id; keep it iff its max >= id
+            mins, maxs = ent[1]
+            cand = np.searchsorted(mins, want_arr, side="right") - 1
+            hit = (cand >= 0) & (maxs[np.maximum(cand, 0)] >= want_arr)
+            rgs = sorted(set(cand[hit].tolist()))
+            if not rgs:  # sidecar valid, no wanted id in any range
+                return {}
+            import pyarrow.compute as pc
+            pf = _open_pf(idx_path)
+            idx = pf.read_row_groups(rgs, use_threads=False)
+            idx = idx.filter(pc.is_in(
+                idx["doc_id"], value_set=pa.array(want_arr, pa.int64())))
+        else:  # URI-backed or stats-less sidecar: scanner path
+            idx = fsio.pq_read_table(
+                idx_path, filters=[("doc_id", "in", want_arr.tolist())])
     except (OSError, pa.ArrowInvalid):
         return None
     meta = idx.schema.metadata or {}
@@ -140,7 +274,7 @@ def lookup_shard_docs(shard_dir: str, wanted: list[int],
     docs_dir = os.path.join(shard_dir, "docs")
     # group the hits per (file, row group): one row-group read each
     order = np.lexsort((rg_i, file_i))
-    pf_cache: dict[int, object] = {}
+    groups: list[np.ndarray] = []
     k = 0
     while k < order.size:
         j = k
@@ -148,23 +282,39 @@ def lookup_shard_docs(shard_dir: str, wanted: list[int],
         while j < order.size and file_i[order[j]] == fi \
                 and rg_i[order[j]] == rg:
             j += 1
-        sel = order[k:j]
-        k = j
         if fi >= len(files):
             return None  # stale sidecar
-        pf = pf_cache.get(fi)
-        if pf is None:
-            try:
-                pf = fsio.pq_file(os.path.join(docs_dir, files[fi]))
-            except (OSError, pa.ArrowInvalid, FileNotFoundError):
-                return None  # stale sidecar (part vanished)
-            pf_cache[fi] = pf
+        groups.append(order[k:j])
+        k = j
+
+    def _read_group(sel: np.ndarray):
+        """-> list[(doc_id, row_dict)] or None (stale sidecar)."""
+        fi, rg = int(file_i[sel[0]]), int(rg_i[sel[0]])
+        try:
+            pf = _thread_pf(os.path.join(docs_dir, files[fi]))
+        except (OSError, pa.ArrowInvalid, FileNotFoundError):
+            return None  # stale sidecar (part vanished)
         if rg >= pf.metadata.num_row_groups:
             return None
-        t = pf.read_row_group(rg, columns=columns)
-        rows = t.take(pa.array(row_i[sel], pa.int32())).to_pylist()
-        for did, row in zip(doc_ids[sel], rows):
+        t = pf.read_row_group(rg, columns=columns, use_threads=False)
+        res = []
+        for did, r in zip(doc_ids[sel], row_i[sel]):
+            # zero-copy slice beats a take kernel for ones-and-twos rows
+            row = t.slice(int(r), 1).to_pylist()[0]
             if int(row.get("doc_id", did)) != int(did):
                 return None  # stale sidecar (part rewritten)
-            out[int(did)] = row
+            res.append((int(did), row))
+        return res
+
+    if len(groups) > 1:
+        # parquet reads release the GIL: k hits in k distinct parts go
+        # out as one concurrent round-trip, not k serial ~1 ms reads
+        results = list(_read_pool().map(_read_group, groups))
+    else:
+        results = [_read_group(g) for g in groups]
+    for res in results:
+        if res is None:
+            return None
+        for did, row in res:
+            out[did] = row
     return out
