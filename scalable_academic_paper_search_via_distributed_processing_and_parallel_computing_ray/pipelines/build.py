@@ -648,19 +648,40 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
         _verify_unique_doc_ids(index_dir, n_shards)
     recs = [ckpt.read_shard_record(index_dir, sid) for sid in range(n_shards)]
 
-    # doc-store sidecars (state/docstore.py): one task per shard, each
-    # reading only its docs parts' doc_id columns + footers.  Dispatched
-    # here so the termdict work below overlaps the sidecar I/O; rebuilt
-    # on every finalize (build, extend, compact, purge) BEFORE the
-    # manifest publish, so a manifest generation and its sidecars agree.
+    # doc-store sidecars (state/docstore.py): rebuilt on every finalize
+    # (build, extend, compact, purge) BEFORE the manifest publish, so a
+    # manifest generation and its sidecars agree.  Dispatched here so
+    # the termdict work below overlaps the sidecar I/O.  Wide shards
+    # (compaction concentrates thousands of parts into few shards) fan
+    # the footer+doc_id scan out in SCAN_CHUNK-file tasks feeding one
+    # sort+write task per shard — a single serial task was ~7 s of an
+    # 11 s purge-compaction wall at 5M docs / 1 shard.
     from ..state import docstore
 
     @ray.remote(num_cpus=1)
     def _docs_idx_task(shard_dir: str) -> int:
         return docstore.build_shard_docs_idx(shard_dir)
 
-    docs_idx_refs = [_docs_idx_task.remote(ckpt.shard_dir(index_dir, sid))
-                     for sid in range(n_shards)]
+    @ray.remote(num_cpus=1)
+    def _docs_idx_scan(docs_dir: str, files: list[str], base: int):
+        return docstore.scan_docs_chunk(docs_dir, files, base)
+
+    @ray.remote(num_cpus=1)
+    def _docs_idx_write(shard_dir: str, files: list[str], *parts) -> int:
+        return docstore.write_shard_docs_idx(shard_dir, files, parts)
+
+    docs_idx_refs = []
+    for sid in range(n_shards):
+        sd = ckpt.shard_dir(index_dir, sid)
+        files = docstore._docs_files(os.path.join(sd, "docs"))
+        if len(files) <= docstore.SCAN_CHUNK:
+            docs_idx_refs.append(_docs_idx_task.remote(sd))
+            continue
+        ddir = os.path.join(sd, "docs")
+        chunks = [
+            _docs_idx_scan.remote(ddir, files[i:i + docstore.SCAN_CHUNK], i)
+            for i in range(0, len(files), docstore.SCAN_CHUNK)]
+        docs_idx_refs.append(_docs_idx_write.remote(sd, files, *chunks))
 
     n_total = sum(r["n_docs"] for r in recs)
     sum_dl = sum(r["sum_dl"] for r in recs)

@@ -178,16 +178,22 @@ def _docs_files(docs_dir: str) -> list[str]:
                   if f.endswith(".parquet"))
 
 
-def build_shard_docs_idx(shard_dir: str) -> int:
-    """(Re)build one shard's sidecar from its docs parts.  Reads ONLY the
-    ``doc_id`` column (plus footers) of each part — O(8 bytes/doc) I/O —
-    so a per-shard rebuild task stays cheap even when the text payload is
-    hundreds of GB.  Returns the number of indexed rows."""
-    docs_dir = os.path.join(shard_dir, "docs")
-    files = _docs_files(docs_dir)
+# chunked rebuild: a compaction to FEW shards concentrates thousands of
+# part files in one shard — a single rebuild task paying a serial
+# footer-parse per part was ~7 s of an 11 s purge-compaction wall
+# (measured at 5M docs / 1 shard).  The scan fans out in
+# SCAN_CHUNK-file tasks; one merge task per shard sorts and writes.
+SCAN_CHUNK = 32
+
+
+def scan_docs_chunk(docs_dir: str, files: list[str],
+                    base_fi: int) -> tuple[np.ndarray, np.ndarray]:
+    """doc_id + (file_i, rg_i, row_i) arrays for a CHUNK of docs parts;
+    ``base_fi`` offsets file_i into the shard's full sorted file list.
+    Reads only doc_id columns and footers — O(8 bytes/doc) I/O."""
     ids_parts: list[np.ndarray] = []
-    loc_parts: list[np.ndarray] = []  # (file_i, rg_i, row_i) packed
-    for fi, name in enumerate(files):
+    loc_parts: list[np.ndarray] = []
+    for k, name in enumerate(files):
         pf = fsio.pq_file(os.path.join(docs_dir, name))
         for rg in range(pf.metadata.num_row_groups):
             t = pf.read_row_group(rg, columns=["doc_id"])
@@ -197,19 +203,42 @@ def build_shard_docs_idx(shard_dir: str) -> int:
             ids_parts.append(
                 t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
             loc = np.empty((3, n), dtype=np.int32)
-            loc[0] = fi
+            loc[0] = base_fi + k
             loc[1] = rg
             loc[2] = np.arange(n, dtype=np.int32)
             loc_parts.append(loc)
     if ids_parts:
-        ids = np.concatenate(ids_parts)
-        loc = np.concatenate(loc_parts, axis=1)
+        return np.concatenate(ids_parts), np.concatenate(loc_parts, axis=1)
+    return np.empty(0, dtype=np.int64), np.empty((3, 0), dtype=np.int32)
+
+
+def write_shard_docs_idx(shard_dir: str, files: list[str], parts) -> int:
+    """Sort scanned (ids, loc) chunk pairs and publish the sidecar."""
+    ids_l = [p[0] for p in parts if p[0].size]
+    if ids_l:
+        ids = np.concatenate(ids_l)
+        loc = np.concatenate([p[1] for p in parts if p[0].size], axis=1)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         loc = loc[:, order]
     else:
         ids = np.empty(0, dtype=np.int64)
         loc = np.empty((3, 0), dtype=np.int32)
+    return _write_idx(shard_dir, files, ids, loc)
+
+
+def build_shard_docs_idx(shard_dir: str) -> int:
+    """(Re)build one shard's sidecar from its docs parts in-process (the
+    small-shard / test path; ``build._finalize`` fans wide shards out
+    over ``scan_docs_chunk`` tasks).  Returns the indexed row count."""
+    docs_dir = os.path.join(shard_dir, "docs")
+    files = _docs_files(docs_dir)
+    return write_shard_docs_idx(
+        shard_dir, files, [scan_docs_chunk(docs_dir, files, 0)])
+
+
+def _write_idx(shard_dir: str, files: list[str], ids: np.ndarray,
+               loc: np.ndarray) -> int:
     table = pa.table(
         {"doc_id": pa.array(ids, pa.int64()),
          "file_i": pa.array(loc[0], pa.int32()),

@@ -103,6 +103,27 @@ def test_lookup_shard_docs_missing_sidecar_none(tmp_path):
     assert docstore.lookup_shard_docs(str(tmp_path), [1, 2]) is None
 
 
+def test_chunked_rebuild_equals_single(index_dir, doc_ids, monkeypatch,
+                                       tmp_path_factory):
+    """The fanned-out scan (SCAN_CHUNK-file tasks + merge) must produce a
+    byte-equivalent sidecar to the single-task path: compact with
+    SCAN_CHUNK=1 (forces one scan task PER FILE) and compare lookups +
+    sidecar contents against a plain compact of the same index."""
+    a = str(tmp_path_factory.mktemp("ds_chunk_a"))
+    b = str(tmp_path_factory.mktemp("ds_chunk_b"))
+    build.compact_index(index_dir, a, target_shards=1)
+    monkeypatch.setattr(docstore, "SCAN_CHUNK", 1)
+    build.compact_index(index_dir, b, target_shards=1)
+    ta = pq.read_table(os.path.join(a, "shards", "shard-0000",
+                                    docstore.DOCS_IDX))
+    tb = pq.read_table(os.path.join(b, "shards", "shard-0000",
+                                    docstore.DOCS_IDX))
+    assert ta.equals(tb)
+    wanted = doc_ids[::11]
+    assert query.fetch_docs(b, wanted).keys() == \
+        query.fetch_docs(a, wanted).keys() == set(wanted)
+
+
 def test_delete_then_fetch_miss(pages_dir, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("ds_del_idx"))
     build.build_index(pages_dir, d, build.BuildParams(num_shards=2))
