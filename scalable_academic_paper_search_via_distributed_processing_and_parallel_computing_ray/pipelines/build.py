@@ -68,6 +68,15 @@ from ..state import termdict as termdict_mod
 # whole multi-thousand-row part; scans pay only footer overhead for it
 DOCS_ROW_GROUP = 1024
 
+# seg row-group granularity bounds TWO reads: a query's per-term
+# filtered read decompresses one row group per matching term, and a
+# compaction range task's boundary row groups are read by two adjacent
+# tasks — both costs scale with rows/group (measured: 128-row groups
+# made boundary duplication ~33% of the purge-merge's bytes at 63
+# tasks x 67 files).  32 stays well above the one-row-per-group
+# metadata floor that motivated coalescing in the first place.
+SEG_ROW_GROUP = 32
+
 DOCS_SCHEMA = pa.schema([
     ("doc_id", pa.int64()),
     ("url", pa.string()),
@@ -389,7 +398,7 @@ def _fused_wave(index_dir: str, shard_map: dict[int, list[str]],
     # coalesce one-row map_groups blocks before the write (row-group
     # metadata floor)
     segs = segs.map_batches(lambda b: b, batch_format="pyarrow",
-                            batch_size=128)
+                            batch_size=SEG_ROW_GROUP)
     _fs, _p = fsio.ray_fs_path(seg_tmp)
     segs.write_parquet(_p, partition_cols=["sid"], filesystem=_fs)
     if os.environ.get("GRAFT_BUILD_STATS"):
@@ -579,7 +588,7 @@ def _build_shards(index_dir: str, shard_map: dict[int, list[str]],
         # its own parquet row group (~570 per file), which made segment
         # reads metadata-bound (~5x slower).  Coalesce before the write.
         segs = segs.map_batches(lambda b: b, batch_format="pyarrow",
-                                batch_size=128)
+                                batch_size=SEG_ROW_GROUP)
         tmp_root = os.path.join(index_dir, "_wave_seg")
         import shutil
         fsio.rmtree(tmp_root, ignore_errors=True)
@@ -1094,7 +1103,11 @@ def _merge_range(files: dict[str, tuple[int, list[int]]],
         d = os.path.join(tmp_root, f"sid={gid}")
         fsio.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".part-r{ridx:06d}.parquet.tmp")
-        fsio.pq_write_table(out, tmp)
+        # without an explicit row-group size the merged part would be
+        # ONE giant group — query-time term reads on a compacted index
+        # would decompress the whole part, and a further compaction
+        # would lose all boundary precision
+        fsio.pq_write_table(out, tmp, row_group_size=SEG_ROW_GROUP)
         fsio.replace(tmp, os.path.join(d, f"part-r{ridx:06d}.parquet"))
     return (round(time.time() - t_start, 3), rows_read)
 
