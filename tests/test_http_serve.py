@@ -169,6 +169,26 @@ def test_concurrent_http_clients(http_base):
     assert all(o["results"] == want["results"] for o in outs)
 
 
+def test_concurrent_snippet_requests(http_base):
+    """Snippets fan each request over the persistent fetch/reader pools
+    (pipelines/query.py + state/docstore.py); 8 client threads exercise
+    concurrent nested-pool use — the hazard this guards is a deadlock
+    or cross-request row mix-up in the shared pools/caches."""
+    from concurrent.futures import ThreadPoolExecutor
+    code, want = _send(http_base, "/search",
+                       {"query": "data", "k": 5, "snippets": True})
+    assert code == 200 and want["results"]
+    assert all("snippet" in r for r in want["results"])
+
+    def one(_):
+        return _send(http_base, "/search",
+                     {"query": "data", "k": 5, "snippets": True})[1]
+
+    with ThreadPoolExecutor(8) as ex:
+        outs = list(ex.map(one, range(32)))
+    assert all(o["results"] == want["results"] for o in outs)
+
+
 def test_suggest_endpoint(http_base, index_dir):
     from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.query import (
         IndexReader,
