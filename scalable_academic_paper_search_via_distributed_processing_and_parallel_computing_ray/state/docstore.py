@@ -147,8 +147,11 @@ def _open_pf(path: str):
 # reader pool; a handle per (thread, file) removes it entirely for hot
 # parts without sharing a ParquetFile across threads (not documented
 # thread-safe).  Keyed on (path, mtime_ns, size) like the footer cache
-# so rewritten parts re-open; 64 handles/thread bounds fd usage.
+# so rewritten parts re-open; 32 handles/thread keeps worst-case fd
+# usage (32 x ~24 pool threads = 768) under a conservative 1024 soft
+# RLIMIT_NOFILE even before Ray's own descriptors.
 _TL = threading.local()
+_TL_CAP = 32
 
 
 def _thread_pf(path: str):
@@ -164,7 +167,7 @@ def _thread_pf(path: str):
     if pf is None:
         pf = _open_pf(path)
         cache[key] = pf
-        while len(cache) > 64:
+        while len(cache) > _TL_CAP:
             cache.popitem(last=False)
     else:
         cache.move_to_end(key)
@@ -321,13 +324,15 @@ def lookup_shard_docs(shard_dir: str, wanted: list[int],
         fi, rg = int(file_i[sel[0]]), int(rg_i[sel[0]])
         try:
             pf = _thread_pf(os.path.join(docs_dir, files[fi]))
+            if rg >= pf.metadata.num_row_groups:
+                return None  # stale sidecar (part shrank)
+            t = pf.read_row_group(rg, columns=columns, use_threads=False)
         except (OSError, pa.ArrowInvalid, FileNotFoundError):
-            return None  # stale sidecar (part vanished)
-        if rg >= pf.metadata.num_row_groups:
-            return None
-        t = pf.read_row_group(rg, columns=columns, use_threads=False)
+            return None  # stale sidecar (part vanished / truncated)
         res = []
         for did, r in zip(doc_ids[sel], row_i[sel]):
+            if int(r) >= t.num_rows:
+                return None  # stale sidecar (row beyond rewritten part)
             # zero-copy slice beats a take kernel for ones-and-twos rows
             row = t.slice(int(r), 1).to_pylist()[0]
             if int(row.get("doc_id", did)) != int(did):

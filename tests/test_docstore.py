@@ -103,6 +103,23 @@ def test_lookup_shard_docs_missing_sidecar_none(tmp_path):
     assert docstore.lookup_shard_docs(str(tmp_path), [1, 2]) is None
 
 
+def test_row_beyond_rewritten_part_falls_back(pages_dir, tmp_path_factory):
+    """A part rewritten SHORTER than the sidecar remembers (e.g. a purge
+    that raced the rebuild) must degrade to the scan, not raise: the
+    sidecar's row_i points past the part's rows."""
+    d = str(tmp_path_factory.mktemp("ds_shrink_idx"))
+    build.build_index(pages_dir, d, build.BuildParams(num_shards=1))
+    sd = os.path.join(d, "shards", "shard-0000")
+    parts = sorted(glob.glob(os.path.join(sd, "docs", "*.parquet")))
+    t = pq.read_table(parts[0])
+    assert t.num_rows > 1
+    dropped = t["doc_id"][t.num_rows - 1].as_py()
+    kept = t["doc_id"][0].as_py()
+    pq.write_table(t.slice(0, t.num_rows - 1), parts[0])
+    got = query.fetch_docs(d, [kept, dropped])  # must not raise
+    assert kept in got and dropped not in got
+
+
 def test_chunked_rebuild_equals_single(index_dir, doc_ids, monkeypatch,
                                        tmp_path_factory):
     """The fanned-out scan (SCAN_CHUNK-file tasks + merge) must produce a
