@@ -364,8 +364,10 @@ def compact_only(idx_dir: str) -> dict:
         dt = round(time.time() - t0, 3)
         samples.append(dt)
         if best is None or dt < best["compact_sec"]:
+            phases = dict(m.get("compact_secs") or {})
+            phases["finalize"] = m.get("finalize_secs")
             best = {"compact_sec": dt,
-                    "phases": m.get("compact_secs"),
+                    "phases": phases,
                     "n_docs": m["n_docs"]}
     shutil.rmtree(cdir, ignore_errors=True)
     ray.shutdown()

@@ -648,49 +648,68 @@ def _verify_unique_doc_ids(index_dir: str, n_shards: int) -> None:
             "or switch to doc_id_mode='sharded'")
 
 
-def _finalize(index_dir: str, n_shards: int, params: BuildParams,
-              t0: float, extra: dict | None = None) -> dict:
-    """Global stats + term dictionary + manifest over ALL shards (cheap:
-    O(shards) lineage records + O(vocab) seg metadata)."""
-    tf0 = time.time()
-    if params.verify_doc_ids:
-        _verify_unique_doc_ids(index_dir, n_shards)
-    recs = [ckpt.read_shard_record(index_dir, sid) for sid in range(n_shards)]
-
-    # doc-store sidecars (state/docstore.py): rebuilt on every finalize
-    # (build, extend, compact, purge) BEFORE the manifest publish, so a
-    # manifest generation and its sidecars agree.  Dispatched here so
-    # the termdict work below overlaps the sidecar I/O.  Wide shards
-    # (compaction concentrates thousands of parts into few shards) fan
-    # the footer+doc_id scan out in SCAN_CHUNK-file tasks feeding one
-    # sort+write task per shard — a single serial task was ~7 s of an
-    # 11 s purge-compaction wall at 5M docs / 1 shard.
+@ray.remote(num_cpus=1)
+def _docs_idx_task(shard_dir: str) -> int:
     from ..state import docstore
+    return docstore.build_shard_docs_idx(shard_dir)
 
-    @ray.remote(num_cpus=1)
-    def _docs_idx_task(shard_dir: str) -> int:
-        return docstore.build_shard_docs_idx(shard_dir)
 
-    @ray.remote(num_cpus=1)
-    def _docs_idx_scan(docs_dir: str, files: list[str], base: int):
-        return docstore.scan_docs_chunk(docs_dir, files, base)
+@ray.remote(num_cpus=1)
+def _docs_idx_scan(docs_dir: str, files: list[str], base: int):
+    from ..state import docstore
+    return docstore.scan_docs_chunk(docs_dir, files, base)
 
-    @ray.remote(num_cpus=1)
-    def _docs_idx_write(shard_dir: str, files: list[str], *parts) -> int:
-        return docstore.write_shard_docs_idx(shard_dir, files, parts)
 
-    docs_idx_refs = []
-    for sid in range(n_shards):
+@ray.remote(num_cpus=1)
+def _docs_idx_write(shard_dir: str, files: list[str], *parts) -> int:
+    from ..state import docstore
+    return docstore.write_shard_docs_idx(shard_dir, files, parts)
+
+
+def _dispatch_docs_idx(index_dir: str, shard_ids) -> list:
+    """Dispatch the doc-store sidecar rebuild (state/docstore.py) for the
+    given shards; returns one ref per shard.  Wide shards (compaction
+    concentrates thousands of parts into few shards) fan the
+    footer+doc_id scan out in SCAN_CHUNK-file tasks feeding one
+    sort+write task per shard — a single serial task was ~7 s of an
+    11 s purge-compaction wall at 5M docs / 1 shard.  Callers whose docs
+    dirs are final EARLY (compaction publishes docs before the segment
+    merge wave ends) dispatch here and hand the refs to ``_finalize``,
+    hiding the sidecar I/O behind remaining pipeline work."""
+    from ..state import docstore
+    refs = []
+    for sid in shard_ids:
         sd = ckpt.shard_dir(index_dir, sid)
         files = docstore._docs_files(os.path.join(sd, "docs"))
         if len(files) <= docstore.SCAN_CHUNK:
-            docs_idx_refs.append(_docs_idx_task.remote(sd))
+            refs.append(_docs_idx_task.remote(sd))
             continue
         ddir = os.path.join(sd, "docs")
         chunks = [
             _docs_idx_scan.remote(ddir, files[i:i + docstore.SCAN_CHUNK], i)
             for i in range(0, len(files), docstore.SCAN_CHUNK)]
-        docs_idx_refs.append(_docs_idx_write.remote(sd, files, *chunks))
+        refs.append(_docs_idx_write.remote(sd, files, *chunks))
+    return refs
+
+
+def _finalize(index_dir: str, n_shards: int, params: BuildParams,
+              t0: float, extra: dict | None = None,
+              docs_idx_refs: list | None = None) -> dict:
+    """Global stats + term dictionary + manifest over ALL shards (cheap:
+    O(shards) lineage records + O(vocab) seg metadata)."""
+    tf0 = time.time()
+    from ..state import docstore
+    if params.verify_doc_ids:
+        _verify_unique_doc_ids(index_dir, n_shards)
+    recs = [ckpt.read_shard_record(index_dir, sid) for sid in range(n_shards)]
+
+    # doc-store sidecars: rebuilt on every finalize (build, extend,
+    # compact, purge) BEFORE the manifest publish, so a manifest
+    # generation and its sidecars agree.  Dispatched here (unless the
+    # caller pre-dispatched) so the termdict work below overlaps the
+    # sidecar I/O.
+    if docs_idx_refs is None:
+        docs_idx_refs = _dispatch_docs_idx(index_dir, range(n_shards))
 
     n_total = sum(r["n_docs"] for r in recs)
     sum_dl = sum(r["sum_dl"] for r in recs)
@@ -1064,36 +1083,63 @@ def _merge_range(files: dict[str, tuple[int, list[int]]],
         starts = np.flatnonzero(change)
         ends = np.r_[starts[1:], n]
         outs: list[pa.Table] = []
-        if ts is None:
-            single = (ends - starts) == 1
-            # HEAVY groups pass through too: a head term's (term, salt)
-            # group is the one indivisible unit of merge work — at x4096
-            # the single heaviest group's decode+re-encode (~8 s) WAS the
-            # wave wall at 32 CPUs (merge_tasks max_s ≈ wave secs).  Its
-            # source rows are already doc-disjoint (shards hold disjoint
-            # docs) and the reader makes one cursor per row regardless
-            # (query.py _load_seg_batch appends to a per-term LIST), so
-            # keeping k rows instead of re-encoding to 1 costs k-1 extra
-            # cursors on a handful of head terms and saves O(payload)
-            # CPU; rows stay byte-identical.
-            row_bytes = (
-                pc.binary_length(t["doc_bytes"]).to_numpy(
-                    zero_copy_only=False).astype(np.int64)
-                + pc.binary_length(t["tf_bytes"]).to_numpy(
-                    zero_copy_only=False).astype(np.int64)
-                + pc.binary_length(t["pos_bytes"]).to_numpy(
-                    zero_copy_only=False).astype(np.int64))
-            run_bytes = np.add.reduceat(row_bytes, starts)
-            heavy = run_bytes > heavy_passthrough_bytes
-            keep_asis = single | heavy
-            if keep_asis.any():  # byte-identical passthrough
-                outs.append(t.filter(pa.array(
-                    np.repeat(keep_asis, ends - starts))))
-            s_m, e_m = starts[~keep_asis], ends[~keep_asis]
+        # Per-GROUP tombstone pre-screen (purge path): a posting row's doc
+        # ids all lie in [block_first[0], block_last[-1]] (blocks are
+        # doc-ordered), so a row whose range contains NO tombstone is
+        # provably untouched by the purge and can take the non-purge path
+        # below — byte-identical passthrough for single/heavy groups, a
+        # tombstone-free merge otherwise.  The test is a superset check
+        # (a tombstone inside the range but absent from the row merely
+        # forces the full merge), so it can never drop a deletion.  With
+        # uniform 1% deletes the long tail of rare terms is almost
+        # entirely unhit — the purge re-encodes only what deletion
+        # actually touched.
+        if ts is not None and ts.size and n:
+            bf = t["block_first"].combine_chunks()
+            bl = t["block_last"].combine_chunks()
+            off_f = bf.offsets.to_numpy(zero_copy_only=False)
+            off_l = bl.offsets.to_numpy(zero_copy_only=False)
+            vals_f = bf.values.to_numpy(zero_copy_only=False)
+            vals_l = bl.values.to_numpy(zero_copy_only=False)
+            nonempty = off_f[1:] > off_f[:-1]
+            row_lo = np.zeros(n, np.int64)
+            row_hi = np.full(n, -1, np.int64)
+            row_lo[nonempty] = vals_f[off_f[:-1][nonempty]]
+            row_hi[nonempty] = vals_l[off_l[1:][nonempty] - 1]
+            row_hit = nonempty & (
+                np.searchsorted(ts, row_hi, side="right")
+                > np.searchsorted(ts, row_lo, side="left"))
+            group_hit = np.logical_or.reduceat(row_hit, starts)
         else:
-            s_m, e_m = starts, ends
-        outs.extend(merge_segment_rows(t.slice(s, e - s), ts)
-                    for s, e in zip(s_m, e_m))
+            group_hit = np.zeros(len(starts), dtype=bool)
+        # HEAVY groups pass through: a head term's (term, salt) group is
+        # the one indivisible unit of merge work — at x4096 the single
+        # heaviest group's decode+re-encode (~8 s) WAS the wave wall at
+        # 32 CPUs (merge_tasks max_s ≈ wave secs).  Its source rows are
+        # already doc-disjoint (shards hold disjoint docs) and the reader
+        # makes one cursor per row regardless (query.py _load_seg_batch
+        # appends to a per-term LIST), so keeping k rows instead of
+        # re-encoding to 1 costs k-1 extra cursors on a handful of head
+        # terms and saves O(payload) CPU; rows stay byte-identical.
+        single = (ends - starts) == 1
+        row_bytes = (
+            pc.binary_length(t["doc_bytes"]).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            + pc.binary_length(t["tf_bytes"]).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            + pc.binary_length(t["pos_bytes"]).to_numpy(
+                zero_copy_only=False).astype(np.int64))
+        run_bytes = np.add.reduceat(row_bytes, starts)
+        heavy = run_bytes > heavy_passthrough_bytes
+        keep_asis = ~group_hit & (single | heavy)
+        if keep_asis.any():  # byte-identical passthrough
+            outs.append(t.filter(pa.array(
+                np.repeat(keep_asis, ends - starts))))
+        merge_idx = np.flatnonzero(~keep_asis)
+        outs.extend(
+            merge_segment_rows(t.slice(starts[i], ends[i] - starts[i]),
+                               ts if group_hit[i] else None)
+            for i in merge_idx)
         outs = [o for o in outs if o.num_rows]
         if not outs:
             continue
@@ -1223,6 +1269,7 @@ def compact_index(index_dir: str, out_dir: str,
     # the whole job.
     import shutil
     t1 = time.time()
+    setup_secs = round(t1 - t0, 3)
     docs_dir_for = {g: os.path.join(ckpt.shard_dir(out_dir, g), "docs")
                     for g in range(target_shards)}
     old_recs = [ckpt.read_shard_record(index_dir, sid)
@@ -1304,16 +1351,18 @@ def compact_index(index_dir: str, out_dir: str,
             for sid in groups[g]:
                 sdir = os.path.join(ckpt.shard_dir(index_dir, sid), "seg")
                 file_gid.extend((f, g) for f in _list_parquet(sdir))
-        # footer pass (each file's footer read ONCE, on the driver):
+        # footer pass (each file's footer read ONCE, threaded on the
+        # driver — pyarrow releases the GIL and this was a serial
+        # O(files) I/O loop inside the measured compact wall):
         # per row group (file, gid, rg_index, min_key, max_key, rows)
-        rg_meta: list[tuple[str, int, int, tuple, tuple, int]] = []
-        total_bytes = 0
-        for f, g in file_gid:
-            total_bytes += fsio.getsize(f)
+        def _footer_meta(fg: tuple[str, int]):
+            f, g = fg
+            size = fsio.getsize(f)
             md = fsio.pq_file(f).metadata
             sch = md.schema.to_arrow_schema()
             ti = sch.get_field_index("term")
             si = sch.get_field_index("salt")
+            rows = []
             for i in range(md.num_row_groups):
                 rg = md.row_group(i)
                 if rg.num_rows == 0:
@@ -1326,8 +1375,14 @@ def compact_index(index_dir: str, out_dir: str,
                 # upper bound (per-rg composite max is not in the stats)
                 hi_key = ((st_t.max if st_t and st_t.has_min_max
                            else "\U0010FFFF"), 1 << 30)
-                rg_meta.append((f, g, i, key, hi_key,
-                                rg.total_byte_size))
+                rows.append((f, g, i, key, hi_key, rg.total_byte_size))
+            return size, rows
+
+        rg_meta: list[tuple[str, int, int, tuple, tuple, int]] = []
+        total_bytes = 0
+        for size, rows in _threaded(_footer_meta, file_gid, workers=16):
+            total_bytes += size
+            rg_meta.extend(rows)
         # the merge is CPU-bound (delta-decode + merge-sort + re-encode),
         # not byte-bound: fan out to 2x the CPUs (slack for residual
         # range imbalance), growing past that only when the encoded
@@ -1348,16 +1403,22 @@ def compact_index(index_dir: str, out_dir: str,
         # INSIDE it, df-weighted — merge work ∝ df, and without this a
         # single head-term rg pins the wave to its whole weight
         # (measured: a 2.5 s straggler over a 0.3 s p50 at x1024/32 CPUs)
-        stream: list[tuple[tuple, float]] = []
         # a group headed for heavy passthrough costs ~file-copy, not
         # decode+merge+re-encode — weight it at ~10% so the balanced
         # ranges equalize actual MERGE work (otherwise ranges rich in
-        # passthrough bytes idle while small-group ranges do everything)
-        _PT_COST = 0.1
-        for f, g, i, key, hi_key, w in rg_meta:
-            if w <= step and w <= heavy_passthrough_bytes:
-                stream.append((key, float(w)))
-                continue
+        # passthrough bytes idle while small-group ranges do everything).
+        # Under a PURGE a hit heavy group IS re-encoded (and heavy ≈
+        # always hit — huge df intersects any uniform tombstone set), so
+        # there the full weight stands; down-weighting it 10× was the
+        # measured p50-vs-max range imbalance of the r4 purge bench.
+        _PT_COST = 0.1 if tombstones is None else 1.0
+        heavy_rgs = [r for r in rg_meta
+                     if r[5] > step or r[5] > heavy_passthrough_bytes]
+        light_rgs = [r for r in rg_meta
+                     if not (r[5] > step or r[5] > heavy_passthrough_bytes)]
+
+        def _heavy_costs(r):
+            f, g, i, key, hi_key, w = r
             t = fsio.pq_file(f).read_row_groups(
                 [i], columns=["term", "salt", "df"])
             dfs = t["df"].to_numpy(zero_copy_only=False) \
@@ -1366,9 +1427,14 @@ def compact_index(index_dir: str, out_dir: str,
             est = float(w) * frac
             cost = np.where(est > heavy_passthrough_bytes,
                             est * _PT_COST, est)
-            stream.extend(
-                ((tm, sl), float(c)) for tm, sl, c in
-                zip(t["term"].to_pylist(), t["salt"].to_pylist(), cost))
+            return [((tm, sl), float(c)) for tm, sl, c in
+                    zip(t["term"].to_pylist(), t["salt"].to_pylist(),
+                        cost)]
+
+        stream: list[tuple[tuple, float]] = [
+            (key, float(w)) for _, _, _, key, _, w in light_rgs]
+        for part in _threaded(_heavy_costs, heavy_rgs, workers=16):
+            stream.extend(part)
         stream.sort(key=lambda x: x[0])
         # re-derive the per-range share from the COST stream (the byte
         # total no longer equals the cost total once passthrough groups
@@ -1402,11 +1468,21 @@ def compact_index(index_dir: str, out_dir: str,
         fsio.rmtree(tmp_root, ignore_errors=True)
         fsio.makedirs(tmp_root, exist_ok=True)
         phase["plan"] = round(time.time() - t2, 3)
+        # LPT dispatch: submit the costliest ranges FIRST so a heavy
+        # range never starts in the last scheduling round and pins the
+        # wave wall (width is 2× CPUs — half the tasks run in a second
+        # round, and which half matters)
+        range_cost = np.zeros(len(ranges), dtype=np.float64)
+        for key, w in stream:
+            range_cost[bisect.bisect_right(bounds, key)] += w
+        order = sorted(
+            (ridx for ridx in range(len(ranges)) if per_range[ridx]),
+            key=lambda r: -range_cost[r])
         merge_refs = [
-            _merge_range.remote(dict(per_range[ridx]), lo, hi,
-                                tmp_root, ridx, ts_merge_ref,
-                                heavy_passthrough_bytes)
-            for ridx, (lo, hi) in enumerate(ranges) if per_range[ridx]]
+            _merge_range.remote(dict(per_range[ridx]), ranges[ridx][0],
+                                ranges[ridx][1], tmp_root, ridx,
+                                ts_merge_ref, heavy_passthrough_bytes)
+            for ridx in order]
 
     # gather the docs-copy tasks (they ran while the merge plan was built
     # and the merge wave runs)
@@ -1430,6 +1506,10 @@ def compact_index(index_dir: str, out_dir: str,
             sum_dl=sum_dl_g)
         ckpt.mark_done(docs_dir_for[g])
     docs_secs = round(time.time() - t1, 3)
+    # docs dirs are final here but the merge wave is still running:
+    # start the sidecar rebuild NOW so its scan+sort+write overlaps the
+    # segment merge instead of serializing into _finalize afterwards
+    docs_idx_refs = _dispatch_docs_idx(out_dir, range(target_shards))
 
     if pending:
         task_stats = ray.get(merge_refs)
@@ -1448,6 +1528,7 @@ def compact_index(index_dir: str, out_dir: str,
         wave = round(time.time() - t2, 3)
         _publish_partitions(tmp_root, pending, seg_dir_for, SEGMENT_SCHEMA)
         phase["publish"] = round(time.time() - t2 - wave, 3)
+        t3 = time.time()
 
         def _seg_stats(g: int) -> tuple[int, int, int, int]:
             meta = fsio.pq_read_table(seg_dir_for[g], columns=["df"])
@@ -1467,8 +1548,11 @@ def compact_index(index_dir: str, out_dir: str,
                 positions=params.positions,
                 compact_wave_secs=wave)
             ckpt.mark_done(seg_dir_for[g])
+        phase["seg_stats"] = round(time.time() - t3, 3)
 
     return _finalize(out_dir, target_shards, params, t0,
-                     extra={"compact_secs": {"docs": docs_secs,
+                     extra={"compact_secs": {"setup": setup_secs,
+                                             "docs": docs_secs,
                                              "wave": round(wave, 3),
-                                             **phase}})
+                                             **phase}},
+                     docs_idx_refs=docs_idx_refs)

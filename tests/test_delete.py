@@ -141,3 +141,67 @@ def test_serve_respects_deletes(ray_session, pages_dir, tmp_path):
         assert all(h.doc_id != victim for h in s2.search("data", 20))
     finally:
         s2.shutdown()
+
+
+def test_purge_passes_untouched_groups_through(ray_session, pages_dir,
+                                               tmp_path):
+    """The purge's tombstone pre-screen (build._merge_range): a (term,
+    salt) group whose block doc-id ranges contain no tombstone is NOT
+    re-encoded — its encoded bytes survive the purge identically —
+    while groups holding a victim are rewritten with the victim gone.
+    Guards the optimization that lets a 1%-delete purge skip the long
+    tail instead of re-encoding the whole index."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.functions.codec import (
+        decode_postings,
+    )
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.build import (
+        _enc_from_row,
+    )
+
+    d = str(tmp_path / "idx")
+    build.build_index(pages_dir, d,
+                      build.BuildParams(num_shards=2, num_salts=4))
+
+    def seg_rows(idx_dir):
+        files = glob.glob(os.path.join(
+            idx_dir, "shards", "shard-*", "seg", "*.parquet"))
+        t = pads.dataset(files).to_table()
+        return {(r["term"], r["salt"]): r for r in t.to_pylist()}
+
+    before = seg_rows(d)
+
+    def postings(row):
+        return decode_postings(_enc_from_row(row))[0]
+
+    # victim: any doc from a mid-df term, so SOME groups hold it and
+    # the long tail (df=1 groups elsewhere in doc space) does not
+    victim = int(postings(before[("data", 0)])[0])
+    build.delete_docs(d, [victim])
+    cdir = str(tmp_path / "cidx")
+    m = build.compact_index(d, cdir, target_shards=2)
+    assert "tombstone_files" not in m
+    after = seg_rows(cdir)
+
+    hit = untouched = rewritten = 0
+    for key, row_b in before.items():
+        ids_b = postings(row_b)
+        row_a = after.get(key)
+        if victim in set(ids_b.tolist()):
+            hit += 1
+            if row_a is None:  # df==1 group fully deleted
+                continue
+            assert victim not in set(postings(row_a).tolist())
+            rewritten += 1
+        else:
+            # victim-free group: the pre-screen must pass its encoded
+            # bytes through IDENTICALLY (2 -> 2 shard compaction keeps
+            # every group single-source, so no merge rewrites them)
+            assert row_a is not None, key
+            assert row_a["doc_bytes"] == row_b["doc_bytes"], key
+            assert row_a["tf_bytes"] == row_b["tf_bytes"], key
+            untouched += 1
+    assert hit >= 1 and rewritten >= 1 and untouched >= 1, \
+        (hit, rewritten, untouched)
