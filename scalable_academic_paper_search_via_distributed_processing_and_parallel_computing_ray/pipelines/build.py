@@ -654,28 +654,119 @@ def _docs_idx_task(shard_dir: str) -> int:
     return docstore.build_shard_docs_idx(shard_dir)
 
 
-@ray.remote(num_cpus=1)
+@ray.remote(num_cpus=1, num_returns=2)
 def _docs_idx_scan(docs_dir: str, files: list[str], base: int):
+    """Scan chunk -> (small id sample, (ids, loc) payload).  The sample
+    rides a separate return object so the driver can derive balanced
+    range boundaries without ever pulling the payload."""
     from ..state import docstore
-    return docstore.scan_docs_chunk(docs_dir, files, base)
+    ids, loc = docstore.scan_docs_chunk(docs_dir, files, base)
+    return ids[::512].copy(), (ids, loc)
+
+
+def _ingest_loc(names: list[str], counts: list[int],
+                fidx: dict[str, int]) -> np.ndarray:
+    """(file_i, rg_i, row_i) for rows a docs rewrite just wrote, in
+    write order: arithmetic in the fixed docs row-group size — no file
+    read needed."""
+    total = int(sum(counts))
+    loc = np.empty((3, total), dtype=np.int32)
+    off = 0
+    for nm, c in zip(names, counts):
+        j = np.arange(c, dtype=np.int64)
+        loc[0, off:off + c] = fidx[nm]
+        loc[1, off:off + c] = j // DOCS_ROW_GROUP
+        loc[2, off:off + c] = j % DOCS_ROW_GROUP
+        off += c
+    return loc
 
 
 @ray.remote(num_cpus=1)
-def _docs_idx_write(shard_dir: str, files: list[str], *parts) -> int:
+def _docs_idx_part(gen_dir: str, files_sorted: list[str],
+                   lo, hi, k: int, metas: list, payloads: list) -> int:
+    """One sidecar range part [lo, hi): filter every payload chunk to
+    the range, sort, write ``part-k``.  ``metas[i]`` is None when
+    ``payloads[i]`` is a scan chunk's (ids, loc) pair, or
+    (names, counts) when it is a docs-rewrite's flat id array (locations
+    derived arithmetically — no docs re-read)."""
     from ..state import docstore
-    return docstore.write_shard_docs_idx(shard_dir, files, parts)
+    arrs = ray.get(list(payloads))
+    fidx = {nm: j for j, nm in enumerate(files_sorted)}
+    ids_l, loc_l = [], []
+    for meta, arr in zip(metas, arrs):
+        if meta is None:
+            ids, loc = arr
+        else:
+            ids = arr
+            loc = _ingest_loc(meta[0], meta[1], fidx)
+        ids = np.asarray(ids, dtype=np.int64)
+        mask = np.ones(ids.size, dtype=bool)
+        if lo is not None:
+            mask &= ids >= lo
+        if hi is not None:
+            mask &= ids < hi
+        if mask.any():
+            ids_l.append(ids[mask])
+            loc_l.append(loc[:, mask])
+    ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+    loc = (np.concatenate(loc_l, axis=1) if loc_l
+           else np.empty((3, 0), np.int32))
+    return docstore.write_idx_part(gen_dir, files_sorted, ids, loc, k)
+
+
+@ray.remote(num_cpus=1)
+def _docs_idx_publish(shard_dir: str, gen: str, *part_ns) -> int:
+    from ..state import docstore
+    return docstore.publish_idx(shard_dir, gen, len(part_ns),
+                                sum(part_ns))
+
+
+def _sample_bounds(samples: list[np.ndarray], n_parts: int) -> list[int]:
+    """n_parts-1 range boundaries from id samples (quantiles) — no
+    distribution assumption (auto ids are uniform 62-bit hashes, sharded
+    ids are (file_seq << 40 | row), fixtures carry generator ids)."""
+    s = np.concatenate([np.asarray(x, np.int64) for x in samples]) \
+        if samples else np.empty(0, np.int64)
+    if s.size == 0 or n_parts <= 1:
+        return []
+    qs = np.quantile(s, np.arange(1, n_parts) / n_parts,
+                     method="nearest").astype(np.int64)
+    return sorted(set(int(x) for x in qs))
+
+
+def _parted_docs_idx(shard_dir: str, files_sorted: list[str],
+                     n_rows: int, samples: list[np.ndarray],
+                     metas: list, payloads: list) -> list:
+    """Dispatch a multi-part sidecar build (one sort task per ~2M-row
+    range + a publish task); returns [publish ref].  Falls back to a
+    single part when the shard is small or the samples degenerate."""
+    from ..state import docstore
+    want = max(1, min(16, -(-n_rows // docstore.PART_TARGET_ROWS)))
+    bounds = _sample_bounds(samples, want) if want > 1 else []
+    gen = docstore.new_gen_name()
+    gen_dir = os.path.join(shard_dir, gen)
+    ranges = [(bounds[i - 1] if i else None,
+               bounds[i] if i < len(bounds) else None)
+              for i in range(len(bounds) + 1)]
+    part_refs = [
+        _docs_idx_part.remote(gen_dir, files_sorted, lo, hi, k,
+                              metas, payloads)
+        for k, (lo, hi) in enumerate(ranges)]
+    return [_docs_idx_publish.remote(shard_dir, gen, *part_refs)]
 
 
 def _dispatch_docs_idx(index_dir: str, shard_ids) -> list:
     """Dispatch the doc-store sidecar rebuild (state/docstore.py) for the
-    given shards; returns one ref per shard.  Wide shards (compaction
-    concentrates thousands of parts into few shards) fan the
-    footer+doc_id scan out in SCAN_CHUNK-file tasks feeding one
-    sort+write task per shard — a single serial task was ~7 s of an
-    11 s purge-compaction wall at 5M docs / 1 shard.  Callers whose docs
-    dirs are final EARLY (compaction publishes docs before the segment
-    merge wave ends) dispatch here and hand the refs to ``_finalize``,
-    hiding the sidecar I/O behind remaining pipeline work."""
+    given shards; returns result refs (summing to the indexed row
+    count).  Wide shards (compaction concentrates thousands of parts
+    into few shards) fan the footer+doc_id scan out in SCAN_CHUNK-file
+    tasks feeding range-part sort tasks (~2M rows each) and an atomic
+    pointer publish — a single shard-wide sort task was the one serial
+    step left in a purge compaction (measured 7.5 s at 20M docs).
+    Callers whose docs dirs are final EARLY (compaction publishes docs
+    before the segment merge wave ends) dispatch here and hand the refs
+    to ``_finalize``, hiding the sidecar I/O behind remaining pipeline
+    work."""
     from ..state import docstore
     refs = []
     for sid in shard_ids:
@@ -685,10 +776,21 @@ def _dispatch_docs_idx(index_dir: str, shard_ids) -> list:
             refs.append(_docs_idx_task.remote(sd))
             continue
         ddir = os.path.join(sd, "docs")
-        chunks = [
+        scans = [
             _docs_idx_scan.remote(ddir, files[i:i + docstore.SCAN_CHUNK], i)
             for i in range(0, len(files), docstore.SCAN_CHUNK)]
-        refs.append(_docs_idx_write.remote(sd, files, *chunks))
+        # the sample gather blocks only this driver thread, and only
+        # until the (wide, parallel) scans finish — the payloads never
+        # leave the object store
+        samples = ray.get([s for s, _ in scans])
+        try:
+            rec = ckpt.read_shard_record(index_dir, sid)
+            n_rows = int(rec.get("n_docs", 0))
+        except Exception:
+            n_rows = 0
+        refs.extend(_parted_docs_idx(
+            sd, files, n_rows, samples,
+            [None] * len(scans), [p for _, p in scans]))
     return refs
 
 
@@ -1028,20 +1130,22 @@ def merge_segment_rows(group: pa.Table,
 
 
 @ray.remote(num_cpus=1)
-def _merge_range(files: dict[str, tuple[int, list[int]]],
-                 lo: tuple | None, hi: tuple | None,
+def _merge_range(files: dict[str, tuple[int, list[tuple[int, int, int]]]],
                  tmp_root: str, ridx: int,
                  ts: np.ndarray | None,
                  heavy_passthrough_bytes: int = 4 << 20) -> tuple[float, int]:
-    """One compaction range task: merge every (sid, term, salt) group whose
-    (term, salt) key falls in [``lo``, ``hi``) — reading ONLY the assigned
-    row groups of each source file (``files``: file -> (target sid,
-    rg indices)), masking the range exactly, merging locally, and writing
-    one deterministic parquet part per target sid (``part-r{ridx}``, tmp +
-    ``os.replace`` — re-runs after a crash are idempotent).  No shuffle:
-    the driver's footer pass already routed the bytes here.  ``ts`` is the
-    broadcast tombstone array (Ray de-references the ObjectRef arg) or
-    None for the byte-identical passthrough fast path.
+    """One compaction merge task over the row-group pieces the planner
+    assigned it (``files``: file -> (target sid, [(rg, row_lo, row_hi)]),
+    ``row_hi == -1`` meaning the whole row group): read exactly those
+    rows, merge same-(term, salt) rows locally, write one deterministic
+    parquet part per target sid (``part-r{ridx}``, tmp + ``os.replace``
+    — re-runs after a crash are idempotent).  No shuffle and no overlap:
+    each source row is owned by exactly one task (whole-rg ownership;
+    only heavy rgs are row-sliced), so nothing is decompressed twice.
+    A (term, salt) group split across tasks yields multiple output rows
+    — legal (doc-disjoint; reader keeps one cursor per row).  ``ts`` is
+    the broadcast tombstone array (Ray de-references the ObjectRef arg)
+    or None for the byte-identical passthrough fast path.
 
     Returns ``(task_secs, rows_read)`` so the driver can stamp a
     per-task duration summary into the compact metrics — straggler
@@ -1050,22 +1154,20 @@ def _merge_range(files: dict[str, tuple[int, list[int]]],
     t_start = time.time()
     rows_read = 0
     by_gid: dict[int, list[pa.Table]] = {}
-    for f, (gid, rgs) in files.items():
-        t = fsio.pq_file(f).read_row_groups(sorted(rgs))
-        if t.num_rows:
-            rows_read += t.num_rows
-            by_gid.setdefault(gid, []).append(t)
+    for f, (gid, pieces) in files.items():
+        pf = fsio.pq_file(f)
+        whole = sorted(i for i, a, b in pieces if b == -1)
+        got = []
+        if whole:
+            got.append(pf.read_row_groups(whole))
+        got.extend(pf.read_row_group(i).slice(a, b - a)
+                   for i, a, b in pieces if b != -1)
+        for t in got:
+            if t.num_rows:
+                rows_read += t.num_rows
+                by_gid.setdefault(gid, []).append(t)
     for gid, parts in by_gid.items():
         t = pa.concat_tables(parts, promote_options="default")
-        terms = t["term"].to_numpy(zero_copy_only=False)
-        salts = t["salt"].to_numpy(zero_copy_only=False)
-        mask = np.ones(len(terms), dtype=bool)
-        if lo is not None:
-            mask &= (terms > lo[0]) | ((terms == lo[0]) & (salts >= lo[1]))
-        if hi is not None:
-            mask &= (terms < hi[0]) | ((terms == hi[0]) & (salts < hi[1]))
-        if not mask.all():
-            t = t.filter(pa.array(mask))
         if t.num_rows == 0:
             continue
         t = t.append_column(
@@ -1155,6 +1257,14 @@ def _merge_range(files: dict[str, tuple[int, list[int]]],
         # would lose all boundary precision
         fsio.pq_write_table(out, tmp, row_group_size=SEG_ROW_GROUP)
         fsio.replace(tmp, os.path.join(d, f"part-r{ridx:06d}.parquet"))
+    if os.environ.get("GRAFT_MERGE_DEBUG"):
+        import json
+        with open(f"/tmp/graft_merge_debug_{os.getpid()}_{ridx}.json",
+                  "w") as fh:
+            json.dump({"ridx": ridx, "secs": round(time.time() - t_start, 3),
+                       "rows": rows_read, "nfiles": len(files),
+                       "split": sum(1 for _, (g, ps) in files.items()
+                                    for p in ps if p[2] != -1)}, fh)
     return (round(time.time() - t_start, 3), rows_read)
 
 
@@ -1276,8 +1386,8 @@ def compact_index(index_dir: str, out_dir: str,
                 for sid in range(n_old)]
     ts_copy_ref = ray.put(tombstones) if tombstones is not None else None
 
-    @ray.remote(num_cpus=1)
-    def _copy_docs_files(pairs: list, ts) -> tuple[int, int]:
+    @ray.remote(num_cpus=1, num_returns=2)
+    def _copy_docs_files(pairs: list, ts):
         # ``ts`` arrives as the broadcast ObjectRef's value (Ray
         # de-references top-level args): zero-copy from the object store
         # in every task, put exactly once on the driver.  Each task
@@ -1285,6 +1395,8 @@ def compact_index(index_dir: str, out_dir: str,
         # whole docs wall once copy_file became a hard link (measured
         # 1.5 s for one-file tasks at x4096/8 CPUs vs ~0 work).
         n_rows = sum_dl = 0
+        names: list[str] = []
+        kept: list[np.ndarray] = []
         for src_f, dest_f in pairs:
             if ts is None:
                 fsio.copy_file(src_f, dest_f)
@@ -1300,7 +1412,19 @@ def compact_index(index_dir: str, out_dir: str,
             fsio.replace(tmp, dest_f)
             n_rows += t.num_rows
             sum_dl += int(pc.sum(t["doc_len"]).as_py() or 0)
-        return (n_rows, sum_dl)
+            # piggyback the doc-store sidecar's scan: this task already
+            # holds the SURVIVING doc ids of the file it just wrote, and
+            # their (rg, row) locations are arithmetic in the write's
+            # row-group size — returning them (second return object, so
+            # the driver never pulls the payload) lets _finalize skip
+            # re-reading every rewritten docs file
+            names.append(os.path.basename(dest_f))
+            kept.append(t["doc_id"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        counts = [int(a.size) for a in kept]
+        payload = np.concatenate(kept) if kept else np.empty(0, np.int64)
+        return ((n_rows, sum_dl, names, counts, payload[::512].copy()),
+                payload)
 
     copy_refs: dict[int, list] = {}
     for g, members in enumerate(groups):
@@ -1325,6 +1449,12 @@ def compact_index(index_dir: str, out_dir: str,
         copy_refs[g] = [
             _copy_docs_files.remote(pairs[i:i + size], ts_copy_ref)
             for i in range(0, len(pairs), size)]
+    # (stats ref, ids-payload ref) pairs: the driver gathers only the
+    # small stats; the id payloads flow worker-to-worker into the
+    # sidecar build task below
+    copy_payloads = {g: [r[1] for r in refs]
+                     for g, refs in copy_refs.items()}
+    copy_refs = {g: [r[0] for r in refs] for g, refs in copy_refs.items()}
 
     # ---- segments: shuffle-FREE range-partitioned merge wave --------------
     # Every (sid, term, salt) group's rows live in known source files, so
@@ -1354,7 +1484,7 @@ def compact_index(index_dir: str, out_dir: str,
         # footer pass (each file's footer read ONCE, threaded on the
         # driver — pyarrow releases the GIL and this was a serial
         # O(files) I/O loop inside the measured compact wall):
-        # per row group (file, gid, rg_index, min_key, max_key, rows)
+        # per row group (file, gid, rg_index, min_key, n_rows, bytes)
         def _footer_meta(fg: tuple[str, int]):
             f, g = fg
             size = fsio.getsize(f)
@@ -1371,121 +1501,152 @@ def compact_index(index_dir: str, out_dir: str,
                 st_s = rg.column(si).statistics
                 key = ((st_t.min if st_t and st_t.has_min_max else ""),
                        (st_s.min if st_s and st_s.has_min_max else 0))
-                # max key: term max with salt at +inf — a conservative
-                # upper bound (per-rg composite max is not in the stats)
-                hi_key = ((st_t.max if st_t and st_t.has_min_max
-                           else "\U0010FFFF"), 1 << 30)
-                rows.append((f, g, i, key, hi_key, rg.total_byte_size))
+                rows.append((f, g, i, key, rg.num_rows,
+                             rg.total_byte_size))
             return size, rows
 
-        rg_meta: list[tuple[str, int, int, tuple, tuple, int]] = []
+        rg_meta: list[tuple[str, int, int, tuple, int, int]] = []
         total_bytes = 0
         for size, rows in _threaded(_footer_meta, file_gid, workers=16):
             total_bytes += size
             rg_meta.extend(rows)
         # the merge is CPU-bound (delta-decode + merge-sort + re-encode),
         # not byte-bound: fan out to 2x the CPUs (slack for residual
-        # range imbalance), growing past that only when the encoded
-        # payload is large (32 MB of input per task)
+        # imbalance), growing past that only when the encoded payload is
+        # large (32 MB of input per task).  A PURGE fans 4x: whole-rg
+        # ownership made extra width free (no boundary re-reads), task
+        # costs are estimates (head-term clusters run hotter per byte),
+        # and smaller tasks let LPT packing absorb the mispredictions.
         width = params.merge_parallelism or \
-            max(2 * _ncpu(), -(-total_bytes // (32 << 20)))
-        # boundaries: split the rg list (ordered by its min key) at ~equal
-        # cumulative row counts.  A boundary key need not be an existing
-        # group key — tasks mask exactly on [lo, hi) — so rg-min keys are
-        # valid split points; balance is approximate at rg granularity.
+            max((2 if tombstones is None else 4) * _ncpu(),
+                -(-total_bytes // (32 << 20)))
+        # Tasks own WHOLE row groups (key-sorted contiguous runs), not
+        # key ranges.  The earlier [lo, hi) range design re-read every
+        # rg straddling a boundary in BOTH neighbouring tasks — measured
+        # +32% merge work at width 64 vs width 16 on the x4096 purge
+        # bench, because straddling rgs are disproportionately the heavy
+        # ones (big groups occupy more key space).  Whole-rg ownership
+        # decompresses every byte exactly once.  The price: a (term,
+        # salt) group whose rgs land in different tasks is emitted as
+        # more than one output row — legal (the reader keeps one cursor
+        # per segment row; rows from distinct sources are doc-disjoint),
+        # rare (only groups at the ~width cut points), and consolidated
+        # again by any later compaction.  Only an rg heavier than the
+        # per-task share is SPLIT, by row index at df-weighted cost cut
+        # points (it decompresses once per piece — a handful of heavy
+        # rgs, bounded duplication, and without the split a single
+        # head-term rg pins the wave wall).
         rg_meta.sort(key=lambda r: r[3])
         total_w = sum(r[5] for r in rg_meta)
-        width = max(1, min(width, len(rg_meta) or 1))
-        step = total_w / width
-        # weight stream at SUB-rg granularity: any rg heavier than the
-        # per-task share gets its (term, salt, df) columns read (one tiny
-        # driver-side column read per heavy rg) so a boundary can fall
-        # INSIDE it, df-weighted — merge work ∝ df, and without this a
-        # single head-term rg pins the wave to its whole weight
-        # (measured: a 2.5 s straggler over a 0.3 s p50 at x1024/32 CPUs)
+        step = total_w / max(1, width)
         # a group headed for heavy passthrough costs ~file-copy, not
-        # decode+merge+re-encode — weight it at ~10% so the balanced
-        # ranges equalize actual MERGE work (otherwise ranges rich in
-        # passthrough bytes idle while small-group ranges do everything).
-        # Under a PURGE a hit heavy group IS re-encoded (and heavy ≈
-        # always hit — huge df intersects any uniform tombstone set), so
-        # there the full weight stands; down-weighting it 10× was the
-        # measured p50-vs-max range imbalance of the r4 purge bench.
+        # decode+merge+re-encode — weight it at ~10% so tasks equalize
+        # actual MERGE work.  Under a PURGE a hit heavy group IS
+        # re-encoded (and heavy ≈ always hit — huge df intersects any
+        # uniform tombstone set), so there the full weight stands.
         _PT_COST = 0.1 if tombstones is None else 1.0
-        heavy_rgs = [r for r in rg_meta
-                     if r[5] > step or r[5] > heavy_passthrough_bytes]
-        light_rgs = [r for r in rg_meta
-                     if not (r[5] > step or r[5] > heavy_passthrough_bytes)]
+        # per-ROW fixed cost, in byte-equivalents: a purge calls
+        # merge_segment_rows once per (term, salt) group — measured
+        # ~2.5 ms/row at x4096 vs ~8e-8 s/byte of payload work, i.e.
+        # one row ≈ 30 KB of bytes.  Byte-only weighting left 7 s
+        # row-bound stragglers over a 3 s p50; row-only weighting left
+        # 11 s byte-bound ones — both terms are load-bearing.  Plain
+        # compaction passes rows through (~0.1 ms/row).
+        _ROW_COST = 30_000 if tombstones is not None else 2_000
+        heavy = [r for r in rg_meta
+                 if r[5] > step or r[5] > heavy_passthrough_bytes]
 
-        def _heavy_costs(r):
-            f, g, i, key, hi_key, w = r
-            t = fsio.pq_file(f).read_row_groups(
-                [i], columns=["term", "salt", "df"])
+        def _row_costs(r):
+            # per-ROW cost estimate for a heavy rg: bytes ∝ df (one tiny
+            # threaded driver-side column read per heavy rg)
+            f, g, i, key, n, w = r
+            t = fsio.pq_file(f).read_row_groups([i], columns=["df"])
             dfs = t["df"].to_numpy(zero_copy_only=False) \
                 .astype(np.float64) + 1.0
-            frac = dfs / dfs.sum()
-            est = float(w) * frac
-            cost = np.where(est > heavy_passthrough_bytes,
-                            est * _PT_COST, est)
-            return [((tm, sl), float(c)) for tm, sl, c in
-                    zip(t["term"].to_pylist(), t["salt"].to_pylist(),
-                        cost)]
+            est = float(w) * dfs / dfs.sum()
+            return ((f, i), np.where(est > heavy_passthrough_bytes,
+                                     est * _PT_COST, est) + _ROW_COST)
 
-        stream: list[tuple[tuple, float]] = [
-            (key, float(w)) for _, _, _, key, _, w in light_rgs]
-        for part in _threaded(_heavy_costs, heavy_rgs, workers=16):
-            stream.extend(part)
-        stream.sort(key=lambda x: x[0])
-        # re-derive the per-range share from the COST stream (the byte
-        # total no longer equals the cost total once passthrough groups
-        # are down-weighted)
-        step = sum(w for _, w in stream) / width
-        bounds: list[tuple] = []
-        cum, nxt = 0.0, step
-        for key, w in stream:
-            if cum >= nxt and len(bounds) < width - 1 and \
-                    (not bounds or key > bounds[-1]):
-                bounds.append(key)
-                nxt += step
-            cum += w
-        ranges = [(bounds[i - 1] if i else None,
-                   bounds[i] if i < len(bounds) else None)
-                  for i in range(len(bounds) + 1)]
-        # rg -> overlapping ranges: a rg is read by every range its
-        # [min_key, max_key] stats span crosses; tasks re-mask rows
-        # exactly on [lo, hi), so overlap reads are safe and no row is
-        # emitted twice.  bisect keeps this O(rgs log W).
-        import bisect
-        per_range: list[dict[str, tuple[int, list[int]]]] = \
-            [{} for _ in ranges]
-        for f, g, i, key, hi_key, n in rg_meta:
-            for ridx in range(bisect.bisect_right(bounds, key),
-                              bisect.bisect_right(bounds, hi_key) + 1):
-                ent = per_range[ridx].setdefault(f, (g, []))
-                ent[1].append(i)
+        heavy_rows = dict(_threaded(_row_costs, heavy, workers=16))
+        all_costs = {(f, i): (float(heavy_rows[(f, i)].sum())
+                              if (f, i) in heavy_rows
+                              else float(w) + _ROW_COST * n)
+                     for f, g, i, key, n, w in rg_meta}
+        grand_cost = sum(all_costs.values()) or 1.0
+        # pack each target shard's key-ordered rg stream into contiguous
+        # tasks; task spec: file -> (target sid, [(rg, row_lo, row_hi)]),
+        # row_hi == -1 meaning the whole row group.  Consolidation needs
+        # a task's run to span the rgs of EVERY member source shard at a
+        # key (shards' files interleave in the key order; a group has one
+        # row per member), so the per-gid width is capped at
+        # rgs / members — at fixture scale that is ONE task (full
+        # consolidation, parallelism is irrelevant there), at bench scale
+        # rgs >> members and the cap is above 2× CPUs.
+        tasks: list[dict[str, tuple[int, list[tuple[int, int, int]]]]] = []
+        task_costs: list[float] = []
+        for g in pending:
+            metas_g = [r for r in rg_meta if r[1] == g]
+            if not metas_g:
+                continue
+            cost_g = sum(all_costs[(r[0], r[2])] for r in metas_g)
+            width_g = max(1, round(width * cost_g / grand_cost))
+            width_g = min(width_g,
+                          max(1, len(metas_g) // max(1, len(groups[g]))))
+            step = cost_g / width_g
+            cur: dict = {}
+            cur_cost = 0.0
+
+            def _flush():
+                nonlocal cur, cur_cost
+                if cur:
+                    tasks.append(cur)
+                    task_costs.append(cur_cost)
+                    cur, cur_cost = {}, 0.0
+
+            for f, _, i, key, n, w in metas_g:
+                c = all_costs[(f, i)]
+                rc = heavy_rows.get((f, i))
+                if rc is not None and c > 1.5 * step and n > 1:
+                    # an rg heavier than the per-task share: split it by
+                    # row index at df-weighted cost cut points
+                    _flush()
+                    cum = np.cumsum(rc)
+                    pieces = max(2, int(np.ceil(
+                        cum[-1] / max(step, 1e-9))))
+                    targets = cum[-1] * np.arange(1, pieces) / pieces
+                    cuts = sorted({int(x) for x in
+                                   (np.searchsorted(cum, targets) + 1)
+                                   if 0 < int(x) < n} | {n})
+                    prev = 0
+                    for b in cuts:
+                        tasks.append({f: (g, [(i, prev, b)])})
+                        task_costs.append(float(rc[prev:b].sum()))
+                        prev = b
+                    continue
+                ent = cur.setdefault(f, (g, []))
+                ent[1].append((i, 0, -1))
+                cur_cost += c
+                if cur_cost >= step:
+                    _flush()
+            _flush()
         ts_merge_ref = ray.put(tombstones) if tombstones is not None \
             else None
         fsio.rmtree(tmp_root, ignore_errors=True)
         fsio.makedirs(tmp_root, exist_ok=True)
         phase["plan"] = round(time.time() - t2, 3)
-        # LPT dispatch: submit the costliest ranges FIRST so a heavy
-        # range never starts in the last scheduling round and pins the
-        # wave wall (width is 2× CPUs — half the tasks run in a second
-        # round, and which half matters)
-        range_cost = np.zeros(len(ranges), dtype=np.float64)
-        for key, w in stream:
-            range_cost[bisect.bisect_right(bounds, key)] += w
-        order = sorted(
-            (ridx for ridx in range(len(ranges)) if per_range[ridx]),
-            key=lambda r: -range_cost[r])
+        # LPT dispatch: submit the costliest tasks FIRST so a heavy task
+        # never starts in the last scheduling round and pins the wave
+        # wall (width is 2× CPUs — half the tasks run in a second round,
+        # and which half matters)
+        order = sorted(range(len(tasks)), key=lambda x: -task_costs[x])
         merge_refs = [
-            _merge_range.remote(dict(per_range[ridx]), ranges[ridx][0],
-                                ranges[ridx][1], tmp_root, ridx,
-                                ts_merge_ref, heavy_passthrough_bytes)
-            for ridx in order]
+            _merge_range.remote(tasks[x], tmp_root, x, ts_merge_ref,
+                                heavy_passthrough_bytes)
+            for x in order]
 
     # gather the docs-copy tasks (they ran while the merge plan was built
     # and the merge wave runs)
+    sidecar_meta: dict[int, tuple[list[str], list[int]]] = {}
     for g, refs in copy_refs.items():
         stats = ray.get(refs)
         members = groups[g]
@@ -1495,6 +1656,8 @@ def compact_index(index_dir: str, out_dir: str,
         else:
             n_docs_g = sum(s[0] for s in stats)
             sum_dl_g = sum(s[1] for s in stats)
+            sidecar_meta[g] = ([(s[2], s[3]) for s in stats],
+                               [s[4] for s in stats], n_docs_g)
         ckpt.update_shard_record(
             out_dir, g,
             source_index=index_dir,
@@ -1508,8 +1671,22 @@ def compact_index(index_dir: str, out_dir: str,
     docs_secs = round(time.time() - t1, 3)
     # docs dirs are final here but the merge wave is still running:
     # start the sidecar rebuild NOW so its scan+sort+write overlaps the
-    # segment merge instead of serializing into _finalize afterwards
-    docs_idx_refs = _dispatch_docs_idx(out_dir, range(target_shards))
+    # segment merge instead of serializing into _finalize afterwards.
+    # For the purge path the rewrite tasks already returned each file's
+    # surviving doc ids, so the sidecar build skips re-reading the docs
+    # entirely (ids flow worker-to-worker via the object store)
+    docs_idx_refs = []
+    for g in range(target_shards):
+        meta = sidecar_meta.get(g)
+        if meta is None:
+            docs_idx_refs.extend(_dispatch_docs_idx(out_dir, [g]))
+        else:
+            metas, samples, n_rows_g = meta
+            files_sorted = sorted(nm for names, _ in metas
+                                  for nm in names)
+            docs_idx_refs.extend(_parted_docs_idx(
+                ckpt.shard_dir(out_dir, g), files_sorted, n_rows_g,
+                samples, metas, copy_payloads[g]))
 
     if pending:
         task_stats = ray.get(merge_refs)

@@ -8,29 +8,37 @@ prune a point lookup: every part's (min, max) spans the whole id space.
 every shard, which is fine at fixture scale and absurd at 100 TB (a
 snippet request would decompress a whole shard's text column).
 
-This module maintains one small sidecar per shard,
-``shards/shard-XXXX/docs_idx.parquet``:
+This module maintains one small sidecar per shard: a GENERATION
+directory ``shards/shard-XXXX/docs_idx-<gen>/part-KKKK.parquet`` of
+doc_id-SORTED, range-DISJOINT parts, published by an atomic pointer
+file ``docs_idx.json`` ({"version", "dir", "parts", "n_rows"}) — the
+same versioned-dir + single-commit-point pattern as the partitioned
+termdict.  Each part's rows:
 
-    doc_id  int64   -- SORTED ascending
+    doc_id  int64   -- SORTED ascending within the part
     file_i  int32   -- index into the ``files`` list (schema metadata)
     rg_i    int32   -- row group within that file
     row_i   int32   -- row within that row group
 
-Because the sidecar is sorted by ``doc_id``, its OWN row-group
-statistics are tight, disjoint ranges — a ``filters=[("doc_id", "in",
-ids)]`` read prunes to the k covering row groups natively, so a lookup
-never loads the index into memory: cost is O(k) tiny index row-groups +
-O(k) doc row-groups, independent of shard size.  No driver-side cache,
-no per-process state; the sidecar is republished atomically (tmp +
-``fsio.replace``) by :func:`build_shard_docs_idx`.
+Because parts are sorted and range-disjoint, row-group statistics are
+tight disjoint ranges — a point lookup probes each part's cached
+(min, max) bound arrays with two ``np.searchsorted`` calls and reads
+only the covering row groups, so a lookup never loads the index into
+memory: cost is O(k) tiny index row-groups + O(k) doc row-groups,
+independent of shard size.  Splitting the sidecar into parts is what
+lets the REBUILD distribute: one sort task per ~2M-row range instead
+of a single shard-wide sort (measured 7.5 s for a 20M-doc shard — the
+one serial step left in a purge compaction before parts existed).
 
 Consistency: the sidecar is rebuilt inside ``build._finalize`` — i.e.
 BEFORE the manifest publish that makes any new doc ids reachable — for
 build, extend, and compaction alike (compaction ends in ``_finalize``
 too).  A reader holding manifest generation N always sees a sidecar
 covering generation N's docs; a crash between docs writes and finalize
-leaves an old sidecar AND an old manifest, which agree.  If the sidecar
-is missing or stale (a file it references is gone), ``fetch_docs``
+leaves an old sidecar AND an old manifest, which agree; a crash after
+parts are written but before the pointer flips leaves the OLD pointer
+and its (grace-kept) generation dir.  If the sidecar is missing or
+stale (a file it references is gone, a part vanished), ``fetch_docs``
 falls back to the filtered scan, so the index is an accelerator, never
 a correctness dependency.
 
@@ -51,11 +59,14 @@ import pyarrow as pa
 
 from . import fsio
 
-DOCS_IDX = "docs_idx.parquet"
-IDX_VERSION = 1
+DOCS_IDX_PTR = "docs_idx.json"
+IDX_VERSION = 2
 # small row groups keep the pruned lookup read tight: 4096 rows of the
 # sidecar ~= 64 KB; the footer grows O(n_docs / 4096) entries per shard
 IDX_ROW_GROUP = 4096
+# target rows per sidecar part: one sort+write task each; 2M rows keeps
+# the per-part sort ~0.5 s while the pointer stays a handful of parts
+PART_TARGET_ROWS = 2_000_000
 
 # ---- footer cache ------------------------------------------------------
 # Point lookups are footer-bound: ParquetFile open + thrift footer parse
@@ -216,12 +227,9 @@ def scan_docs_chunk(docs_dir: str, files: list[str],
 
 
 def write_shard_docs_idx(shard_dir: str, files: list[str], parts) -> int:
-    """Sort scanned (ids, loc) chunk pairs and publish the sidecar.
-
-    The sort runs through Arrow's ``Table.sort_by`` — multi-threaded and
-    ~3× faster than a numpy argsort + fancy-index round-trip at 5M rows
-    (measured 1.6 s vs 5.4 s); this task is the one serial step of a
-    shard's sidecar rebuild, so its constant matters."""
+    """Sort scanned (ids, loc) chunk pairs and publish a ONE-part
+    sidecar (the small-shard / in-process path; ``build`` fans big
+    shards out over range-part tasks)."""
     ids_l = [p[0] for p in parts if p[0].size]
     if ids_l:
         ids = np.concatenate(ids_l)
@@ -242,8 +250,17 @@ def build_shard_docs_idx(shard_dir: str) -> int:
         shard_dir, files, [scan_docs_chunk(docs_dir, files, 0)])
 
 
-def _write_idx(shard_dir: str, files: list[str], ids: np.ndarray,
-               loc: np.ndarray) -> int:
+def new_gen_name() -> str:
+    import uuid
+    return f"docs_idx-{uuid.uuid4().hex[:12]}"
+
+
+def write_idx_part(gen_dir: str, files: list[str], ids: np.ndarray,
+                   loc: np.ndarray, k: int) -> int:
+    """Write ONE sorted sidecar part into an (unpublished) generation
+    dir.  The sort runs through Arrow's ``Table.sort_by`` —
+    multi-threaded and ~3× faster than a numpy argsort + fancy-index
+    round-trip at 5M rows (measured 1.6 s vs 5.4 s)."""
     table = pa.table(
         {"doc_id": pa.array(ids, pa.int64()),
          "file_i": pa.array(loc[0], pa.int32()),
@@ -253,10 +270,60 @@ def _write_idx(shard_dir: str, files: list[str], ids: np.ndarray,
         table = table.sort_by("doc_id")
     table = table.replace_schema_metadata(
         {"files": json.dumps(files), "version": str(IDX_VERSION)})
-    tmp = os.path.join(shard_dir, DOCS_IDX + ".tmp")
+    fsio.makedirs(gen_dir, exist_ok=True)
+    tmp = os.path.join(gen_dir, f".part-{k:04d}.parquet.tmp")
     fsio.pq_write_table(table, tmp, row_group_size=IDX_ROW_GROUP)
-    fsio.replace(tmp, os.path.join(shard_dir, DOCS_IDX))
+    fsio.replace(tmp, os.path.join(gen_dir, f"part-{k:04d}.parquet"))
     return int(ids.size)
+
+
+def publish_idx(shard_dir: str, gen_name: str, n_parts: int,
+                n_rows: int) -> int:
+    """Flip the sidecar pointer to a fully-written generation dir (the
+    single commit point), keeping the PREVIOUS generation dir for
+    one-generation reader grace and deleting anything older."""
+    ptr_p = os.path.join(shard_dir, DOCS_IDX_PTR)
+    prev = None
+    if fsio.exists(ptr_p):
+        try:
+            prev = fsio.read_json(ptr_p).get("dir")
+        except (OSError, ValueError):
+            prev = None
+    fsio.write_json_atomic(ptr_p, {"version": IDX_VERSION,
+                                   "dir": gen_name,
+                                   "parts": int(n_parts),
+                                   "n_rows": int(n_rows)})
+    keep = {gen_name, prev}
+    for name in fsio.listdir(shard_dir):
+        if name.startswith("docs_idx-") and name not in keep:
+            fsio.rmtree(os.path.join(shard_dir, name),
+                        ignore_errors=True)
+    return int(n_rows)
+
+
+def _write_idx(shard_dir: str, files: list[str], ids: np.ndarray,
+               loc: np.ndarray) -> int:
+    """One-part convenience: write + publish a whole sidecar."""
+    gen = new_gen_name()
+    n = write_idx_part(os.path.join(shard_dir, gen), files, ids, loc, 0)
+    return publish_idx(shard_dir, gen, 1, n)
+
+
+def _resolve_parts(shard_dir: str) -> list[str] | None:
+    """Part paths of the CURRENT sidecar generation, or None when there
+    is no (readable, version-matching) pointer."""
+    ptr_p = os.path.join(shard_dir, DOCS_IDX_PTR)
+    if not fsio.exists(ptr_p):
+        return None
+    try:
+        ptr = fsio.read_json(ptr_p)
+    except (OSError, ValueError):
+        return None
+    if ptr.get("version") != IDX_VERSION or not ptr.get("dir"):
+        return None
+    d = os.path.join(shard_dir, str(ptr["dir"]))
+    return [os.path.join(d, f"part-{k:04d}.parquet")
+            for k in range(int(ptr.get("parts", 0)))]
 
 
 def lookup_shard_docs(shard_dir: str, wanted: list[int],
@@ -268,41 +335,51 @@ def lookup_shard_docs(shard_dir: str, wanted: list[int],
     simply absent), or ``None`` when the sidecar is missing/unreadable/
     stale — the caller falls back to the filtered scan.  ``columns``
     prunes the doc read (e.g. the snippets path needs only ``text``)."""
-    idx_path = os.path.join(shard_dir, DOCS_IDX)
-    if not fsio.exists(idx_path):
+    import pyarrow.compute as pc
+    part_paths = _resolve_parts(shard_dir)
+    if not part_paths:
         return None
     want_arr = np.array(sorted({int(w) for w in wanted}), dtype=np.int64)
+    pieces: list[pa.Table] = []
+    files: list[str] | None = None
     try:
-        ent = _cached_md(idx_path, with_bounds=True)
-        if ent is not None and ent[1] is not None:
-            # covering row groups straight from the cached bounds: the
-            # sidecar is doc_id-sorted, so ranges are disjoint and a
-            # wanted id's only candidate group is the last one whose
-            # min <= id; keep it iff its max >= id
-            mins, maxs = ent[1]
-            cand = np.searchsorted(mins, want_arr, side="right") - 1
-            hit = (cand >= 0) & (maxs[np.maximum(cand, 0)] >= want_arr)
-            rgs = sorted(set(cand[hit].tolist()))
-            if not rgs:  # sidecar valid, no wanted id in any range
-                return {}
-            import pyarrow.compute as pc
-            pf = _open_pf(idx_path)
-            idx = pf.read_row_groups(rgs, use_threads=False)
-            idx = idx.filter(pc.is_in(
-                idx["doc_id"], value_set=pa.array(want_arr, pa.int64())))
-        else:  # URI-backed or stats-less sidecar: scanner path
-            idx = fsio.pq_read_table(
-                idx_path, filters=[("doc_id", "in", want_arr.tolist())])
-    except (OSError, pa.ArrowInvalid):
-        return None
-    meta = idx.schema.metadata or {}
-    try:
-        files = json.loads(meta[b"files"])
-    except (KeyError, ValueError):
+        for idx_path in part_paths:
+            ent = _cached_md(idx_path, with_bounds=True)
+            if ent is not None and ent[1] is not None:
+                # covering row groups straight from the cached bounds:
+                # a part is doc_id-sorted, so ranges are disjoint within
+                # it and a wanted id's only candidate group is the last
+                # one whose min <= id; keep it iff its max >= id.  Parts
+                # are range-disjoint, so across parts too a wanted id
+                # has (at most) one candidate row group.
+                mins, maxs = ent[1]
+                cand = np.searchsorted(mins, want_arr, side="right") - 1
+                hit = (cand >= 0) & (maxs[np.maximum(cand, 0)]
+                                     >= want_arr)
+                rgs = sorted(set(cand[hit].tolist()))
+                if not rgs:  # part valid, no wanted id in its ranges
+                    continue
+                pf = _open_pf(idx_path)
+                part = pf.read_row_groups(rgs, use_threads=False)
+                part = part.filter(pc.is_in(
+                    part["doc_id"],
+                    value_set=pa.array(want_arr, pa.int64())))
+            else:  # URI-backed or stats-less part: scanner path
+                part = fsio.pq_read_table(
+                    idx_path, filters=[("doc_id", "in",
+                                        want_arr.tolist())])
+            if files is None:
+                meta = part.schema.metadata or {}
+                files = json.loads(meta[b"files"])  # KeyError -> stale
+            if part.num_rows:
+                pieces.append(part)
+    except (OSError, pa.ArrowInvalid, FileNotFoundError,
+            KeyError, ValueError):
         return None
     out: dict[int, dict] = {}
-    if not idx.num_rows:
+    if not pieces:
         return out
+    idx = pa.concat_tables(pieces)
     doc_ids = idx["doc_id"].to_numpy(zero_copy_only=False)
     file_i = idx["file_i"].to_numpy(zero_copy_only=False)
     rg_i = idx["rg_i"].to_numpy(zero_copy_only=False)

@@ -32,11 +32,22 @@ def doc_ids(index_dir):
 
 def _hide_sidecars(index_dir, hide=True):
     for sd in glob.glob(os.path.join(index_dir, "shards", "shard-*")):
-        a = os.path.join(sd, docstore.DOCS_IDX)
+        a = os.path.join(sd, docstore.DOCS_IDX_PTR)
         b = a + ".hidden"
         src, dst = (a, b) if hide else (b, a)
         if os.path.exists(src):
             os.rename(src, dst)
+
+
+def _sidecar_table(sd):
+    """All parts of a shard's CURRENT sidecar generation, concatenated
+    and sorted by doc_id (gen names are random, boundaries may differ
+    between rebuilds — the logical content is what must match)."""
+    import pyarrow as pa
+    parts = docstore._resolve_parts(sd)
+    assert parts, sd
+    tables = [pq.read_table(q) for q in parts]
+    return pa.concat_tables(tables).sort_by("doc_id"), tables
 
 
 def test_sidecar_written_per_shard_and_counted(index_dir):
@@ -44,13 +55,16 @@ def test_sidecar_written_per_shard_and_counted(index_dir):
     assert mf["docs_idx"]["version"] == docstore.IDX_VERSION
     assert mf["docs_idx"]["n_rows"] == mf["n_docs"]
     for sd in glob.glob(os.path.join(index_dir, "shards", "shard-*")):
-        p = os.path.join(sd, docstore.DOCS_IDX)
-        assert os.path.exists(p)
-        t = pq.read_table(p)
-        # sorted by doc_id — the property row-group pruning relies on
-        col = t["doc_id"].to_pylist()
-        assert col == sorted(col)
-        assert t.schema.metadata and b"files" in t.schema.metadata
+        whole, parts = _sidecar_table(sd)
+        for t in parts:
+            # each part sorted by doc_id — the property row-group
+            # pruning relies on
+            col = t["doc_id"].to_pylist()
+            assert col == sorted(col)
+            assert t.schema.metadata and b"files" in t.schema.metadata
+        # parts are range-DISJOINT: the concatenation has no duplicates
+        col = whole["doc_id"].to_pylist()
+        assert len(col) == len(set(col))
 
 
 def test_fetch_docs_sidecar_equals_scan(index_dir, doc_ids):
@@ -86,7 +100,7 @@ def test_stale_sidecar_falls_back(index_dir, doc_ids, tmp_path):
     scan.  Simulated by pointing one shard's sidecar at a bogus file
     list (metadata rewrite, data unchanged)."""
     sd = glob.glob(os.path.join(index_dir, "shards", "shard-*"))[0]
-    p = os.path.join(sd, docstore.DOCS_IDX)
+    p = docstore._resolve_parts(sd)[0]
     orig = pq.read_table(p)
     bogus = orig.replace_schema_metadata(
         {b"files": b'["does-not-exist.parquet"]',
@@ -131,10 +145,8 @@ def test_chunked_rebuild_equals_single(index_dir, doc_ids, monkeypatch,
     build.compact_index(index_dir, a, target_shards=1)
     monkeypatch.setattr(docstore, "SCAN_CHUNK", 1)
     build.compact_index(index_dir, b, target_shards=1)
-    ta = pq.read_table(os.path.join(a, "shards", "shard-0000",
-                                    docstore.DOCS_IDX))
-    tb = pq.read_table(os.path.join(b, "shards", "shard-0000",
-                                    docstore.DOCS_IDX))
+    ta, _ = _sidecar_table(os.path.join(a, "shards", "shard-0000"))
+    tb, _ = _sidecar_table(os.path.join(b, "shards", "shard-0000"))
     assert ta.equals(tb)
     wanted = doc_ids[::11]
     assert query.fetch_docs(b, wanted).keys() == \
@@ -160,3 +172,53 @@ def test_delete_then_fetch_miss(pages_dir, tmp_path_factory):
     assert mf["docs_idx"]["n_rows"] == mf["n_docs"]
     got2 = query.fetch_docs(out, [victim, survivor])
     assert victim not in got2 and survivor in got2
+
+
+def test_multi_part_sidecar_purge_and_scan_paths(pages_dir, monkeypatch,
+                                                 tmp_path_factory):
+    """Force the range-parted sidecar build (PART_TARGET_ROWS tiny) on
+    BOTH build paths — the piggybacked purge rewrite and the scan-chunk
+    rebuild — and check the parts are sorted, range-disjoint, and the
+    lookups equal the scan fallback."""
+    monkeypatch.setattr(docstore, "PART_TARGET_ROWS", 64)
+    monkeypatch.setattr(docstore, "SCAN_CHUNK", 1)
+    d = str(tmp_path_factory.mktemp("ds_mp_idx"))
+    build.build_index(pages_dir, d, build.BuildParams(num_shards=2))
+    files = glob.glob(os.path.join(d, "shards", "shard-*",
+                                   "docs", "*.parquet"))
+    ids = sorted(pq.ParquetDataset(files).read(
+        columns=["doc_id"])["doc_id"].to_pylist())
+    build.delete_docs(d, ids[::10])
+    survivors = [x for x in ids if x not in set(ids[::10])]
+
+    for label, out in (("purge", str(tmp_path_factory.mktemp("ds_mp_p"))),
+                       ("plain", str(tmp_path_factory.mktemp("ds_mp_s")))):
+        src = d
+        if label == "plain":
+            # purge first so the second compact runs tombstone-free
+            # (plain path = scan-chunk rebuild)
+            build.compact_index(d, out + ".pre", target_shards=2)
+            src = out + ".pre"
+        build.compact_index(src, out, target_shards=1)
+        sd = os.path.join(out, "shards", "shard-0000")
+        parts = docstore._resolve_parts(sd)
+        assert len(parts) > 1, (label, parts)
+        spans = []
+        for q in parts:
+            t = pq.read_table(q)
+            col = t["doc_id"].to_pylist()
+            assert col == sorted(col), label
+            if col:
+                spans.append((col[0], col[-1]))
+        spans.sort()
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+            assert a_hi < b_lo, (label, spans)  # range-disjoint
+        mf = ckpt.read_json(os.path.join(out, "manifest.json"))
+        assert mf["docs_idx"]["n_rows"] == mf["n_docs"] == len(survivors)
+        wanted = survivors[::5] + ids[:3]
+        fast = query.fetch_docs(out, wanted)
+        _hide_sidecars(out)
+        try:
+            assert fast == query.fetch_docs(out, wanted), label
+        finally:
+            _hide_sidecars(out, hide=False)
