@@ -76,6 +76,9 @@ def varint_decode(buf: bytes | memoryview) -> np.ndarray:
     if b.size == 0:
         return np.zeros(0, dtype=np.uint64)
     is_last = (b & 0x80) == 0
+    if is_last.all():  # fast path: every value fits 7 bits (tf streams,
+        return b.astype(np.uint64)  # dense doc-gap blocks) — skip the
+        # cumsum/reduceat machinery (~5 temporaries) for the common case
     # start index of each value = positions just after each terminator
     starts = np.concatenate(([0], np.flatnonzero(is_last)[:-1] + 1))
     payload = (b & np.uint64(0x7F)).astype(np.uint64)

@@ -20,6 +20,15 @@ def test_varint_roundtrip_edges():
         assert (codec.varint_decode(codec.varint_encode(v)) == v).all()
 
 
+def test_varint_single_byte_fast_path():
+    # every value < 128 -> the decoder's direct-cast path must still be exact
+    rng = np.random.RandomState(11)
+    v = rng.randint(0, 128, size=5000).astype(np.uint64)
+    enc = codec.varint_encode(v)
+    assert len(enc) == v.size  # 1 byte per value
+    assert (codec.varint_decode(enc) == v).all()
+
+
 def test_varint_roundtrip_random():
     rng = np.random.RandomState(7)
     for _ in range(10):
