@@ -241,3 +241,128 @@ def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray]:
         ids = cs
     tfs = varint_decode(enc.tf_bytes).astype(np.int64) + 1
     return ids, tfs
+
+
+# ----------------------------------------------------- multi-group codec ---
+
+def _block_geometry(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]:
+    """Block layout for MANY segments at once.  ``sizes``: postings per
+    segment (>= 0).  Returns ``(bstarts, bsizes, nblocks)`` where
+    ``bstarts`` are GLOBAL posting indices of each block's first posting
+    (segments tile the global stream in order; every segment start is a
+    block start; blocks never span segments), ``bsizes`` the per-block
+    posting counts and ``nblocks`` the per-segment block counts."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    nblocks = -(-sizes // BLOCK_SIZE)  # ceil; 0 for empty segments
+    total = int(nblocks.sum())
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, nblocks
+    seg_of_block = np.repeat(np.arange(sizes.size, dtype=np.int64), nblocks)
+    first_block = np.concatenate(([0], np.cumsum(nblocks)))[:-1]
+    within = np.arange(total, dtype=np.int64) - first_block[seg_of_block]
+    gstarts = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+    bstarts = gstarts[seg_of_block] + within * BLOCK_SIZE
+    bends = np.minimum(bstarts + BLOCK_SIZE,
+                       gstarts[seg_of_block] + sizes[seg_of_block])
+    return bstarts, bends - bstarts, nblocks
+
+
+def decode_postings_multi(doc_buf: bytes | memoryview | np.ndarray,
+                          tf_buf: bytes | memoryview | np.ndarray,
+                          dfs: np.ndarray
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the CONCATENATION of many segments' posting streams in one
+    vectorized pass -> ``(doc_ids int64, tfs int64)``, both of length
+    ``sum(dfs)``.  ``dfs``: postings per segment, in buffer order.
+
+    Equivalent to ``decode_postings`` per segment + concatenate, minus one
+    Python call chain per segment — the per-group overhead that dominated
+    compaction-merge time (~2.5 ms/group at x4096).  The cumsum runs over
+    the whole stream in uint64; block bases are subtracted with wraparound
+    arithmetic, which is exact because every true doc_id fits in int64."""
+    deltas = varint_decode(doc_buf)
+    bstarts, bsizes, _ = _block_geometry(dfs)
+    if deltas.size != int(np.asarray(dfs, dtype=np.int64).sum()):
+        raise ValueError("posting stream length does not match sum(df)")
+    if deltas.size == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    cs = np.cumsum(deltas)  # uint64, may wrap — corrected below
+    base = cs[bstarts] - deltas[bstarts]
+    ids = (cs - np.repeat(base, bsizes)).astype(np.int64)
+    tfs = varint_decode(tf_buf).astype(np.int64) + 1
+    if tfs.size != deltas.size:
+        raise ValueError("tf stream length does not match doc stream")
+    return ids, tfs
+
+
+def encode_postings_multi(doc_ids: np.ndarray, tfs: np.ndarray,
+                          dls: np.ndarray, gsizes: np.ndarray) -> dict:
+    """Encode MANY segments in one vectorized pass.  ``doc_ids`` strictly
+    ascending WITHIN each segment (segments tile the stream per
+    ``gsizes``); ``tfs >= 1``; ``dls`` per posting.  No positional stream
+    (callers with positions use :func:`encode_postings` per segment).
+
+    Byte-identical per segment to :func:`encode_postings`.  Returns flat
+    columns ready for zero-copy Arrow assembly::
+
+        doc_bytes, tf_bytes     -- one buffer each (np.uint8)
+        doc_offsets, tf_offsets -- int64, len G+1: per-segment byte spans
+        nblocks                 -- int64, len G: list-column lengths
+        block_first, block_last, block_max_tf   -- int64, len B
+        block_doc_off, block_tf_off, block_min_dl -- int32, len B
+    """
+    gsizes = np.asarray(gsizes, dtype=np.int64)
+    n = int(gsizes.sum())
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    assert doc_ids.size == n and tfs.size == n and dls.size == n
+    bstarts, bsizes, nblocks = _block_geometry(gsizes)
+    gends = np.cumsum(gsizes)
+    if n == 0:
+        return {"doc_bytes": np.zeros(0, np.uint8),
+                "tf_bytes": np.zeros(0, np.uint8),
+                "doc_offsets": np.zeros(gsizes.size + 1, np.int64),
+                "tf_offsets": np.zeros(gsizes.size + 1, np.int64),
+                "nblocks": nblocks,
+                "block_first": np.zeros(0, np.int64),
+                "block_last": np.zeros(0, np.int64),
+                "block_max_tf": np.zeros(0, np.int64),
+                "block_doc_off": np.zeros(0, np.int32),
+                "block_tf_off": np.zeros(0, np.int32),
+                "block_min_dl": np.zeros(0, np.int32)}
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = np.uint64(doc_ids[0])
+    if n > 1:
+        # wraps negative at segment boundaries — overwritten below (every
+        # segment start is a block start)
+        deltas[1:] = np.diff(doc_ids).astype(np.uint64)
+    deltas[bstarts] = doc_ids[bstarts].astype(np.uint64)
+    doc_bytes, doc_len = varint_encode_with_lengths(deltas)
+    tf_bytes, tf_len = varint_encode_with_lengths(
+        np.asarray(tfs, dtype=np.uint64) - np.uint64(1))
+    cum_doc = np.concatenate(([0], np.cumsum(doc_len)))
+    cum_tf = np.concatenate(([0], np.cumsum(tf_len)))
+    gstarts = gends - gsizes
+    seg_of_block = np.repeat(np.arange(gsizes.size, dtype=np.int64), nblocks)
+    tfs64 = np.asarray(tfs, dtype=np.int64)
+    dls64 = np.asarray(dls, dtype=np.int64)
+    return {
+        "doc_bytes": np.frombuffer(doc_bytes, dtype=np.uint8),
+        "tf_bytes": np.frombuffer(tf_bytes, dtype=np.uint8),
+        "doc_offsets": cum_doc[np.concatenate((gstarts, [n]))],
+        "tf_offsets": cum_tf[np.concatenate((gstarts, [n]))],
+        "nblocks": nblocks,
+        "block_first": doc_ids[bstarts],
+        "block_last": doc_ids[bstarts + bsizes - 1],
+        "block_max_tf": np.maximum.reduceat(tfs64, bstarts)
+        if bstarts.size else np.zeros(0, np.int64),
+        "block_doc_off": (cum_doc[bstarts]
+                          - cum_doc[gstarts][seg_of_block]).astype(np.int32),
+        "block_tf_off": (cum_tf[bstarts]
+                         - cum_tf[gstarts][seg_of_block]).astype(np.int32),
+        "block_min_dl": (np.minimum.reduceat(dls64, bstarts)
+                         if bstarts.size
+                         else np.zeros(0, np.int64)).astype(np.int32),
+    }

@@ -51,8 +51,9 @@ import ray.data as rd
 
 from ..functions import bm25
 from ..functions.codec import (BLOCK_SIZE, FORMAT_VERSION, EncodedPostings,
-                               decode_positions, decode_postings,
-                               encode_postings)
+                               _block_geometry, decode_positions,
+                               decode_postings, decode_postings_multi,
+                               encode_postings, encode_postings_multi)
 from ..functions.extract import EXTRACTOR_VERSION
 from ..functions.textstats import HASH_VERSION
 from ..functions.tokenize import TOKENIZER_VERSION
@@ -1129,6 +1130,192 @@ def merge_segment_rows(group: pa.Table,
     })
 
 
+def _binary_col_flat(col: pa.ChunkedArray) -> np.ndarray:
+    """The concatenated bytes of a (null-free) binary column, zero-copy,
+    in row order — consecutive elements of a BinaryArray occupy
+    consecutive value-buffer ranges."""
+    arr = col.combine_chunks()
+    if len(arr) == 0:
+        return np.zeros(0, np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset:arr.offset + len(arr) + 1]
+    return np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0]:offs[-1]]
+
+
+def merge_groups_batched(t: pa.Table, starts: np.ndarray, ends: np.ndarray,
+                         merge_idx: np.ndarray,
+                         tombstones: np.ndarray | None,
+                         group_bytes: np.ndarray | None = None,
+                         chunk_bytes: int | None = None) -> pa.Table:
+    """Chunking wrapper around :func:`_merge_groups_chunk`: partitions
+    ``merge_idx`` into runs of ~``chunk_bytes`` encoded payload and
+    merges each run in one vectorized pass.  One flat pass over the
+    task's whole stream would be minimal Python, but its uint64
+    temporaries are 8x the byte stream — x4096 profile: 45 MB of
+    payload became ~2 GB of temporary traffic and the "vectorized" pass
+    ran 2x SLOWER than per-group (whose temporaries stay cache-resident).
+    Small chunks keep the working set in per-core cache while amortizing
+    the per-call numpy overhead over many groups.  ``group_bytes``:
+    optional per-GROUP payload sizes (indexed like ``starts``; the
+    caller already has them from the passthrough screen)."""
+    if merge_idx.size == 0:
+        return t.slice(0, 0)
+    if chunk_bytes is None:
+        # 128 KiB payload -> ~1.5 MB of decode temporaries: stays inside a
+        # worker's PRIVATE cache.  Measured on the x4096 1%-purge at 32-way
+        # concurrency: 2 MiB chunks thrash the SHARED cache and inflate the
+        # merge-task work sum 4.1x over the 8-way run (496 s vs 121 s);
+        # 128 KiB holds the inflation to 4% and the 8->32 CPU scaling
+        # efficiency at 0.8.  Observable via GRAFT_MERGE_CHUNK_BYTES.
+        chunk_bytes = int(os.environ.get("GRAFT_MERGE_CHUNK_BYTES",
+                                         128 << 10))
+    if group_bytes is None:
+        row_b = (pc.binary_length(t["doc_bytes"]).to_numpy(
+                     zero_copy_only=False).astype(np.int64)
+                 + pc.binary_length(t["tf_bytes"]).to_numpy(
+                     zero_copy_only=False).astype(np.int64))
+        group_bytes = np.add.reduceat(row_b, starts)
+    gb = np.asarray(group_bytes, dtype=np.int64)[merge_idx]
+    # cut chunk boundaries where the running payload crosses chunk_bytes
+    cuts = np.searchsorted(np.cumsum(gb), np.arange(
+        chunk_bytes, int(gb.sum()), chunk_bytes), side="left") + 1
+    pieces = np.split(merge_idx, np.unique(cuts[cuts < merge_idx.size]))
+    outs = [_merge_groups_chunk(t, starts, ends, p, tombstones)
+            for p in pieces if p.size]
+    return pa.concat_tables(outs, promote_options="default") if outs \
+        else t.slice(0, 0)
+
+
+def _merge_groups_chunk(t: pa.Table, starts: np.ndarray, ends: np.ndarray,
+                        merge_idx: np.ndarray,
+                        tombstones: np.ndarray | None) -> pa.Table:
+    """Vectorized equivalent of calling :func:`merge_segment_rows` on each
+    group in ``merge_idx`` (groups = ``t`` row runs ``[starts[i],
+    ends[i])``, same ``(sid, term, salt)`` within a run): ONE varint
+    decode over every member row's concatenated posting stream, one
+    tombstone ``searchsorted``, at most one posting sort, one batched
+    re-encode, zero-copy Arrow assembly.  The per-group path paid ~2.5 ms
+    of Python per (term, salt) group (``to_pylist``, 1-row tables,
+    ``.tolist()`` list columns) — at x4096 that fixed cost, multiplied by
+    ~68k groups and inflated by 32-way allocator contention, WAS the
+    compaction-purge wall.  Requires positional streams to be absent
+    (caller routes pos-bearing groups to the per-group path).
+
+    Sort avoidance: member rows are gathered ordered by (group, first
+    doc_id); when every group's rows cover disjoint doc ranges — shards
+    hold disjoint docs, and auto-mode doc ids are contiguous per input
+    block — the concatenation is already doc-sorted and the O(n log n)
+    posting sort is skipped entirely.
+
+    Output: one row per surviving group (fully-deleted groups drop), same
+    columns and per-row bytes as the per-group path, in ``merge_idx``
+    group order.  Raises ``ValueError`` on duplicate doc_ids across
+    member rows, like :func:`merge_segment_rows`."""
+    counts = (ends[merge_idx] - starts[merge_idx]).astype(np.int64)
+    total_rows = int(counts.sum())
+    if total_rows == 0:
+        return t.slice(0, 0)
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    rows = (np.repeat(starts[merge_idx].astype(np.int64), counts)
+            + np.arange(total_rows) - np.repeat(cum[:-1], counts))
+    grp_of_row = np.repeat(np.arange(merge_idx.size, dtype=np.int64), counts)
+    tm = t.take(pa.array(rows, pa.int64()))
+    dfs = tm["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # drop df=0 member rows (contribute nothing; keep geometry exact)
+    if (dfs == 0).any():
+        nz = dfs > 0
+        rows, grp_of_row, dfs = rows[nz], grp_of_row[nz], dfs[nz]
+        tm = t.take(pa.array(rows, pa.int64()))
+    # order member rows by (group, first doc id) so disjoint-range groups
+    # come out pre-sorted
+    bf = tm["block_first"].combine_chunks()
+    off_f = bf.offsets.to_numpy(zero_copy_only=False)
+    vals_f = bf.values.to_numpy(zero_copy_only=False)
+    row_lo = vals_f[off_f[:-1]] if len(bf) else np.zeros(0, np.int64)
+    order = np.lexsort((row_lo, grp_of_row))
+    if not np.array_equal(order, np.arange(order.size)):
+        rows, grp_of_row = rows[order], grp_of_row[order]
+        dfs = dfs[order]
+        tm = t.take(pa.array(rows, pa.int64()))
+        bf = tm["block_first"].combine_chunks()
+        off_f = bf.offsets.to_numpy(zero_copy_only=False)
+        vals_f = bf.values.to_numpy(zero_copy_only=False)
+        row_lo = vals_f[off_f[:-1]] if len(bf) else np.zeros(0, np.int64)
+    bl = tm["block_last"].combine_chunks()
+    off_l = bl.offsets.to_numpy(zero_copy_only=False)
+    vals_l = bl.values.to_numpy(zero_copy_only=False)
+    row_hi = vals_l[off_l[1:] - 1] if len(bl) else np.zeros(0, np.int64)
+    same_grp = grp_of_row[1:] == grp_of_row[:-1]
+    presorted = not (same_grp & (row_lo[1:] <= row_hi[:-1])).any()
+
+    ids, tfs = decode_postings_multi(
+        _binary_col_flat(tm["doc_bytes"]),
+        _binary_col_flat(tm["tf_bytes"]), dfs)
+    mdl = tm["block_min_dl"].combine_chunks()
+    _, bsizes, _ = _block_geometry(dfs)
+    dl = np.repeat(
+        mdl.values.to_numpy(zero_copy_only=False).astype(np.int64), bsizes)
+    grp = np.repeat(grp_of_row, dfs)
+
+    if tombstones is not None and tombstones.size and ids.size:
+        pos_i = np.searchsorted(tombstones, ids)
+        pos_i[pos_i >= tombstones.size] = tombstones.size - 1
+        keep = tombstones[pos_i] != ids
+        if not keep.all():
+            ids, tfs, dl, grp = ids[keep], tfs[keep], dl[keep], grp[keep]
+    if not presorted and ids.size:
+        o2 = np.lexsort((ids, grp))
+        ids, tfs, dl, grp = ids[o2], tfs[o2], dl[o2], grp[o2]
+    if ids.size > 1:
+        bad = (np.diff(ids) <= 0) & (np.diff(grp) == 0)
+        if bad.any():
+            raise ValueError(
+                "duplicate doc_id across compacted shards; source shards "
+                "must hold disjoint doc sets")
+
+    gsizes = np.bincount(grp, minlength=merge_idx.size).astype(np.int64)
+    enc = encode_postings_multi(ids, tfs, dl, gsizes)
+    if enc["doc_offsets"][-1] >= (1 << 31) or enc["tf_offsets"][-1] >= (1 << 31):
+        raise ValueError("batched merge output exceeds 2 GiB binary column")
+    M = merge_idx.size
+    meta = t.take(pa.array(starts[merge_idx].astype(np.int64), pa.int64()))
+
+    def _bin(buf: np.ndarray, offsets: np.ndarray) -> pa.Array:
+        return pa.Array.from_buffers(
+            pa.binary(), M,
+            [None, pa.py_buffer(offsets.astype(np.int32)),
+             pa.py_buffer(buf)])
+
+    loff = np.concatenate(([0], np.cumsum(enc["nblocks"]))).astype(np.int32)
+
+    def _lst(values: np.ndarray, typ) -> pa.Array:
+        return pa.ListArray.from_arrays(
+            pa.array(loff, pa.int32()), pa.array(values, typ))
+
+    out = pa.table({
+        "sid": meta["sid"],
+        "term": meta["term"],
+        "salt": meta["salt"],
+        "df": pa.array(gsizes, pa.int64()),
+        "doc_bytes": _bin(enc["doc_bytes"], enc["doc_offsets"]),
+        "tf_bytes": _bin(enc["tf_bytes"], enc["tf_offsets"]),
+        "block_first": _lst(enc["block_first"], pa.int64()),
+        "block_last": _lst(enc["block_last"], pa.int64()),
+        "block_doc_off": _lst(enc["block_doc_off"], pa.int32()),
+        "block_tf_off": _lst(enc["block_tf_off"], pa.int32()),
+        "block_max_tf": _lst(enc["block_max_tf"], pa.int64()),
+        "block_min_dl": _lst(enc["block_min_dl"], pa.int32()),
+        "pos_bytes": _bin(np.zeros(0, np.uint8),
+                          np.zeros(M + 1, np.int64)),
+        # no positions: per-block zero offsets, matching encode_postings
+        "block_pos_off": _lst(np.zeros(int(loff[-1]), np.int32),
+                              pa.int32()),
+    })
+    if (gsizes == 0).any():  # fully-deleted groups drop their row
+        out = out.filter(pa.array(gsizes > 0))
+    return out
+
+
 @ray.remote(num_cpus=1)
 def _merge_range(files: dict[str, tuple[int, list[tuple[int, int, int]]]],
                  tmp_root: str, ridx: int,
@@ -1238,10 +1425,28 @@ def _merge_range(files: dict[str, tuple[int, list[tuple[int, int, int]]]],
             outs.append(t.filter(pa.array(
                 np.repeat(keep_asis, ends - starts))))
         merge_idx = np.flatnonzero(~keep_asis)
-        outs.extend(
-            merge_segment_rows(t.slice(starts[i], ends[i] - starts[i]),
-                               ts if group_hit[i] else None)
-            for i in merge_idx)
+        if merge_idx.size:
+            # pos-bearing groups keep the per-group path (the batched
+            # merge does not re-encode positional streams); everything
+            # else merges in ONE vectorized pass.  A >1 GiB task falls
+            # back wholesale (int32 binary offsets in the batched output).
+            pos_row = pc.binary_length(t["pos_bytes"]).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            grp_has_pos = np.add.reduceat(pos_row, starts) > 0
+            big = int(run_bytes[merge_idx].sum()) >= (1 << 30)
+            legacy_idx = merge_idx if big \
+                else merge_idx[grp_has_pos[merge_idx]]
+            batched_idx = merge_idx[:0] if big \
+                else merge_idx[~grp_has_pos[merge_idx]]
+            outs.extend(
+                merge_segment_rows(t.slice(starts[i], ends[i] - starts[i]),
+                                   ts if group_hit[i] else None)
+                for i in legacy_idx)
+            if batched_idx.size:
+                outs.append(merge_groups_batched(
+                    t, starts, ends, batched_idx,
+                    ts if group_hit[batched_idx].any() else None,
+                    group_bytes=run_bytes))
         outs = [o for o in outs if o.num_rows]
         if not outs:
             continue

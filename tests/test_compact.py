@@ -137,3 +137,141 @@ def test_compact_positional_phrase_parity(ray_session, pages_dir,
         want = _fmt(r_old.search_phrase(phrase, 10))
         got = _fmt(r_new.search_phrase(phrase, 10))
         assert got == want, f"phrase {phrase!r}: {got} != {want}"
+
+
+def _synthetic_groups(rng, n_groups=60, overlap=True):
+    """Segment table of multi-row (term, salt) groups with interleaved
+    (overlapping) doc ranges across member rows, plus the group run
+    boundaries — the shape the compaction merge sees."""
+    import numpy as np
+    import pyarrow as pa
+    cols = {k: [] for k in
+            ("sid term salt df doc_bytes tf_bytes block_first block_last "
+             "block_doc_off block_tf_off block_max_tf block_min_dl "
+             "pos_bytes block_pos_off").split()}
+    for g in range(n_groups):
+        k = rng.randint(1, 4)
+        pool = np.unique(rng.randint(
+            0, 1 << 30, size=rng.randint(1, 500)).astype(np.int64))
+        if overlap:  # round-robin: member doc ranges interleave
+            pieces = [pool[j::k] for j in range(k)]
+        else:
+            pieces = np.array_split(pool, k)
+        for p in pieces:
+            if p.size == 0:
+                continue
+            tf = rng.randint(1, 9, p.size).astype(np.int64)
+            dl = rng.randint(5, 80, p.size).astype(np.int64)
+            e = build.encode_postings(p, tf, dl)
+            cols["sid"].append(0)
+            cols["term"].append(f"t{g:05d}")
+            cols["salt"].append(0)
+            cols["df"].append(e.df)
+            cols["doc_bytes"].append(e.doc_bytes)
+            cols["tf_bytes"].append(e.tf_bytes)
+            cols["block_first"].append(e.block_first.tolist())
+            cols["block_last"].append(e.block_last.tolist())
+            cols["block_doc_off"].append(e.block_doc_off.tolist())
+            cols["block_tf_off"].append(e.block_tf_off.tolist())
+            cols["block_max_tf"].append(e.block_max_tf.tolist())
+            cols["block_min_dl"].append(e.block_min_dl.tolist())
+            cols["pos_bytes"].append(b"")
+            cols["block_pos_off"].append([0] * len(e.block_first))
+    t = pa.table({
+        "sid": pa.array(cols["sid"], pa.int32()),
+        "term": pa.array(cols["term"]),
+        "salt": pa.array(cols["salt"], pa.int32()),
+        "df": pa.array(cols["df"], pa.int64()),
+        "doc_bytes": pa.array(cols["doc_bytes"], pa.binary()),
+        "tf_bytes": pa.array(cols["tf_bytes"], pa.binary()),
+        "block_first": pa.array(cols["block_first"], pa.list_(pa.int64())),
+        "block_last": pa.array(cols["block_last"], pa.list_(pa.int64())),
+        "block_doc_off": pa.array(cols["block_doc_off"],
+                                  pa.list_(pa.int32())),
+        "block_tf_off": pa.array(cols["block_tf_off"], pa.list_(pa.int32())),
+        "block_max_tf": pa.array(cols["block_max_tf"], pa.list_(pa.int64())),
+        "block_min_dl": pa.array(cols["block_min_dl"], pa.list_(pa.int32())),
+        "pos_bytes": pa.array(cols["pos_bytes"], pa.binary()),
+        "block_pos_off": pa.array(cols["block_pos_off"],
+                                  pa.list_(pa.int32()))})
+    import numpy as np
+    terms = t["term"].to_numpy(zero_copy_only=False)
+    chg = np.zeros(t.num_rows, bool)
+    chg[0] = True
+    chg[1:] = terms[1:] != terms[:-1]
+    starts = np.flatnonzero(chg)
+    ends = np.r_[starts[1:], t.num_rows]
+    return t, starts, ends
+
+
+@pytest.mark.parametrize("with_ts", [False, True])
+@pytest.mark.parametrize("overlap", [False, True])
+def test_merge_groups_batched_equals_per_group(with_ts, overlap):
+    """The vectorized multi-group merge is byte-identical, column for
+    column, to merge_segment_rows per group — with and without a
+    tombstone purge, with disjoint (pre-sorted fast path) and
+    interleaved (posting-sort path) member ranges, small chunk size to
+    exercise the chunking wrapper."""
+    import numpy as np
+    import pyarrow as pa
+    rng = np.random.RandomState(42 + with_ts + 2 * overlap)
+    t, starts, ends = _synthetic_groups(rng, overlap=overlap)
+    ts = None
+    if with_ts:
+        # tombstone ~3% of all doc ids, incl. EVERY id of group 3
+        import pyarrow.compute as pc
+        all_ids = []
+        for i in range(t.num_rows):
+            enc = build._enc_from_row(t.to_pylist()[i])
+            all_ids.append(build.decode_postings(enc)[0])
+        flat = np.unique(np.concatenate(all_ids))
+        ts = np.unique(np.concatenate(
+            [flat[::33],
+             np.concatenate([a for i, a in enumerate(all_ids)
+                             if t["term"][i].as_py() == "t00003"])]))
+    mi = np.arange(len(starts))
+    ref = [build.merge_segment_rows(t.slice(starts[i], ends[i] - starts[i]),
+                                    ts) for i in mi]
+    ref = pa.concat_tables([r for r in ref if r.num_rows],
+                           promote_options="default")
+    out = build.merge_groups_batched(t, starts, ends, mi, ts,
+                                     chunk_bytes=1 << 12)
+    assert out.num_rows == ref.num_rows
+    for col in ref.column_names:
+        assert out[col].combine_chunks().equals(
+            ref[col].combine_chunks()), col
+
+
+def test_merge_groups_batched_rejects_duplicate_ids():
+    import numpy as np
+    ids = np.array([5, 9, 12], np.int64)
+    tf = np.ones(3, np.int64)
+    dl = np.full(3, 7, np.int64)
+    e = build.encode_postings(ids, tf, dl)
+    import pyarrow as pa
+    row = {
+        "sid": pa.array([0, 0], pa.int32()),
+        "term": pa.array(["x", "x"]),
+        "salt": pa.array([0, 0], pa.int32()),
+        "df": pa.array([3, 3], pa.int64()),
+        "doc_bytes": pa.array([e.doc_bytes] * 2, pa.binary()),
+        "tf_bytes": pa.array([e.tf_bytes] * 2, pa.binary()),
+        "block_first": pa.array([e.block_first.tolist()] * 2,
+                                pa.list_(pa.int64())),
+        "block_last": pa.array([e.block_last.tolist()] * 2,
+                               pa.list_(pa.int64())),
+        "block_doc_off": pa.array([e.block_doc_off.tolist()] * 2,
+                                  pa.list_(pa.int32())),
+        "block_tf_off": pa.array([e.block_tf_off.tolist()] * 2,
+                                 pa.list_(pa.int32())),
+        "block_max_tf": pa.array([e.block_max_tf.tolist()] * 2,
+                                 pa.list_(pa.int64())),
+        "block_min_dl": pa.array([e.block_min_dl.tolist()] * 2,
+                                 pa.list_(pa.int32())),
+        "pos_bytes": pa.array([b"", b""], pa.binary()),
+        "block_pos_off": pa.array([[0], [0]], pa.list_(pa.int32()))}
+    t = pa.table(row)
+    starts = np.array([0])
+    ends = np.array([2])
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        build.merge_groups_batched(t, starts, ends, np.array([0]), None)
