@@ -1353,6 +1353,7 @@ def _merge_range(files: dict[str, tuple[int, list[tuple[int, int, int]]]],
             if t.num_rows:
                 rows_read += t.num_rows
                 by_gid.setdefault(gid, []).append(t)
+    t_read = time.time()
     for gid, parts in by_gid.items():
         t = pa.concat_tables(parts, promote_options="default")
         if t.num_rows == 0:
@@ -1467,6 +1468,7 @@ def _merge_range(files: dict[str, tuple[int, list[tuple[int, int, int]]]],
         with open(f"/tmp/graft_merge_debug_{os.getpid()}_{ridx}.json",
                   "w") as fh:
             json.dump({"ridx": ridx, "secs": round(time.time() - t_start, 3),
+                       "read_s": round(t_read - t_start, 3),
                        "rows": rows_read, "nfiles": len(files),
                        "split": sum(1 for _, (g, ps) in files.items()
                                     for p in ps if p[2] != -1)}, fh)
@@ -1750,14 +1752,15 @@ def compact_index(index_dir: str, out_dir: str,
         # re-encoded (and heavy ≈ always hit — huge df intersects any
         # uniform tombstone set), so there the full weight stands.
         _PT_COST = 0.1 if tombstones is None else 1.0
-        # per-ROW fixed cost, in byte-equivalents: a purge calls
-        # merge_segment_rows once per (term, salt) group — measured
-        # ~2.5 ms/row at x4096 vs ~8e-8 s/byte of payload work, i.e.
-        # one row ≈ 30 KB of bytes.  Byte-only weighting left 7 s
-        # row-bound stragglers over a 3 s p50; row-only weighting left
-        # 11 s byte-bound ones — both terms are load-bearing.  Plain
-        # compaction passes rows through (~0.1 ms/row).
-        _ROW_COST = 30_000 if tombstones is not None else 2_000
+        # per-ROW fixed cost, in byte-equivalents.  The 30 KB/row purge
+        # weight was measured on the per-group merge (~2.5 ms/row); the
+        # vectorized multi-group merge cut that to ~1.6 ms/row AND made
+        # byte-heavy head-term ranges the mispredicted-slow ones, so a
+        # LOW row weight now balances best: x4096 1%-purge sweep at 32
+        # CPUs — 30 K: max task 4.6 s over a 0.44 s p50 (wall 10.1 s);
+        # 1-3 K: max 2.0-2.4 s, wall 8.0-8.7 s.  Observable via
+        # GRAFT_MERGE_ROW_COST.
+        _ROW_COST = int(os.environ.get("GRAFT_MERGE_ROW_COST", 2_000))
         heavy = [r for r in rg_meta
                  if r[5] > step or r[5] > heavy_passthrough_bytes]
 
