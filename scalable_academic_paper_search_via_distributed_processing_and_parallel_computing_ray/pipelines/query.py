@@ -46,7 +46,18 @@ from ..state import checkpoint as ckpt
 from ..state import fsio
 from ..state.termdict import TermDict
 
-_UB_MARGIN = 1.0 + 1e-5  # float32 block-max bounds -> widen before pruning
+# Block upper bounds carry NO safety margin: the bound and the score are
+# the SAME float64 expression (bm25.tf_norm_vec; idf multiply) evaluated
+# at (block_max_tf, block_min_dl) vs (tf, dl) — integer inputs, so a
+# differing input differs by >= 1 and moves the real value by >= ~1e-10
+# relative, 5 orders above the <= ~1e-15 accumulated rounding of the 5
+# flops involved; equal inputs give bit-identical outputs.  Cross-term
+# sums accumulate in the same cursor order on both sides and float
+# addition is monotone with non-negative terms, so ub >= score holds
+# exactly in float64.  This matters for pruning under score TIES
+# (replicated corpora, boilerplate pages): any positive margin makes a
+# tied block's ub exceed theta and forces its decode — a 1e-5 margin
+# cost 12x on dense queries over the x256 bench corpus.
 _I64MAX = np.iinfo(np.int64).max
 
 # persistent per-shard fan-out pool for fetch_docs: creating a
@@ -209,7 +220,8 @@ class TopkResult:
 class _BlockCursor:
     """Block-granular view over one (term, salt) shard."""
 
-    __slots__ = ("enc", "term_i", "idf", "ub", "bi", "nb", "_ids", "_tfs")
+    __slots__ = ("enc", "term_i", "idf", "ub", "rest", "bi", "nb",
+                 "_ids", "_tfs")
 
     def __init__(self, enc: EncodedPostings, term_i: int, idf: float,
                  avg_dl: float):
@@ -222,7 +234,11 @@ class _BlockCursor:
         # block under the CURRENT global avg_dl (extend-safe — codec.py)
         bound = bm25.tf_norm_vec(enc.block_max_tf.astype(np.float64),
                                  enc.block_min_dl.astype(np.float64), avg_dl)
-        self.ub = (idf * bound) * _UB_MARGIN
+        self.ub = idf * bound
+        # suffix max of block ubs: rest_ub() bounds every posting this
+        # cursor can still produce, enabling whole-query early termination
+        self.rest = np.maximum.accumulate(self.ub[::-1])[::-1] \
+            if self.ub.size else self.ub
         self.bi = 0
         self.nb = enc.block_first.size
         self._ids = self._tfs = None
@@ -239,6 +255,10 @@ class _BlockCursor:
 
     def block_ub(self) -> float:
         return float(self.ub[self.bi])
+
+    def rest_ub(self) -> float:
+        """Upper bound over ALL remaining blocks (suffix max)."""
+        return float(self.rest[self.bi])
 
     def decoded(self) -> tuple[np.ndarray, np.ndarray]:
         if self._ids is None:
@@ -861,9 +881,25 @@ class IndexReader:
             live = [c for c in cursors if c.live]
             if not live:
                 break
+            theta = topk.theta
+            # global early termination: sum over terms of the best score
+            # any REMAINING block can yield (suffix-max ubs).  Once the
+            # heap holds k docs at >= that bound, no later doc can beat
+            # theta (later docs also lose exact ties — traversal is
+            # doc-ordered and ties break doc_id-asc), so stop traversing
+            # instead of advancing window-by-window through prunable
+            # blocks.  Saturates fast on tie-heavy corpora.
+            per_term_rest: dict[int, float] = {}
+            for c in live:
+                r = c.rest_ub()
+                if r > per_term_rest.get(c.term_i, 0.0):
+                    per_term_rest[c.term_i] = r
+            if mode == "and" and len(per_term_rest) < n_terms:
+                break  # a required term is exhausted: no doc can qualify
+            if sum(per_term_rest.values()) <= theta:
+                break
             w_hi = min(c.block_last() for c in live)
             contrib = [c for c in live if c.block_first() <= w_hi]
-            theta = topk.theta
             if mode == "and":
                 # a doc needs every term; per term it sits in <=1 shard
                 per_term_ub: dict[int, float] = {}

@@ -78,3 +78,34 @@ def test_empty_postings():
                                 np.zeros(0))
     ids, tfs = codec.decode_postings(enc)
     assert enc.df == 0 and ids.size == 0 and tfs.size == 0
+
+
+def test_block_ub_dominates_scores_without_margin():
+    """The WAND block bound idf*tf_norm(max_tf, min_dl) must be >= every
+    posting's idf*tf_norm(tf, dl) EXACTLY in float64 — query.py prunes
+    with no safety margin (ties must compare equal, not above), relying
+    on (a) identical formula + dtype on both sides, (b) integer tf/dl
+    inputs whose real-valued gaps dwarf rounding.  Adversarial sweep:
+    huge tf/dl magnitudes, near-equal pairs, extreme avg_dl."""
+    rng = np.random.RandomState(42)
+    for trial in range(200):
+        n = rng.randint(1, 129)
+        scale = 10 ** rng.randint(0, 7)
+        dls = rng.randint(1, 2 * scale, size=n).astype(np.int64)
+        tfs = np.minimum(rng.randint(1, 2 * scale, size=n), dls).astype(
+            np.int64)
+        avg_dl = float(rng.randint(1, 2 * scale)) + rng.rand()
+        idf_t = bm25.idf(int(2 * scale) + 1, rng.randint(1, 2 * scale))
+        scores = bm25.score_vec(idf_t, tfs, dls, avg_dl)
+        ub = idf_t * bm25.tf_norm_vec(
+            np.array([tfs.max()], dtype=np.float64),
+            np.array([dls.min()], dtype=np.float64), avg_dl)[0]
+        assert ub >= scores.max(), (trial, ub, scores.max())
+        # the tie case must be EXACT equality (a margin would break
+        # tie pruning): all postings identical -> ub == score bitwise
+        one_tf = np.full(n, tfs[0]); one_dl = np.full(n, dls[0])
+        s_tie = bm25.score_vec(idf_t, one_tf, one_dl, avg_dl)
+        ub_tie = idf_t * bm25.tf_norm_vec(
+            one_tf[:1].astype(np.float64),
+            one_dl[:1].astype(np.float64), avg_dl)[0]
+        assert ub_tie == s_tie.max()
