@@ -342,6 +342,14 @@ class IndexReader:
         self.index_dir = index_dir
         self._cache_budget = int(cache_postings_budget)
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        # per-term FINAL scores (idf * tf_norm, float64) for the
+        # exhaustive scorer — valid for this reader's lifetime (idf, df,
+        # avg_dl are fixed per manifest; deletes mask candidates without
+        # changing survivor scores).  Value is (dense?, arr): head terms
+        # store the dense per-doc vector, rare terms the per-posting
+        # scores.  Populated lazily, evicted with the owning _decoded
+        # entry.
+        self._tscores: dict[str, tuple[bool, np.ndarray]] = {}
         self._sorted_vocab: list[str] | None = None  # lazy, for prefix expansion
         self._cached_postings = 0
         self.manifest = ckpt.read_json(os.path.join(index_dir, "manifest.json"))
@@ -546,6 +554,7 @@ class IndexReader:
                    self._cached_postings + ids.size > self._cache_budget):
                 oldest = next(iter(self._decoded))
                 self._cached_postings -= self._decoded.pop(oldest)[0].size
+                self._tscores.pop(oldest, None)
             if ids.size <= self._cache_budget:
                 self._decoded[t] = (ids, tfs, idx)
                 self._cached_postings += ids.size
@@ -744,14 +753,30 @@ class IndexReader:
         agg = np.zeros(n_local)
         hits = np.zeros(n_local, dtype=np.int16) if mode == "and" else None
         for t in terms:
-            idf_t = self.idf(t)
             # one decode + lookup per TERM, not per (salt, shard) row — head
             # terms fan out to num_salts * num_shards rows and the per-row
             # numpy fixed cost dominated dense-query latency
             ids, tfs, idx = self._term_postings(t)
-            dls = self._doc_lens[idx]
-            s = bm25.score_vec(idf_t, tfs, dls, self.avg_dl)
-            agg += np.bincount(idx, weights=s, minlength=n_local)
+            hit = self._tscores.get(t)
+            if hit is None:
+                dls = self._doc_lens[idx]
+                s = bm25.score_vec(self.idf(t), tfs, dls, self.avg_dl)
+                # head terms (df >= n/8) cache the DENSE per-doc score
+                # vector: the per-query bincount scatter (~5x a vector
+                # add) collapses to one add, and the dense form is no
+                # bigger than the sparse scores it replaces at that df.
+                # Values are the bincount output either way — bitwise
+                # identical results.
+                dense = idx.size >= max(1, n_local // 8)
+                d = np.bincount(idx, weights=s, minlength=n_local) \
+                    if dense else s
+                if t in self._decoded:  # cache only what the LRU retained
+                    self._tscores[t] = (dense, d)
+                hit = (dense, d)
+            if hit[0]:
+                agg += hit[1]
+            else:
+                agg += np.bincount(idx, weights=hit[1], minlength=n_local)
             if hits is not None:
                 hits[idx] += np.int16(1)
         if hits is not None:
