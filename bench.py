@@ -439,6 +439,93 @@ def run_scaling_compact() -> dict:
     return out
 
 
+def serve_only(idx_dir: str) -> dict:
+    """Inner process of ``--scaling-serve``: fresh Ray session at
+    NUM_CPUS, one shard-subset query actor per CPU, warm the actor
+    caches, then measure serving throughput with 2x CPUs concurrent
+    clients over the dense query set (actor-side scoring dominates;
+    the driver-side merge is O(actors * k))."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from concurrent.futures import ThreadPoolExecutor
+
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines.serve_front import (
+        ServeState,
+    )
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.sources import (
+        pages,
+    )
+    state = ServeState(idx_dir, num_actors=NUM_CPUS)
+    searcher = state.searcher
+    dense = [q for q in pages.QUERY_SET
+             if q["query_id"] in (0, 1, 2, 6, 7)]
+    for _ in range(2):  # warm: index load + postings/score caches
+        for q in dense:
+            searcher.search(q["query_text"], q["k"], q["mode"])
+    n_req = 960  # fixed TOTAL work at both levels
+    qs = [dense[i % len(dense)] for i in range(n_req)]
+    # bulk throughput: ONE batched call per actor for the whole list —
+    # measures the scoring TIER.  (Interactive per-request scatter-gather
+    # through this single router process is bounded by the router's
+    # Python loop, which a deployment replicates horizontally; measured
+    # alongside for transparency.)
+    t0 = time.time()
+    searcher.search_many(qs)
+    bulk_dt = time.time() - t0
+    with ThreadPoolExecutor(2 * NUM_CPUS) as ex:
+        t0 = time.time()
+        list(ex.map(lambda q: searcher.search(
+            q["query_text"], q["k"], q["mode"]), qs[:160]))
+        inter_dt = time.time() - t0
+    state.shutdown()
+    ray.shutdown()
+    return {"num_cpus": NUM_CPUS, "num_actors": NUM_CPUS,
+            "requests": n_req, "secs": round(bulk_dt, 3),
+            "qps": round(n_req / bulk_dt, 1),
+            "interactive_qps": round(160 / inter_dt, 1)}
+
+
+def run_scaling_serve() -> dict:
+    """Query-tier scaling pair: ONE 32-shard index over the x256 corpus
+    (1.28M docs), served at num_cpus=8 (8 actors x 4 shards) and
+    num_cpus=32 (32 actors x 1 shard) in fresh processes — same total
+    per-request work at both levels, so the throughput ratio measures
+    the actor pool's scale-out."""
+    env = dict(os.environ, RAY_GRAFT_CPUS="32",
+               GRAFT_BENCH_HEADLINE_ONLY="1", GRAFT_BENCH_REPS="1",
+               GRAFT_BENCH_SHARDS="32",
+               GRAFT_BENCH_REPLICATE=os.environ.get(
+                   "GRAFT_BENCH_REPLICATE", "256"))
+    env.pop("GRAFT_BENCH_COMPACT", None)
+    subprocess.run([sys.executable, os.path.abspath(__file__)],
+                   env=env, capture_output=True, text=True, check=True)
+    idx = "/dev/shm/graft_bench_idx_32"
+    out = {"metric": "serve throughput, same 32-shard index at "
+                     "num_cpus=8 vs 32",
+           "replicate": int(env["GRAFT_BENCH_REPLICATE"])}
+    for n in (8, 32):
+        best = None
+        for _ in range(2):
+            env_s = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--serve-only", idx],
+                env=env_s, capture_output=True, text=True, check=True)
+            r = json.loads(p.stdout.strip().splitlines()[-1])
+            if best is None or r["qps"] > best["qps"]:
+                best = r
+        out[f"serve_qps_{n}"] = best["qps"]
+        out[f"serve_secs_{n}"] = best["secs"]
+        out[f"serve_interactive_qps_{n}"] = best["interactive_qps"]
+    out["serve_scaling_efficiency"] = round(
+        (out["serve_qps_32"] / out["serve_qps_8"]) / (32 / 8), 3)
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -447,5 +534,10 @@ if __name__ == "__main__":
     elif "--compact-only" in sys.argv:
         print(json.dumps(compact_only(
             sys.argv[sys.argv.index("--compact-only") + 1])))
+    elif "--scaling-serve" in sys.argv:
+        print(json.dumps(run_scaling_serve()))
+    elif "--serve-only" in sys.argv:
+        print(json.dumps(serve_only(
+            sys.argv[sys.argv.index("--serve-only") + 1])))
     else:
         print(json.dumps(run_bench()))

@@ -83,6 +83,14 @@ class QueryShardActor:
                                       exclude=exclude, after=after)
         return [(h.doc_id, h.score) for h in hits]
 
+    def search_many(self, queries: list[dict],
+                    method: str = "auto") -> list[list[tuple[int, float]]]:
+        """Shard-local bulk search (one remote call for the whole list;
+        see DistributedSearcher.search_many)."""
+        return [self.search(q["query_text"], int(q.get("k", 10)),
+                            q.get("mode", "or"), method)
+                for q in queries]
+
     def phrase(self, query_text: str, k: int,
                slop: int = 0) -> list[tuple[int, float]]:
         """Shard-local phrase top-k (exact when slop=0, proximity window
@@ -166,6 +174,28 @@ class DistributedSearcher:
             merged.extend(part)
         merged.sort(key=lambda ds: (-ds[1], ds[0]))
         return [TopkResult(d, s) for d, s in merged[:k]]
+
+    def search_many(self, queries: list[dict],
+                    method: str = "auto") -> list[list[TopkResult]]:
+        """Bulk search: ONE batched remote call per actor for the whole
+        query list (query replay, eval runs, offline scoring).  The
+        interactive :meth:`search` pays one scatter-gather per request —
+        its throughput through a single router process is bounded by
+        that process, not by the actor pool; batching amortizes the
+        round-trip to one per actor so bulk throughput scales with the
+        scoring tier.  Each query dict: ``{"query_text", "k", "mode"}``.
+        Results are rank-identical to per-query :meth:`search`."""
+        futs = [a.search_many.remote(queries, method) for a in self.actors]
+        parts = ray.get(futs)  # [actor][query] -> [(doc, score)]
+        out: list[list[TopkResult]] = []
+        for qi, q in enumerate(queries):
+            merged: list[tuple[int, float]] = []
+            for part in parts:
+                merged.extend(part[qi])
+            merged.sort(key=lambda ds: (-ds[1], ds[0]))
+            out.append([TopkResult(d, s)
+                        for d, s in merged[: int(q.get("k", 10))]])
+        return out
 
     def explain(self, query_text: str, doc_id: int) -> dict | None:
         """Ask every shard actor (shards partition docs: at most one

@@ -89,6 +89,30 @@ def test_distributed_searcher_matches_local(ray_session, index_dir):
         dist.shutdown()
 
 
+def test_search_many_matches_per_query(ray_session, index_dir):
+    """Bulk search (one batched call per actor) must be rank-identical
+    to per-query search — same merge, amortized round-trips."""
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines import (
+        serve,
+    )
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.sources.pages import (
+        QUERY_SET,
+    )
+    dist = serve.DistributedSearcher(index_dir, num_actors=2)
+    try:
+        qs = [{"query_text": q["query_text"], "k": q["k"],
+               "mode": q["mode"]} for q in QUERY_SET]
+        bulk = dist.search_many(qs)
+        assert len(bulk) == len(qs)
+        for q, got in zip(QUERY_SET, bulk):
+            want = dist.search(q["query_text"], q["k"], q["mode"])
+            assert [(r.doc_id, round(r.score, 6)) for r in got] == \
+                   [(r.doc_id, round(r.score, 6)) for r in want], \
+                q["query_id"]
+    finally:
+        dist.shutdown()
+
+
 def test_distributed_filtered_search(ray_session, index_dir):
     """register_filter broadcasts once; filtered distributed top-k equals
     the single-reader filtered top-k; unregistered filter ids fail loud."""
