@@ -138,6 +138,19 @@ class ServeState:
             resp["next_cursor"] = [hits[-1].score, hits[-1].doc_id]
         return resp
 
+    def _op_search_many(self, req: dict) -> dict:
+        """Bulk query replay: ``{"queries": [{"query", "k"?, "mode"?},
+        ...]}`` -> per-query result lists via ONE batched remote call
+        per shard actor (DistributedSearcher.search_many)."""
+        qs = [{"query_text": q.get("query") or q.get("query_text")
+               or q.get("q"),
+               "k": int(q.get("k", 10)),
+               "mode": q.get("mode", "or")} for q in req["queries"]]
+        bulk = self.searcher.search_many(qs, req.get("method", "auto"))
+        return {"results": [
+            [{"rank": i, "doc_id": h.doc_id, "score": round(h.score, 6)}
+             for i, h in enumerate(hits, 1)] for hits in bulk]}
+
     def _op_explain(self, req: dict) -> dict:
         return {"explain": self.searcher.explain(req["query"],
                                                  int(req["doc_id"]))}
@@ -214,6 +227,9 @@ def _route(method: str, path: str, qs: dict, body: dict) -> tuple[dict, int]:
             req.setdefault("k", req.pop("top_k"))
         req["op"] = "search"
         return req, 200
+    if method == "POST" and path == "/search_many":
+        return {"op": "search_many", "queries": body["queries"],
+                "method": body.get("method", "auto")}, 200
     if method == "GET" and len(parts) == 2 and parts[0] == "paper":
         return {"op": "fetch", "doc_id": int(parts[1])}, 200
     if method == "GET" and path.startswith("/explain"):

@@ -80,6 +80,19 @@ def test_post_search_matches_reader(http_base, index_dir):
     assert code == 200 and obj3["results"] == obj["results"]
 
 
+def test_search_many_matches_search(http_base):
+    """POST /search_many: bulk replay answers rank-identical to N
+    individual /search requests."""
+    queries = [{"query": "spark data join", "k": 5},
+               {"query": "vector hash", "k": 3, "mode": "and"},
+               {"query": "café", "k": 4}]
+    code, bulk = _send(http_base, "/search_many", {"queries": queries})
+    assert code == 200 and len(bulk["results"]) == len(queries)
+    for q, got in zip(queries, bulk["results"]):
+        code, one = _send(http_base, "/search", q)
+        assert code == 200 and got == one["results"]
+
+
 def test_search_after_pagination(http_base):
     code, page1 = _send(http_base, "/search", {"query": "data", "k": 3})
     assert code == 200 and len(page1["results"]) == 3
