@@ -43,7 +43,8 @@ class ServeState:
     bad request."""
 
     def __init__(self, index_dir: str, num_actors: int = 2,
-                 lazy: bool = False, analytics_dir: str | None = None):
+                 lazy: bool = False, analytics_dir: str | None = None,
+                 batch_window_ms: float = 0.0):
         import ray
 
         from .serve import DistributedSearcher
@@ -51,7 +52,8 @@ class ServeState:
         self.index_dir = index_dir
         self.searcher = DistributedSearcher(index_dir,
                                             num_actors=num_actors,
-                                            lazy=lazy)
+                                            lazy=lazy,
+                                            batch_window_ms=batch_window_ms)
         self.enrich_actor = None
         if analytics_dir:
             from .enrich import EnrichServer
@@ -105,13 +107,21 @@ class ServeState:
             after = req.get("after")
             if after is not None:
                 after = (float(after[0]), int(after[1]))
-            hits = self.searcher.search(req["query"],
-                                        int(req.get("k", 10)),
-                                        req.get("mode", "or"),
-                                        req.get("method", "auto"),
-                                        req.get("filter_id"),
-                                        req.get("exclude"),
-                                        after)
+            if (after is None and req.get("filter_id") is None
+                    and req.get("exclude") is None):
+                # plain searches ride the micro-batching gate (a no-op
+                # unless the server was started with --batch-window-ms)
+                hits = self.searcher.search_batched(
+                    req["query"], int(req.get("k", 10)),
+                    req.get("mode", "or"), req.get("method", "auto"))
+            else:
+                hits = self.searcher.search(req["query"],
+                                            int(req.get("k", 10)),
+                                            req.get("mode", "or"),
+                                            req.get("method", "auto"),
+                                            req.get("filter_id"),
+                                            req.get("exclude"),
+                                            after)
         rows = [{"rank": i, "doc_id": h.doc_id, "score": round(h.score, 6)}
                 for i, h in enumerate(hits, 1)]
         if req.get("snippets"):

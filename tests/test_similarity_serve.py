@@ -113,6 +113,39 @@ def test_search_many_matches_per_query(ray_session, index_dir):
         dist.shutdown()
 
 
+def test_search_batched_concurrent_parity(ray_session, index_dir):
+    """Micro-batched interactive search under real thread concurrency:
+    every request's result must equal plain search (leader/follower
+    batching is an optimization, never a semantics change)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines import (
+        serve,
+    )
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.sources.pages import (
+        QUERY_SET,
+    )
+    dist = serve.DistributedSearcher(index_dir, num_actors=2,
+                                     batch_window_ms=5.0)
+    try:
+        want = {q["query_id"]: [(r.doc_id, round(r.score, 6)) for r in
+                                dist.search(q["query_text"], q["k"],
+                                            q["mode"])]
+                for q in QUERY_SET}
+        reqs = [q for _ in range(6) for q in QUERY_SET]
+
+        def one(q):
+            hits = dist.search_batched(q["query_text"], q["k"], q["mode"])
+            return q["query_id"], [(r.doc_id, round(r.score, 6))
+                                   for r in hits]
+
+        with ThreadPoolExecutor(12) as ex:
+            for qid, got in ex.map(one, reqs):
+                assert got == want[qid], qid
+    finally:
+        dist.shutdown()
+
+
 def test_distributed_filtered_search(ray_session, index_dir):
     """register_filter broadcasts once; filtered distributed top-k equals
     the single-reader filtered top-k; unregistered filter ids fail loud."""
