@@ -459,7 +459,7 @@ def serve_only(idx_dir: str) -> dict:
     from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.sources import (
         pages,
     )
-    state = ServeState(idx_dir, num_actors=NUM_CPUS)
+    state = ServeState(idx_dir, num_actors=NUM_CPUS, batch_window_ms=2.0)
     searcher = state.searcher
     dense = [q for q in pages.QUERY_SET
              if q["query_id"] in (0, 1, 2, 6, 7)]
@@ -481,10 +481,11 @@ def serve_only(idx_dir: str) -> dict:
         list(ex.map(lambda q: searcher.search(
             q["query_text"], q["k"], q["mode"]), qs[:160]))
         inter_dt = time.time() - t0
-    # interactive with request micro-batching (2 ms window): concurrent
-    # requests share one scatter, so the router's O(actors) per-request
-    # cost amortizes — the deployable fix for the fan-out degradation
-    searcher._bw = 0.002
+    # interactive with request micro-batching (the 2 ms window set at
+    # construction): concurrent requests share one scatter, so the
+    # router's O(actors) per-request cost amortizes — the deployable
+    # fix for the fan-out degradation.  (Plain .search above ignores
+    # the window, so the unbatched measurement is unaffected.)
     with ThreadPoolExecutor(2 * NUM_CPUS) as ex:
         list(ex.map(lambda q: searcher.search_batched(
             q["query_text"], q["k"], q["mode"]), qs[:64]))  # warm gate
@@ -511,7 +512,7 @@ def run_scaling_serve() -> dict:
                GRAFT_BENCH_HEADLINE_ONLY="1", GRAFT_BENCH_REPS="1",
                GRAFT_BENCH_SHARDS="32",
                GRAFT_BENCH_REPLICATE=os.environ.get(
-                   "GRAFT_BENCH_REPLICATE", "256"))
+                   "GRAFT_BENCH_REPLICATE", "1024"))
     env.pop("GRAFT_BENCH_COMPACT", None)
     subprocess.run([sys.executable, os.path.abspath(__file__)],
                    env=env, capture_output=True, text=True, check=True)

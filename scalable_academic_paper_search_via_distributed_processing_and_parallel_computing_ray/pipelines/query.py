@@ -554,7 +554,9 @@ class IndexReader:
                    self._cached_postings + ids.size > self._cache_budget):
                 oldest = next(iter(self._decoded))
                 self._cached_postings -= self._decoded.pop(oldest)[0].size
-                self._tscores.pop(oldest, None)
+                ts = self._tscores.pop(oldest, None)
+                if ts is not None:
+                    self._cached_postings -= ts[1].size
             if ids.size <= self._cache_budget:
                 self._decoded[t] = (ids, tfs, idx)
                 self._cached_postings += ids.size
@@ -763,8 +765,10 @@ class IndexReader:
                 s = bm25.score_vec(self.idf(t), tfs, dls, self.avg_dl)
                 # head terms (df >= n/8) cache the DENSE per-doc score
                 # vector: the per-query bincount scatter (~5x a vector
-                # add) collapses to one add, and the dense form is no
-                # bigger than the sparse scores it replaces at that df.
+                # add) collapses to one add.  At the df = n/8 boundary
+                # the dense form is up to 8x the sparse scores, so its
+                # TRUE element count is charged to the postings budget
+                # (eviction below stays in lockstep with _decoded).
                 # Values are the bincount output either way — bitwise
                 # identical results.
                 dense = idx.size >= max(1, n_local // 8)
@@ -772,6 +776,7 @@ class IndexReader:
                     if dense else s
                 if t in self._decoded:  # cache only what the LRU retained
                     self._tscores[t] = (dense, d)
+                    self._cached_postings += d.size
                 hit = (dense, d)
             if hit[0]:
                 agg += hit[1]

@@ -221,21 +221,30 @@ class DistributedSearcher:
         with self._block:
             batch, self._pending = self._pending, []
             self._leader = False
-        try:
-            by_m: dict[str, list[dict]] = {}
-            for s in batch:
-                by_m.setdefault(s["method"], []).append(s)
-            for m, group in by_m.items():
+        by_m: dict[str, list[dict]] = {}
+        for s in batch:
+            by_m.setdefault(s["method"], []).append(s)
+        for m, group in by_m.items():
+            try:
                 res = self.search_many([s["q"] for s in group], m)
                 for s, r in zip(group, res):
                     s["res"] = r
-        except BaseException as e:  # release followers, then re-raise
-            for s in batch:
-                s["err"] = e
-                s["ev"].set()
-            raise
+            except BaseException:
+                # per-request error isolation: one bad query (or a
+                # failed batched call) must not error its window-mates —
+                # retry each request individually and stamp its own
+                # outcome (the slow path only ever runs on failure)
+                for s in group:
+                    try:
+                        s["res"] = self.search(
+                            s["q"]["query_text"], s["q"]["k"],
+                            s["q"]["mode"], m)
+                    except BaseException as e1:
+                        s["err"] = e1
         for s in batch:
             s["ev"].set()
+        if slot["err"] is not None:
+            raise slot["err"]
         return slot["res"]
 
     def search_many(self, queries: list[dict],

@@ -152,8 +152,15 @@ class ServeState:
         """Bulk query replay: ``{"queries": [{"query", "k"?, "mode"?},
         ...]}`` -> per-query result lists via ONE batched remote call
         per shard actor (DistributedSearcher.search_many)."""
-        qs = [{"query_text": q.get("query") or q.get("query_text")
-               or q.get("q"),
+        def _qt(q: dict) -> str:
+            # None-coalescing, NOT truthiness: an empty-string query is
+            # valid and must return [] exactly like /search does
+            for key in ("query", "query_text", "q"):
+                if q.get(key) is not None:
+                    return q[key]
+            raise KeyError("query")
+
+        qs = [{"query_text": _qt(q),
                "k": int(q.get("k", 10)),
                "mode": q.get("mode", "or")} for q in req["queries"]]
         bulk = self.searcher.search_many(qs, req.get("method", "auto"))

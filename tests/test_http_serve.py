@@ -85,6 +85,7 @@ def test_search_many_matches_search(http_base):
     individual /search requests."""
     queries = [{"query": "spark data join", "k": 5},
                {"query": "vector hash", "k": 3, "mode": "and"},
+               {"query": ""},  # empty query: [] per slot, never an error
                {"query": "café", "k": 4}]
     code, bulk = _send(http_base, "/search_many", {"queries": queries})
     assert code == 200 and len(bulk["results"]) == len(queries)
