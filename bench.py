@@ -503,8 +503,9 @@ def serve_only(idx_dir: str) -> dict:
 
 
 def run_scaling_serve() -> dict:
-    """Query-tier scaling pair: ONE 32-shard index over the x256 corpus
-    (1.28M docs), served at num_cpus=8 (8 actors x 4 shards) and
+    """Query-tier scaling pair: ONE 32-shard index over the x1024 corpus
+    (5.1M docs; GRAFT_BENCH_REPLICATE overrides), served at
+    num_cpus=8 (8 actors x 4 shards) and
     num_cpus=32 (32 actors x 1 shard) in fresh processes — same total
     per-request work at both levels, so the throughput ratio measures
     the actor pool's scale-out."""
