@@ -261,6 +261,30 @@ def run_bench() -> dict:
         for dd in (pdir_c, sdir, fdir):
             shutil.rmtree(dd, ignore_errors=True)
 
+    # ---- incremental ingest: build half the corpus, extend with the
+    # other half (sharded doc ids — the ledger assigns collision-free
+    # ids, so the same files extend cleanly).  The capability the
+    # reference lacks entirely (its stages restart from zero); timing
+    # shows extend cost ~ the new data, not the whole index.  Guarded:
+    # an optional metric must not kill the artifact.
+    if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        exdir = f"/dev/shm/graft_bench_idx_ext{NUM_CPUS}"
+        try:
+            files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+            half = len(files) // 2
+            shutil.rmtree(exdir, ignore_errors=True)
+            build.build_index(files[:half], exdir,
+                              build.BuildParams(num_shards=NUM_SHARDS,
+                                                doc_id_mode="sharded"))
+            t1 = time.time()
+            build.extend_index(files[half:], exdir)
+            out["extend_half"] = round(time.time() - t1, 3)
+        except Exception as e:  # noqa: BLE001 — artifact survives
+            out["extend_half_error"] = 1.0
+            print(f"extend bench failed: {e!r}", file=sys.stderr)
+        finally:
+            shutil.rmtree(exdir, ignore_errors=True)
+
     # ---- sample of the other pipelines at the raw sf dir
     names = () if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else (
         "term_df", "dedup_exact", "knn_brute", "join_revenue", "sessionize",

@@ -94,10 +94,18 @@ def read_fragments(files: list[str], columns: list[str],
         return pa.concat_tables(out)
 
     nb = min(len(items), num_blocks) if num_blocks else len(items)
-    # batch_size=None -> one read task per from_items block (nb tasks),
-    # each reading its row groups sequentially
+    per_task = -(-len(items) // max(1, nb))
+    # num_cpus=0.99 keeps the reader an UNFUSED operator: a from_items
+    # block is ONE METADATA ROW, and when the read fuses with the
+    # downstream extract/postings chain, that chain's 2048-row batch
+    # bundles ALL items into a single task (measured: the whole sharded
+    # build collapsed to 1-task waves, 3.5x slower than the auto path;
+    # an explicit batch_size does NOT prevent the fusion, a distinct
+    # resource request does).  Fractionally under 1 so a full-width
+    # read still schedules one task per core.
     return rd.from_items(items, override_num_blocks=max(1, nb)).map_batches(
-        read_one, batch_format="pyarrow", batch_size=None)
+        read_one, batch_format="pyarrow", batch_size=per_task,
+        num_cpus=0.99)
 
 
 # ------------------------------------------------------- file-seq ledger ---
