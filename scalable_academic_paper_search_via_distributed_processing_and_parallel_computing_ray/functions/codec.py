@@ -24,7 +24,13 @@ BLOCK_SIZE = 128  # postings per block
 # and extend_index refuse it with a clear error instead of a deep KeyError.
 # v3 adds the (optional, possibly-empty) positional stream
 # ``pos_bytes`` / ``block_pos_off`` to every segment row.
-FORMAT_VERSION = 3
+# v4 adds per-block impact Pareto frontiers (``imp_tf``/``imp_dl``/``imp_n``
+# — Lucene-impact-style (tf, dl) pairs): the v3 bound paired max_tf with
+# min_dl from DIFFERENT docs, so on tie-heavy corpora nearly every block's
+# bound exceeded theta and WAND could not skip; the frontier makes the
+# block bound the EXACT max per-doc score under ANY current avg_dl
+# (extend-safe for the same reason the raw v2 pair was).
+FORMAT_VERSION = 4
 
 
 # ---------------------------------------------------------------- varint ---
@@ -89,6 +95,90 @@ def varint_decode(buf: bytes | memoryview) -> np.ndarray:
     return np.add.reduceat(shifted, starts)
 
 
+# ------------------------------------------------------- impact frontier ---
+
+def block_impact_frontier(tfs: np.ndarray, dls: np.ndarray,
+                          bstarts: np.ndarray, bsizes: np.ndarray
+                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-block Pareto frontier of ``(tf, doc_len)`` impact pairs
+    (Lucene-style impacts — LUCENE-4198 / the BlockMaxWAND literature).
+
+    BM25's ``tf_norm(tf, dl, avg_dl)`` is increasing in tf and decreasing
+    in dl for every avg_dl > 0, so the per-block max per-DOC score is
+    attained on the staircase of non-dominated pairs: pair p dominates q
+    iff ``tf_p >= tf_q and dl_p <= dl_q`` (one strict).  Storing the whole
+    staircase (instead of a score) keeps the bound EXACT under any future
+    global avg_dl — the extend-safety property the raw (max_tf, min_dl)
+    pair had, without its cross-doc slack.
+
+    ``bstarts``/``bsizes``: block layout over the posting stream (every
+    block non-empty).  Returns ``(imp_tf int64, imp_dl int32, imp_n
+    int32)``: the pairs flattened block-major in tf-DESCENDING (hence dl
+    ascending) order, and the per-block pair count (>= 1).
+
+    Fully vectorized: one lexsort by (block, -tf, dl), then a segmented
+    exclusive running-min of dl (bias trick — later blocks get a strictly
+    larger bias, so ``maximum.accumulate`` cannot leak across blocks; dl
+    fits int32 so the bias cannot overflow int64); a row survives iff its
+    dl is strictly below every higher-tf dl seen in its block.
+    """
+    nb = bstarts.size
+    if nb == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int32),
+                np.zeros(0, np.int32))
+    tfs64 = np.asarray(tfs, dtype=np.int64)
+    dls64 = np.asarray(dls, dtype=np.int64)
+    blk = np.repeat(np.arange(nb, dtype=np.int64), bsizes)
+    order = np.lexsort((dls64, -tfs64, blk))
+    b_s, t_s, d_s = blk[order], tfs64[order], dls64[order]
+    biased = -d_s + b_s * (np.int64(1) << np.int64(32))
+    runmax = np.maximum.accumulate(biased)
+    keep = np.ones(b_s.size, dtype=bool)
+    keep[1:] = (b_s[1:] != b_s[:-1]) | (biased[1:] > runmax[:-1])
+    return (t_s[keep], d_s[keep].astype(np.int32),
+            np.bincount(b_s[keep], minlength=nb).astype(np.int32))
+
+
+def expand_dl_lower_bounds(tfs: np.ndarray, imp_tf: np.ndarray,
+                           imp_dl: np.ndarray, imp_n: np.ndarray,
+                           bsizes: np.ndarray) -> np.ndarray:
+    """Per-posting doc_len LOWER bound recovered from block impact
+    frontiers — the compaction-merge dl surrogate (segments store no
+    per-posting dl).
+
+    For posting ``(tf_i, dl_i)`` in a block, the frontier pair with the
+    smallest ``tf_f >= tf_i`` has ``dl_f <= dl_i``: if instead ``dl_i``
+    were below every such pair's dl, ``(tf_i, dl_i)`` would itself be
+    non-dominated and hence ON the frontier.  So assigning each posting
+    that pair's dl (one global searchsorted over the tf-ascending frontier
+    view) yields valid, per-tf-tight bounds — strictly tighter than the
+    old block-min-dl surrogate — AND re-encoding a single source block
+    with them reproduces the SAME frontier (frontier docs map to
+    themselves; dominated docs map onto frontier dls), which keeps
+    single-row compaction groups byte-identical under re-encode.
+
+    ``tfs``: decoded per-posting tf; ``imp_*``: flat frontier arrays
+    block-major (tf descending within a block); ``bsizes``: postings per
+    block.  Returns int64 dl bounds, one per posting.
+    """
+    if tfs.size == 0:
+        return np.zeros(0, np.int64)
+    off = np.concatenate(([0], np.cumsum(imp_n, dtype=np.int64)))
+    P = int(off[-1])
+    blk_of_pair = np.repeat(np.arange(imp_n.size, dtype=np.int64),
+                            imp_n.astype(np.int64))
+    # reversed-within-block view: tf ascending (frontier stores tf desc)
+    ridx = (off[blk_of_pair] + off[blk_of_pair + 1] - 1
+            - np.arange(P, dtype=np.int64))
+    BIG = np.int64(1) << np.int64(32)  # tf < 2^31 (doc_len is int32)
+    key = blk_of_pair * BIG + np.asarray(imp_tf, np.int64)[ridx]
+    blk_of_post = np.repeat(np.arange(bsizes.size, dtype=np.int64),
+                            np.asarray(bsizes, np.int64))
+    q = blk_of_post * BIG + np.asarray(tfs, np.int64)
+    idx = np.searchsorted(key, q, side="left")
+    return np.asarray(imp_dl, np.int64)[ridx[idx]]
+
+
 # ---------------------------------------------------------- block layout ---
 
 @dataclass
@@ -120,6 +210,13 @@ class EncodedPostings:
     # as the split table.
     pos_bytes: bytes = b""
     block_pos_off: np.ndarray | None = None
+    # v4 impact frontier (block_impact_frontier): per-block Pareto (tf, dl)
+    # pairs, flattened block-major, tf descending within a block; imp_n =
+    # pairs per block.  None only on hand-built legacy test fixtures — the
+    # reader falls back to the (max_tf, min_dl) cross-doc bound then.
+    imp_tf: np.ndarray | None = None     # int64 flat
+    imp_dl: np.ndarray | None = None     # int32 flat
+    imp_n: np.ndarray | None = None      # int32 per block
 
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
@@ -140,7 +237,7 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
     if n == 0:
         z32, z64 = np.zeros(0, np.int32), np.zeros(0, np.int64)
         return EncodedPostings(0, b"", b"", z64, z32, z32, z64, z32, z64,
-                               b"", z32)
+                               b"", z32, z64, z32, z32)
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     starts = np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
     ends = np.minimum(starts + BLOCK_SIZE, n)
@@ -168,6 +265,8 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
         pos_bytes, pos_len = varint_encode_with_lengths(pdel)
         pos_cum = np.concatenate(([0], np.cumsum(pos_len)))
         pos_off = pos_cum[pstarts[starts]].astype(np.int32)
+    imp_tf, imp_dl, imp_n = block_impact_frontier(
+        tfs, dls, starts, ends - starts)
     return EncodedPostings(
         df=n,
         doc_bytes=doc_bytes,
@@ -182,6 +281,9 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
         block_last=doc_ids[ends - 1],
         pos_bytes=pos_bytes,
         block_pos_off=pos_off,
+        imp_tf=imp_tf,
+        imp_dl=imp_dl,
+        imp_n=imp_n,
     )
 
 
@@ -313,6 +415,9 @@ def encode_postings_multi(doc_ids: np.ndarray, tfs: np.ndarray,
         nblocks                 -- int64, len G: list-column lengths
         block_first, block_last, block_max_tf   -- int64, len B
         block_doc_off, block_tf_off, block_min_dl -- int32, len B
+        imp_tf (int64) / imp_dl (int32)  -- flat impact pairs, len P
+        imp_n                   -- int32, len B: pairs per block
+        imp_offsets             -- int64, len G+1: per-segment pair spans
     """
     gsizes = np.asarray(gsizes, dtype=np.int64)
     n = int(gsizes.sum())
@@ -331,7 +436,11 @@ def encode_postings_multi(doc_ids: np.ndarray, tfs: np.ndarray,
                 "block_max_tf": np.zeros(0, np.int64),
                 "block_doc_off": np.zeros(0, np.int32),
                 "block_tf_off": np.zeros(0, np.int32),
-                "block_min_dl": np.zeros(0, np.int32)}
+                "block_min_dl": np.zeros(0, np.int32),
+                "imp_tf": np.zeros(0, np.int64),
+                "imp_dl": np.zeros(0, np.int32),
+                "imp_n": np.zeros(0, np.int32),
+                "imp_offsets": np.zeros(gsizes.size + 1, np.int64)}
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = np.uint64(doc_ids[0])
     if n > 1:
@@ -348,6 +457,12 @@ def encode_postings_multi(doc_ids: np.ndarray, tfs: np.ndarray,
     seg_of_block = np.repeat(np.arange(gsizes.size, dtype=np.int64), nblocks)
     tfs64 = np.asarray(tfs, dtype=np.int64)
     dls64 = np.asarray(dls, dtype=np.int64)
+    imp_tf, imp_dl, imp_n = block_impact_frontier(tfs64, dls64,
+                                                  bstarts, bsizes)
+    # per-segment pair spans: cumulative pairs at each segment's block start
+    pair_cum = np.concatenate(([0], np.cumsum(imp_n, dtype=np.int64)))
+    first_block = np.concatenate(([0], np.cumsum(nblocks)))
+    imp_offsets = pair_cum[first_block]
     return {
         "doc_bytes": np.frombuffer(doc_bytes, dtype=np.uint8),
         "tf_bytes": np.frombuffer(tf_bytes, dtype=np.uint8),
@@ -365,4 +480,8 @@ def encode_postings_multi(doc_ids: np.ndarray, tfs: np.ndarray,
         "block_min_dl": (np.minimum.reduceat(dls64, bstarts)
                          if bstarts.size
                          else np.zeros(0, np.int64)).astype(np.int32),
+        "imp_tf": imp_tf,
+        "imp_dl": imp_dl,
+        "imp_n": imp_n,
+        "imp_offsets": imp_offsets,
     }

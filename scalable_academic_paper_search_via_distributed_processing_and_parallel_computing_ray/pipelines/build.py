@@ -53,7 +53,8 @@ from ..functions import bm25
 from ..functions.codec import (BLOCK_SIZE, FORMAT_VERSION, EncodedPostings,
                                _block_geometry, decode_positions,
                                decode_postings, decode_postings_multi,
-                               encode_postings, encode_postings_multi)
+                               encode_postings, encode_postings_multi,
+                               expand_dl_lower_bounds)
 from ..functions.extract import EXTRACTOR_VERSION
 from ..functions.textstats import HASH_VERSION
 from ..functions.tokenize import TOKENIZER_VERSION
@@ -99,6 +100,12 @@ SEGMENT_SCHEMA = pa.schema([
     ("block_min_dl", pa.list_(pa.int32())),
     ("pos_bytes", pa.binary()),             # b"" when built without positions
     ("block_pos_off", pa.list_(pa.int32())),
+    # v4 impact Pareto frontier (codec.block_impact_frontier): flat (tf, dl)
+    # pairs block-major + pairs-per-block, giving WAND the EXACT per-block
+    # max doc score under any current avg_dl (extend-safe)
+    ("imp_tf", pa.list_(pa.int64())),
+    ("imp_dl", pa.list_(pa.int32())),
+    ("imp_n", pa.list_(pa.int32())),
 ])
 
 
@@ -193,6 +200,9 @@ def merge_postings(group: pa.Table) -> pa.Table:
         "block_pos_off": pa.array(
             [enc.block_pos_off.tolist() if enc.block_pos_off is not None
              else []], pa.list_(pa.int32())),
+        "imp_tf": pa.array([enc.imp_tf.tolist()], pa.list_(pa.int64())),
+        "imp_dl": pa.array([enc.imp_dl.tolist()], pa.list_(pa.int32())),
+        "imp_n": pa.array([enc.imp_n.tolist()], pa.list_(pa.int32())),
     })
 
 
@@ -1032,6 +1042,9 @@ def _enc_from_row(row: dict) -> EncodedPostings:
         pos_bytes=row.get("pos_bytes") or b"",
         block_pos_off=np.asarray(row.get("block_pos_off") or [],
                                  dtype=np.int32),
+        imp_tf=np.asarray(row.get("imp_tf") or [], dtype=np.int64),
+        imp_dl=np.asarray(row.get("imp_dl") or [], dtype=np.int32),
+        imp_n=np.asarray(row.get("imp_n") or [], dtype=np.int32),
     )
 
 
@@ -1043,13 +1056,16 @@ def merge_segment_rows(group: pa.Table,
     segment bytes (LSM-style segment merge; the reference has no analog:
     its "index" is rebuilt from raw text every run).
 
-    Per-posting doc_len is not stored in a segment (only per-block minima),
-    so re-encoded ``block_min_dl`` uses each posting's SOURCE-block minimum
-    as its doc_len lower bound.  tf_norm is decreasing in dl, so the
-    resulting block bound stays a valid WAND upper bound — scores and
-    results are unchanged (doc lengths live in the docs table), the bound
-    is merely no tighter than the sources'.  A single-row group re-encodes
-    byte-identically and is passed through untouched.
+    Per-posting doc_len is not stored in a segment, so the re-encode uses
+    each posting's dl lower bound recovered from its SOURCE block's impact
+    frontier (``codec.expand_dl_lower_bounds`` — valid and per-tf tight;
+    it reproduces a single block's frontier exactly, keeping the
+    single-row byte-identity invariant).  tf_norm is decreasing in dl, so
+    the resulting block bounds stay valid WAND upper bounds — scores and
+    results are unchanged (doc lengths live in the docs table).  Legacy
+    rows without imp columns fall back to the block-min-dl surrogate.
+    A single-row group re-encodes byte-identically and is passed through
+    untouched.
     """
     if group.num_rows == 1 and tombstones is None:
         return group  # byte-identical passthrough (no purge requested)
@@ -1065,11 +1081,16 @@ def merge_segment_rows(group: pa.Table,
         ids, tfs = decode_postings(enc)
         docs_l.append(ids)
         tfs_l.append(tfs)
-        # per-posting dl lower bound = source block min, expanded per block
+        # per-posting dl lower bound from the source block's impact
+        # frontier (falls back to the block minimum on legacy rows)
         nb = enc.block_first.size
         sizes = np.full(nb, BLOCK_SIZE, dtype=np.int64)
         sizes[-1] = enc.df - (nb - 1) * BLOCK_SIZE
-        dls_l.append(np.repeat(enc.block_min_dl.astype(np.int64), sizes))
+        if enc.imp_n is not None and enc.imp_n.size:
+            dls_l.append(expand_dl_lower_bounds(
+                tfs, enc.imp_tf, enc.imp_dl, enc.imp_n, sizes))
+        else:
+            dls_l.append(np.repeat(enc.block_min_dl.astype(np.int64), sizes))
         if len(enc.pos_bytes):
             has_pos = True
             poss_l.append(decode_positions(enc, tfs))
@@ -1127,6 +1148,9 @@ def merge_segment_rows(group: pa.Table,
         "block_pos_off": pa.array(
             [enc.block_pos_off.tolist() if enc.block_pos_off is not None
              else []], pa.list_(pa.int32())),
+        "imp_tf": pa.array([enc.imp_tf.tolist()], pa.list_(pa.int64())),
+        "imp_dl": pa.array([enc.imp_dl.tolist()], pa.list_(pa.int32())),
+        "imp_n": pa.array([enc.imp_n.tolist()], pa.list_(pa.int32())),
     })
 
 
@@ -1251,10 +1275,25 @@ def _merge_groups_chunk(t: pa.Table, starts: np.ndarray, ends: np.ndarray,
     ids, tfs = decode_postings_multi(
         _binary_col_flat(tm["doc_bytes"]),
         _binary_col_flat(tm["tf_bytes"]), dfs)
-    mdl = tm["block_min_dl"].combine_chunks()
     _, bsizes, _ = _block_geometry(dfs)
-    dl = np.repeat(
-        mdl.values.to_numpy(zero_copy_only=False).astype(np.int64), bsizes)
+    if "imp_tf" in tm.column_names:
+        # per-posting dl lower bound from each SOURCE block's impact
+        # frontier — tighter than the block minimum, and re-encode of a
+        # single-row group stays byte-identical (codec.expand_dl_lower_bounds)
+        dl = expand_dl_lower_bounds(
+            tfs,
+            pc.list_flatten(tm["imp_tf"]).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            pc.list_flatten(tm["imp_dl"]).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            pc.list_flatten(tm["imp_n"]).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            bsizes)
+    else:  # legacy rows: source-block minimum per posting
+        mdl = tm["block_min_dl"].combine_chunks()
+        dl = np.repeat(
+            mdl.values.to_numpy(zero_copy_only=False).astype(np.int64),
+            bsizes)
     grp = np.repeat(grp_of_row, dfs)
 
     if tombstones is not None and tombstones.size and ids.size:
@@ -1310,6 +1349,15 @@ def _merge_groups_chunk(t: pa.Table, starts: np.ndarray, ends: np.ndarray,
         # no positions: per-block zero offsets, matching encode_postings
         "block_pos_off": _lst(np.zeros(int(loff[-1]), np.int32),
                               pa.int32()),
+        # impact pairs: their own ragged offsets (pairs per segment), not
+        # the block-count offsets the other list columns share
+        "imp_tf": pa.ListArray.from_arrays(
+            pa.array(enc["imp_offsets"].astype(np.int32), pa.int32()),
+            pa.array(enc["imp_tf"], pa.int64())),
+        "imp_dl": pa.ListArray.from_arrays(
+            pa.array(enc["imp_offsets"].astype(np.int32), pa.int32()),
+            pa.array(enc["imp_dl"], pa.int32())),
+        "imp_n": _lst(enc["imp_n"], pa.int32()),
     })
     if (gsizes == 0).any():  # fully-deleted groups drop their row
         out = out.filter(pa.array(gsizes > 0))

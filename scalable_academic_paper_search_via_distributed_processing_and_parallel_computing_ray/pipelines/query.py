@@ -228,12 +228,27 @@ class _BlockCursor:
         self.enc = enc
         self.term_i = term_i
         self.idf = idf
-        # per-block score upper bounds derived from the stored raw
-        # (max_tf, min_dl): tf_norm is increasing in tf / decreasing in dl,
-        # so tf_norm(max_tf, min_dl, avg_dl) bounds every posting in the
-        # block under the CURRENT global avg_dl (extend-safe — codec.py)
-        bound = bm25.tf_norm_vec(enc.block_max_tf.astype(np.float64),
-                                 enc.block_min_dl.astype(np.float64), avg_dl)
+        if enc.imp_n is not None and enc.imp_n.size:
+            # v4 impact frontier: the block bound is the EXACT max per-doc
+            # tf_norm under the CURRENT avg_dl — max over the block's
+            # Pareto (tf, dl) pairs (codec.block_impact_frontier).  Every
+            # pair is a real doc's (tf, dl), so a tied block's bound EQUALS
+            # theta bitwise and ``ub > theta`` pruning skips it — the
+            # cross-doc (max_tf, min_dl) pairing could not (its bound
+            # exceeded theta on nearly every block of a tie-heavy corpus).
+            off = np.concatenate(
+                ([0], np.cumsum(enc.imp_n[:-1], dtype=np.int64)))
+            vals = bm25.tf_norm_vec(enc.imp_tf.astype(np.float64),
+                                    enc.imp_dl.astype(np.float64), avg_dl)
+            bound = np.maximum.reduceat(vals, off)
+        else:
+            # legacy fallback (hand-built fixtures): raw (max_tf, min_dl) —
+            # tf_norm is increasing in tf / decreasing in dl, so
+            # tf_norm(max_tf, min_dl, avg_dl) bounds every posting in the
+            # block under the CURRENT global avg_dl (extend-safe — codec.py)
+            bound = bm25.tf_norm_vec(enc.block_max_tf.astype(np.float64),
+                                     enc.block_min_dl.astype(np.float64),
+                                     avg_dl)
         self.ub = idf * bound
         # suffix max of block ubs: rest_ub() bounds every posting this
         # cursor can still produce, enabling whole-query early termination
@@ -351,6 +366,7 @@ class IndexReader:
         # entry.
         self._tscores: dict[str, tuple[bool, np.ndarray]] = {}
         self._sorted_vocab: list[str] | None = None  # lazy, for prefix expansion
+        self.last_wand_stats: dict | None = None  # set by search_wand
         self._cached_postings = 0
         self.manifest = ckpt.read_json(os.path.join(index_dir, "manifest.json"))
         fv = self.manifest.get("format_version")
@@ -488,6 +504,9 @@ class IndexReader:
         bm_o, bm = flat("block_max_tf", np.int64)
         bn_o, bn = flat("block_min_dl", np.int32)
         bp_o, bp = flat("block_pos_off", np.int32)
+        it_o, it = flat("imp_tf", np.int64)
+        id_o, idl = flat("imp_dl", np.int32)
+        in_o, inn = flat("imp_n", np.int32)
         for i in range(n):
             enc = EncodedPostings(
                 df=int(dfs[i]),
@@ -501,6 +520,9 @@ class IndexReader:
                 block_last=bl[bl_o[i]:bl_o[i + 1]],
                 pos_bytes=p_data[p_offs[i]:p_offs[i + 1]],
                 block_pos_off=bp[bp_o[i]:bp_o[i + 1]],
+                imp_tf=it[it_o[i]:it_o[i + 1]],
+                imp_dl=idl[id_o[i]:id_o[i + 1]],
+                imp_n=inn[in_o[i]:in_o[i + 1]],
             )
             term = terms[i]
             self._postings.setdefault(term, []).append(enc)
@@ -907,6 +929,9 @@ class IndexReader:
                     cursors.append(_BlockCursor(enc, ti, idf_t, self.avg_dl))
         topk = _TopK(k)
         prev_hi = -1
+        # pruning observability: how many blocks actually decoded vs exist
+        # (tests + bench assert the impact frontier skips tied blocks)
+        n_dec, n_blocks = 0, sum(c.nb for c in cursors)
         while True:
             live = [c for c in cursors if c.live]
             if not live:
@@ -945,6 +970,8 @@ class IndexReader:
             if ub > theta and contrib:
                 docs_l, sc_l, tid_l = [], [], []
                 for c in contrib:
+                    if c._ids is None:
+                        n_dec += 1
                     ids, tfs = c.decoded()
                     m = (ids > prev_hi) & (ids <= w_hi)
                     if m.any():
@@ -984,6 +1011,8 @@ class IndexReader:
                 if c.block_last() == w_hi:
                     c.advance_block()
             prev_hi = w_hi
+        self.last_wand_stats = {"blocks_decoded": n_dec,
+                                "blocks_total": n_blocks}
         return topk.results()
 
     # ------------------------------------------------------------- phrase --

@@ -109,3 +109,89 @@ def test_block_ub_dominates_scores_without_margin():
             one_tf[:1].astype(np.float64),
             one_dl[:1].astype(np.float64), avg_dl)[0]
         assert ub_tie == s_tie.max()
+
+
+# ------------------------------------------------- v4 impact frontiers ---
+
+def test_impact_frontier_exact_minimal(encoded):
+    """Per block, the stored Pareto frontier (imp_tf/imp_dl/imp_n) gives
+    the EXACT max per-doc tf_norm under ANY avg_dl (extend-safety), is
+    minimal (a strict staircase: tf and dl both strictly descending in
+    storage order), and its extremes reproduce max_tf / min_dl."""
+    ids, tfs, dls, enc = encoded
+    off = np.concatenate(([0], np.cumsum(enc.imp_n)))
+    nb = enc.block_first.size
+    assert off[-1] == enc.imp_tf.size == enc.imp_dl.size
+    for bi in range(nb):
+        lo, hi = bi * codec.BLOCK_SIZE, min(ids.size,
+                                            (bi + 1) * codec.BLOCK_SIZE)
+        ft = enc.imp_tf[off[bi]:off[bi + 1]]
+        fd = enc.imp_dl[off[bi]:off[bi + 1]]
+        assert ft.size >= 1
+        assert (np.diff(ft) < 0).all() and (np.diff(fd) < 0).all()
+        assert ft[0] == enc.block_max_tf[bi]
+        assert fd[-1] == enc.block_min_dl[bi]
+        # every frontier pair is a REAL doc's (tf, dl) in this block
+        real = set(zip(tfs[lo:hi].tolist(), dls[lo:hi].tolist()))
+        assert set(zip(ft.tolist(), fd.tolist())) <= real
+        for avg_dl in (3.7, 57.0, 1e5):
+            true_max = bm25.tf_norm_vec(tfs[lo:hi], dls[lo:hi], avg_dl).max()
+            got = bm25.tf_norm_vec(ft.astype(np.float64),
+                                   fd.astype(np.float64), avg_dl).max()
+            assert got == true_max, (bi, avg_dl)  # bitwise: same formula
+
+
+def test_impact_frontier_multi_matches_single():
+    """encode_postings_multi emits the same frontiers per segment as
+    encode_postings, with correct per-segment pair spans (imp_offsets)."""
+    rng = np.random.RandomState(9)
+    gsizes = np.array([0, 5, 300, 0, 129], np.int64)
+    n = int(gsizes.sum())
+    tfs = rng.randint(1, 15, n).astype(np.int64)
+    dls = rng.randint(2, 90, n).astype(np.int64)
+    parts, pos = [], 0
+    for g in gsizes:
+        ids = np.unique(rng.randint(0, 1 << 40, int(g) * 2)
+                        .astype(np.int64))[:int(g)]
+        parts.append(ids)
+        pos += int(g)
+    ids_all = np.concatenate(parts)
+    d = codec.encode_postings_multi(ids_all, tfs, dls, gsizes)
+    io = d["imp_offsets"]
+    assert io.size == gsizes.size + 1
+    s = 0
+    for gi, g in enumerate(gsizes):
+        e = codec.encode_postings(parts[gi], tfs[s:s + int(g)],
+                                  dls[s:s + int(g)])
+        assert np.array_equal(d["imp_tf"][io[gi]:io[gi + 1]], e.imp_tf), gi
+        assert np.array_equal(d["imp_dl"][io[gi]:io[gi + 1]], e.imp_dl), gi
+        s += int(g)
+
+
+def test_expand_dl_lower_bounds_roundtrip():
+    """The frontier-derived per-posting dl surrogate (compaction's dl
+    stand-in) is (a) a true lower bound, (b) at least as tight as the old
+    block-min surrogate, and (c) re-encoding with it reproduces the SAME
+    frontier, min_dl and posting bytes — the single-row compaction
+    byte-identity invariant."""
+    rng = np.random.RandomState(21)
+    for _ in range(20):
+        n = rng.randint(1, 700)
+        ids = np.cumsum(rng.randint(1, 20, n)).astype(np.int64)
+        tfs = rng.randint(1, 12, n).astype(np.int64)
+        dls = rng.randint(1, 500, n).astype(np.int64)
+        e = codec.encode_postings(ids, tfs, dls)
+        nb = e.block_first.size
+        sizes = np.full(nb, codec.BLOCK_SIZE, np.int64)
+        sizes[-1] = n - (nb - 1) * codec.BLOCK_SIZE
+        dl2 = codec.expand_dl_lower_bounds(tfs, e.imp_tf, e.imp_dl,
+                                           e.imp_n, sizes)
+        assert (dl2 <= dls).all()
+        assert (dl2 >= np.repeat(e.block_min_dl.astype(np.int64),
+                                 sizes)).all()
+        e2 = codec.encode_postings(ids, tfs, dl2)
+        assert np.array_equal(e2.imp_tf, e.imp_tf)
+        assert np.array_equal(e2.imp_dl, e.imp_dl)
+        assert np.array_equal(e2.imp_n, e.imp_n)
+        assert np.array_equal(e2.block_min_dl, e.block_min_dl)
+        assert e2.doc_bytes == e.doc_bytes and e2.tf_bytes == e.tf_bytes

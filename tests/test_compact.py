@@ -148,7 +148,7 @@ def _synthetic_groups(rng, n_groups=60, overlap=True):
     cols = {k: [] for k in
             ("sid term salt df doc_bytes tf_bytes block_first block_last "
              "block_doc_off block_tf_off block_max_tf block_min_dl "
-             "pos_bytes block_pos_off").split()}
+             "pos_bytes block_pos_off imp_tf imp_dl imp_n").split()}
     for g in range(n_groups):
         k = rng.randint(1, 4)
         pool = np.unique(rng.randint(
@@ -177,6 +177,9 @@ def _synthetic_groups(rng, n_groups=60, overlap=True):
             cols["block_min_dl"].append(e.block_min_dl.tolist())
             cols["pos_bytes"].append(b"")
             cols["block_pos_off"].append([0] * len(e.block_first))
+            cols["imp_tf"].append(e.imp_tf.tolist())
+            cols["imp_dl"].append(e.imp_dl.tolist())
+            cols["imp_n"].append(e.imp_n.tolist())
     t = pa.table({
         "sid": pa.array(cols["sid"], pa.int32()),
         "term": pa.array(cols["term"]),
@@ -193,7 +196,10 @@ def _synthetic_groups(rng, n_groups=60, overlap=True):
         "block_min_dl": pa.array(cols["block_min_dl"], pa.list_(pa.int32())),
         "pos_bytes": pa.array(cols["pos_bytes"], pa.binary()),
         "block_pos_off": pa.array(cols["block_pos_off"],
-                                  pa.list_(pa.int32()))})
+                                  pa.list_(pa.int32())),
+        "imp_tf": pa.array(cols["imp_tf"], pa.list_(pa.int64())),
+        "imp_dl": pa.array(cols["imp_dl"], pa.list_(pa.int32())),
+        "imp_n": pa.array(cols["imp_n"], pa.list_(pa.int32()))})
     import numpy as np
     terms = t["term"].to_numpy(zero_copy_only=False)
     chg = np.zeros(t.num_rows, bool)
