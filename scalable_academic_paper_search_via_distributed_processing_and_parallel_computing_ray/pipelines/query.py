@@ -955,18 +955,23 @@ class IndexReader:
                 break
             w_hi = min(c.block_last() for c in live)
             contrib = [c for c in live if c.block_first() <= w_hi]
+            # Window bound: sum over TERMS of the max contributing-block
+            # bound for that term — NOT the sum over cursors.  A doc sits
+            # in exactly one shard (and one salt stream) per term, so
+            # summing across same-term cursors would inflate the bound by
+            # the cursor count (8x on an 8-shard reader: measured 99%+
+            # decoded on single-term queries before this aggregation).
+            per_term_ub: dict[int, float] = {}
+            for c in contrib:
+                u = c.block_ub()
+                if u > per_term_ub.get(c.term_i, 0.0):
+                    per_term_ub[c.term_i] = u
             if mode == "and":
-                # a doc needs every term; per term it sits in <=1 shard
-                per_term_ub: dict[int, float] = {}
-                terms_here = set()
-                for c in contrib:
-                    terms_here.add(c.term_i)
-                    per_term_ub[c.term_i] = max(per_term_ub.get(c.term_i, 0.0),
-                                                c.block_ub())
-                feasible = len(terms_here) == n_terms
+                # a doc needs every term present in the window at all
+                feasible = len(per_term_ub) == n_terms
                 ub = sum(per_term_ub.values()) if feasible else -np.inf
             else:
-                ub = sum(c.block_ub() for c in contrib)
+                ub = sum(per_term_ub.values())
             if ub > theta and contrib:
                 docs_l, sc_l, tid_l = [], [], []
                 for c in contrib:

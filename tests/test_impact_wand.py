@@ -67,6 +67,33 @@ def test_wand_skips_tied_blocks(tied_idx):
     assert st["blocks_decoded"] * 4 < st["blocks_total"], st
 
 
+def test_or_window_bound_is_per_term_not_per_cursor(ray_session,
+                                                    tmp_path_factory):
+    """A multi-shard reader holds SEVERAL cursors for one term (one per
+    shard/salt stream), but any doc sits in exactly one of them, so the
+    OR-mode window bound must sum per-TERM maxima, not per-cursor bounds —
+    summing cursors inflates the bound ~(shards x salts)x and kills
+    pruning (measured 99%+ blocks decoded on single-term queries over an
+    8-shard reader before the aggregation fix)."""
+    d = tmp_path_factory.mktemp("orbound")
+    # 8 high-tf docs own the top-k; 3000 low-score fillers spread across
+    # 4 shards give every shard long prunable tails
+    rows = [(i, "kiwi kiwi kiwi kiwi") for i in range(1, 9)]
+    rows += [(1000 + i, "kiwi " + "pad " * 10) for i in range(3000)]
+    pq.write_table(_pages(rows), d / "p.parquet")
+    idx = str(d / "idx")
+    build.build_index(str(d), idx,
+                      build.BuildParams(num_shards=4, num_salts=2))
+    r = query.IndexReader(idx)
+    assert _fmt(r.search_wand("kiwi", 8)) == \
+        _fmt(r.search_exhaustive("kiwi", 8))
+    st = r.last_wand_stats
+    assert st["blocks_total"] > 20
+    # with the per-term bound, theta (the 8 high-tf docs' tied score)
+    # dominates every filler block's exact bound and the tails prune
+    assert st["blocks_decoded"] * 2 < st["blocks_total"], st
+
+
 def test_wand_parity_mixed_lengths(ray_session, tmp_path_factory):
     """Frontier bounds on a corpus with wildly varying doc lengths stay
     rank-identical to exhaustive across modes and k."""
