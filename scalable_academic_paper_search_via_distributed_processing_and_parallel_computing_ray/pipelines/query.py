@@ -39,8 +39,9 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from ..functions import bm25
-from ..functions.codec import (FORMAT_VERSION, EncodedPostings, decode_block,
-                               decode_positions, decode_postings)
+from ..functions.codec import (BLOCK_SIZE, FORMAT_VERSION, EncodedPostings,
+                               decode_block, decode_positions,
+                               decode_postings)
 from ..functions.tokenize import tokenize_filtered
 from ..state import checkpoint as ckpt
 from ..state import fsio
@@ -221,42 +222,61 @@ class _BlockCursor:
     """Block-granular view over one (term, salt) shard."""
 
     __slots__ = ("enc", "term_i", "idf", "ub", "rest", "bi", "nb",
-                 "_ids", "_tfs")
+                 "_ids", "_tfs", "_pos", "_full")
 
     def __init__(self, enc: EncodedPostings, term_i: int, idf: float,
-                 avg_dl: float):
+                 avg_dl: float,
+                 full: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None):
         self.enc = enc
         self.term_i = term_i
         self.idf = idf
-        if enc.imp_n is not None and enc.imp_n.size:
-            # v4 impact frontier: the block bound is the EXACT max per-doc
-            # tf_norm under the CURRENT avg_dl — max over the block's
-            # Pareto (tf, dl) pairs (codec.block_impact_frontier).  Every
-            # pair is a real doc's (tf, dl), so a tied block's bound EQUALS
-            # theta bitwise and ``ub > theta`` pruning skips it — the
-            # cross-doc (max_tf, min_dl) pairing could not (its bound
-            # exceeded theta on nearly every block of a tie-heavy corpus).
-            off = np.concatenate(
-                ([0], np.cumsum(enc.imp_n[:-1], dtype=np.int64)))
-            vals = bm25.tf_norm_vec(enc.imp_tf.astype(np.float64),
-                                    enc.imp_dl.astype(np.float64), avg_dl)
-            bound = np.maximum.reduceat(vals, off)
+        # ``full``: this enc's already-decoded (ids, tfs, dense_idx) slice
+        # from the reader's postings LRU — decoded() then slices instead
+        # of varint-decoding per search, and the dense positions skip the
+        # per-window searchsorted (block decode was ~30% of a cached
+        # reader's selective-query time, recurring every request)
+        self._full = full
+        # bounds depend only on (avg_dl, idf), both fixed for a reader's
+        # lifetime (extend_index re-opens readers), so cache them on the
+        # enc — the frontier tf_norm pass otherwise re-runs per search
+        cached = getattr(enc, "_wand_bounds", None)
+        if cached is not None and cached[0] == avg_dl and cached[1] == idf:
+            self.ub, self.rest = cached[2], cached[3]
         else:
-            # legacy fallback (hand-built fixtures): raw (max_tf, min_dl) —
-            # tf_norm is increasing in tf / decreasing in dl, so
-            # tf_norm(max_tf, min_dl, avg_dl) bounds every posting in the
-            # block under the CURRENT global avg_dl (extend-safe — codec.py)
-            bound = bm25.tf_norm_vec(enc.block_max_tf.astype(np.float64),
-                                     enc.block_min_dl.astype(np.float64),
-                                     avg_dl)
-        self.ub = idf * bound
-        # suffix max of block ubs: rest_ub() bounds every posting this
-        # cursor can still produce, enabling whole-query early termination
-        self.rest = np.maximum.accumulate(self.ub[::-1])[::-1] \
-            if self.ub.size else self.ub
+            if enc.imp_n is not None and enc.imp_n.size:
+                # v4 impact frontier: the block bound is the EXACT max
+                # per-doc tf_norm under the CURRENT avg_dl — max over the
+                # block's Pareto (tf, dl) pairs (codec.block_impact_frontier).
+                # Every pair is a real doc's (tf, dl), so a tied block's
+                # bound EQUALS theta bitwise and ``ub > theta`` pruning
+                # skips it — the cross-doc (max_tf, min_dl) pairing could
+                # not (its bound exceeded theta on nearly every block of a
+                # tie-heavy corpus).
+                off = np.concatenate(
+                    ([0], np.cumsum(enc.imp_n[:-1], dtype=np.int64)))
+                vals = bm25.tf_norm_vec(enc.imp_tf.astype(np.float64),
+                                        enc.imp_dl.astype(np.float64),
+                                        avg_dl)
+                bound = np.maximum.reduceat(vals, off)
+            else:
+                # legacy fallback (hand-built fixtures): raw
+                # (max_tf, min_dl) — tf_norm is increasing in tf /
+                # decreasing in dl, so tf_norm(max_tf, min_dl, avg_dl)
+                # bounds every posting in the block under the CURRENT
+                # global avg_dl (extend-safe — codec.py)
+                bound = bm25.tf_norm_vec(enc.block_max_tf.astype(np.float64),
+                                         enc.block_min_dl.astype(np.float64),
+                                         avg_dl)
+            self.ub = idf * bound
+            # suffix max of block ubs: rest_ub() bounds every posting this
+            # cursor can still produce, enabling whole-query early
+            # termination
+            self.rest = np.maximum.accumulate(self.ub[::-1])[::-1] \
+                if self.ub.size else self.ub
+            enc._wand_bounds = (avg_dl, idf, self.ub, self.rest)
         self.bi = 0
         self.nb = enc.block_first.size
-        self._ids = self._tfs = None
+        self._ids = self._tfs = self._pos = None
 
     @property
     def live(self) -> bool:
@@ -277,12 +297,19 @@ class _BlockCursor:
 
     def decoded(self) -> tuple[np.ndarray, np.ndarray]:
         if self._ids is None:
-            self._ids, self._tfs = decode_block(self.enc, self.bi)
+            if self._full is not None:
+                lo = self.bi * BLOCK_SIZE
+                hi = min(self.enc.df, lo + BLOCK_SIZE)
+                self._ids = self._full[0][lo:hi]
+                self._tfs = self._full[1][lo:hi]
+                self._pos = self._full[2][lo:hi]
+            else:
+                self._ids, self._tfs = decode_block(self.enc, self.bi)
         return self._ids, self._tfs
 
     def advance_block(self) -> None:
         self.bi += 1
-        self._ids = self._tfs = None
+        self._ids = self._tfs = self._pos = None
 
 
 def _after_mask(scores: np.ndarray, doc_ids: np.ndarray,
@@ -834,12 +861,15 @@ class IndexReader:
                exclude: str | None = None,
                after: tuple[float, int] | None = None,
                max_expansions: int | None = 64) -> list[TopkResult]:
-        """Cost-based scorer choice: block-max WAND prunes only when scores
-        are selective; on dense lists (mean df/N above the cutoff — e.g. the
-        tiny-vocab synthetic corpus where every term hits most docs) every
-        window must be scored anyway, so the single-pass vectorized
-        exhaustive-postings scorer is strictly faster.  Both are
-        rank-identical (tested).  ``mask``: see :meth:`make_doc_mask`.
+        """Cost-based scorer choice.  A reader with a postings-cache
+        budget (the serving config) always uses the cached exhaustive
+        scorer — its LRUs amortize decode + scoring across requests.
+        A budget-0 one-shot reader uses block-max WAND when terms are
+        selective (decode only the blocks the bounds can't prune) and
+        the single-pass vectorized exhaustive scorer on dense lists
+        (mean df/N above the cutoff — every window must be scored
+        anyway).  All paths are rank-identical (tested).
+        ``mask``: see :meth:`make_doc_mask`.
 
         Query syntax (``_preprocess``, shared by all three scorers):
         leading-minus words are boolean NOT (``"spark join -hive"`` drops
@@ -852,6 +882,15 @@ class IndexReader:
         terms = self._effective_terms(query_text, mode)
         if not terms:
             return []
+        # Serving config (postings cache budget set): the exhaustive
+        # scorer amortizes decode + scoring across requests via the
+        # postings/score LRUs, beating WAND's per-request window machinery
+        # in EVERY measured regime (x16: 4.4 vs 12.6 ms selective p50;
+        # x256: 4.4 vs 12.6) — WAND's decode-avoidance only wins for
+        # budget-0 one-shot readers, where nothing is amortized.
+        if self._cache_budget > 0:
+            return self.search_exhaustive(query_text, k, mode, mask=mask,
+                                          after=after)
         mean_density = sum(self._df.get(t, 0) for t in terms) / (len(terms) * max(1, self.n_docs))
         if mean_density > density_cutoff:
             return self.search_exhaustive(query_text, k, mode, mask=mask,
@@ -924,9 +963,26 @@ class IndexReader:
         cursors: list[_BlockCursor] = []
         for ti, t in enumerate(terms):
             idf_t = self.idf(t)
-            for enc in self._encs(t):
+            encs = self._encs(t)
+            # with a postings cache (serving config), decode the term ONCE
+            # through the shared LRU and hand each cursor its slice —
+            # repeat queries then skip both the varint decode and the
+            # per-window searchsorted.  Budget-0 readers keep lazy
+            # per-block decode (WAND's skip-the-decode property, the
+            # one-shot / at-scale path).
+            full = None
+            if self._cache_budget > 0 and encs:
+                ids_all, tfs_all, idx_all = self._term_postings(t)
+                off = np.concatenate(
+                    ([0], np.cumsum([e.df for e in encs], dtype=np.int64)))
+            for ei, enc in enumerate(encs):
                 if enc.df:
-                    cursors.append(_BlockCursor(enc, ti, idf_t, self.avg_dl))
+                    if self._cache_budget > 0:
+                        lo, hi = int(off[ei]), int(off[ei + 1])
+                        full = (ids_all[lo:hi], tfs_all[lo:hi],
+                                idx_all[lo:hi])
+                    cursors.append(_BlockCursor(enc, ti, idf_t, self.avg_dl,
+                                                full=full))
         topk = _TopK(k)
         prev_hi = -1
         # pruning observability: how many blocks actually decoded vs exist
@@ -981,7 +1037,8 @@ class IndexReader:
                     m = (ids > prev_hi) & (ids <= w_hi)
                     if m.any():
                         d, tf_w = ids[m], tfs[m]
-                        pos = np.searchsorted(self._doc_ids, d)
+                        pos = (c._pos[m] if c._pos is not None
+                               else np.searchsorted(self._doc_ids, d))
                         if mask is not None:
                             ok = mask[pos]
                             if not ok.any():
