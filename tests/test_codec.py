@@ -195,3 +195,43 @@ def test_expand_dl_lower_bounds_roundtrip():
         assert np.array_equal(e2.imp_n, e.imp_n)
         assert np.array_equal(e2.block_min_dl, e.block_min_dl)
         assert e2.doc_bytes == e.doc_bytes and e2.tf_bytes == e.tf_bytes
+
+
+def test_impact_frontier_packed_sort_branches_agree():
+    """block_impact_frontier picks one of three sort strategies by bit
+    budget (full int64 pack / (tf,dl) pack + regroup / plain lexsort).
+    All three must produce identical frontiers; the value scales below
+    force each branch in turn and compare against the lexsort
+    formulation the packed paths replaced."""
+    def ref(tfs, dls, bstarts, bsizes):
+        nb = bstarts.size
+        blk = np.repeat(np.arange(nb, dtype=np.int64), bsizes)
+        order = np.lexsort((dls, -tfs, blk))
+        b_s, t_s, d_s = blk[order], tfs[order], dls[order]
+        biased = -d_s + b_s * (np.int64(1) << np.int64(32))
+        runmax = np.maximum.accumulate(biased)
+        keep = np.ones(b_s.size, dtype=bool)
+        keep[1:] = (b_s[1:] != b_s[:-1]) | (biased[1:] > runmax[:-1])
+        return (t_s[keep], d_s[keep].astype(np.int32),
+                np.bincount(b_s[keep], minlength=nb).astype(np.int32))
+
+    rng = np.random.default_rng(7)
+    hits = [0, 0, 0]
+    for trial in range(120):
+        nb = int(rng.integers(1, 9))
+        bsizes = rng.integers(1, 40, nb).astype(np.int64)
+        bstarts = np.concatenate(([0], np.cumsum(bsizes)[:-1]))
+        n = int(bsizes.sum())
+        scale = int(rng.choice([10, 2**20, 2**30, 2**45]))
+        tfs = rng.integers(1, scale, n).astype(np.int64)
+        dls = rng.integers(1, min(scale, 2**31 - 1), n).astype(np.int64)
+        tb = (int(tfs.max()) + 1).bit_length()
+        db = (int(dls.max()) + 1).bit_length()
+        br = 0 if tb + db + nb.bit_length() <= 62 else (
+            1 if tb + db <= 62 else 2)
+        hits[br] += 1
+        got = codec.block_impact_frontier(tfs, dls, bstarts, bsizes)
+        exp = ref(tfs, dls, bstarts, bsizes)
+        for g, e in zip(got, exp):
+            assert np.array_equal(g, e), (trial, br)
+    assert all(h > 0 for h in hits), hits  # every branch exercised
