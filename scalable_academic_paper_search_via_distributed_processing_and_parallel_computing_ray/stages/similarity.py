@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
+from ..state import fsio
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -216,9 +218,6 @@ def build_ivf(ds: Dataset, index_dir: str, nlist: int = 16,
     query's shortlist ever touches (id-filtered reads prune on row-group
     statistics).  At 100 TB the ADC scan reads ~pq_m/(4*dim) of the raw
     footprint; the re-rank reads O(shortlist) rows."""
-    import json
-    import os
-
     import ray
 
     sample = ds.limit(sample_n).to_pandas()
@@ -246,9 +245,12 @@ def build_ivf(ds: Dataset, index_dir: str, nlist: int = 16,
         return pa.table({id_col: b[id_col], "code": code_col,
                          "cell": pa.array(cell, pa.int32())})
 
-    os.makedirs(index_dir, exist_ok=True)
+    fsio.makedirs(index_dir, exist_ok=True)
     # cell data lives under cells/ so the manifest never pollutes the
-    # parquet dataset directory scan
+    # parquet dataset directory scan; all paths ride the fsio seam so
+    # index_dir may be a URI (same contract as the BM25 index_dir)
+    cells_fs, cells_p = fsio.ray_fs_path(fsio.join(index_dir, "cells"))
+    raw_fs, raw_p = fsio.ray_fs_path(fsio.join(index_dir, "raw"))
     src = ds.select_columns([id_col, vec_col])
     # min_rows_per_file coalesces task outputs so a many-block input does
     # not fragment into one tiny file per (task, cell) — per-file footers
@@ -258,29 +260,24 @@ def build_ivf(ds: Dataset, index_dir: str, nlist: int = 16,
         # two streaming passes over the (cheaply re-readable) source beat
         # materializing the corpus in the object store between two sinks
         src.map_batches(assign_codes, batch_format="pyarrow") \
-            .write_parquet(os.path.join(index_dir, "cells"),
-                           partition_cols=["cell"],
-                           min_rows_per_file=65536)
+            .write_parquet(cells_p, partition_cols=["cell"],
+                           min_rows_per_file=65536, filesystem=cells_fs)
         src.map_batches(assign, batch_format="pyarrow") \
             .sort([id_col]) \
-            .write_parquet(os.path.join(index_dir, "raw"),
-                           partition_cols=["cell"],
-                           min_rows_per_file=65536)
+            .write_parquet(raw_p, partition_cols=["cell"],
+                           min_rows_per_file=65536, filesystem=raw_fs)
     else:
         src.map_batches(assign, batch_format="pyarrow") \
-            .write_parquet(os.path.join(index_dir, "cells"),
-                           partition_cols=["cell"],
-                           min_rows_per_file=65536)
+            .write_parquet(cells_p, partition_cols=["cell"],
+                           min_rows_per_file=65536, filesystem=cells_fs)
     manifest = {"nlist": int(cent.shape[0]), "dim": int(cent.shape[1]),
                 "seed": seed, "id_col": id_col, "vec_col": vec_col,
                 "centroids": cent.tolist()}
     if pq_m:
         manifest["pq"] = {"m": int(pq_m), "ks": int(codebooks.shape[1]),
                           "codebooks": codebooks.tolist()}
-    tmp = os.path.join(index_dir, "ivf_manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(index_dir, "ivf_manifest.json"))
+    fsio.write_json_atomic(fsio.join(index_dir, "ivf_manifest.json"),
+                           manifest)
     return manifest
 
 
@@ -291,17 +288,18 @@ def _probed_cells_ds(index_dir: str, cells: list) -> "Dataset | None":
     per cell — at nprobe == nlist that union dominated the query).  Hive
     inference re-attaches the ``cell`` column from each ``cell=N`` path
     segment (as a string — callers cast)."""
-    import glob
-    import os
-
     import ray.data as rd
+    fs, _ = fsio.ray_fs_path(index_dir)
     files: list[str] = []
     for c in cells:
-        files += sorted(glob.glob(
-            os.path.join(index_dir, "cells", f"cell={c}", "*.parquet")))
+        d = fsio.join(index_dir, "cells", f"cell={c}")
+        if not fsio.isdir(d):
+            continue
+        files += [fsio.ray_fs_path(fsio.join(d, f))[1]
+                  for f in fsio.listdir(d) if f.endswith(".parquet")]
     if not files:
         return None  # every probed cell empty: never written
-    return rd.read_parquet(files)
+    return rd.read_parquet(files, filesystem=fs)
 
 
 def _pq_rerank(index_dir: str, man: dict, q: np.ndarray,
@@ -310,8 +308,6 @@ def _pq_rerank(index_dir: str, man: dict, q: np.ndarray,
     reads the id-SORTED raw store with an ``id in shortlist`` filter
     (row-group statistics prune the scan), then a tiny driver GEMM scores
     the fetched rows exactly.  I/O is O(shortlist), not O(probed cells)."""
-    import os
-
     import ray
 
     id_col, vec_col = man["id_col"], man["vec_col"]
@@ -319,13 +315,16 @@ def _pq_rerank(index_dir: str, man: dict, q: np.ndarray,
     @ray.remote
     def fetch(cdir: str, ids: list):
         import pyarrow.dataset as pads
-        dset = pads.dataset(cdir, format="parquet")
+
+        from ..state import fsio as _fsio
+        fs, p = _fsio.resolve(cdir)
+        dset = pads.dataset(p, format="parquet", filesystem=fs)
         return dset.to_table(columns=[id_col, vec_col],
                              filter=pads.field(id_col).isin(ids))
 
     by_cell = shortlist.groupby("cell")["vec_id"]
     parts = ray.get([
-        fetch.remote(os.path.join(index_dir, "raw", f"cell={int(c)}"),
+        fetch.remote(fsio.join(index_dir, "raw", f"cell={int(c)}"),
                      sorted(int(v) for v in ids))
         for c, ids in by_cell])
     need = {int(v): set() for v in shortlist["vec_id"]}
@@ -363,14 +362,10 @@ def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
     ``rerank`` (default ``max(4k, 32)``) candidates form a shortlist, and
     the raw store is read ONLY for shortlist ids for an exact re-rank —
     the FAISS IVFPQ search shape (``semantic_index/search.py:34-40``)."""
-    import json
-    import os
-
     import ray
     import ray.data as rd
 
-    with open(os.path.join(index_dir, "ivf_manifest.json")) as f:
-        man = json.load(f)
+    man = fsio.read_json(fsio.join(index_dir, "ivf_manifest.json"))
     cent = np.asarray(man["centroids"], dtype=np.float64)
     id_col, vec_col = man["id_col"], man["vec_col"]
     q = _normalize(np.asarray(queries, dtype=np.float64))
@@ -458,16 +453,14 @@ def knn_ivf(ds: Dataset, queries: np.ndarray, k: int = 10, nlist: int = 16,
     """Convenience wrapper: build (or reuse — caller owns invalidation) the
     persisted IVF index, then probe it.  ``index_dir=None`` -> fresh temp
     dir."""
-    import os
     import tempfile
 
     if index_dir is None:
         index_dir = tempfile.mkdtemp(prefix="ivf_")
-    if not os.path.exists(os.path.join(index_dir, "ivf_manifest.json")):
+    if not fsio.exists(fsio.join(index_dir, "ivf_manifest.json")):
         # no manifest = never committed; scrub any partial build first so a
         # rebuild can't append a second copy of every vector into cells/
-        import shutil
-        shutil.rmtree(os.path.join(index_dir, "cells"), ignore_errors=True)
+        fsio.rmtree(fsio.join(index_dir, "cells"), ignore_errors=True)
         build_ivf(ds, index_dir, nlist, sample_n, id_col, vec_col, seed,
                   pq_m=pq_m)
     return ivf_search(index_dir, queries, k, nprobe, rerank=rerank)

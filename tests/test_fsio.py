@@ -111,3 +111,34 @@ def test_index_lifecycle_on_mock_fs(ray_session, tmp_path):
     shadow = os.path.join(fsio.MOCK_ROOT, "fsio-test", "idx",
                           "manifest.json")
     assert os.path.exists(shadow)
+
+
+def test_ivf_index_on_mock_fs(ray_session):
+    """The persisted ANN index (cells/, raw/, ivf_manifest.json) rides the
+    same seam: build + probe + PQ re-rank with index_dir as a URI equals
+    the local-dir result bit-for-bit."""
+    import numpy as np
+    import ray.data as rd
+
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.stages import (
+        similarity,
+    )
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    rng = np.random.default_rng(7)
+    qs = rng.normal(size=(3, 64)).astype(np.float64)
+
+    import tempfile
+    local = tempfile.mkdtemp(prefix="ivf_local_")
+    for pq_m, tag in ((None, "plain"), (8, "pq")):
+        uri = f"{MOCK}/ivf-{tag}"
+        want = similarity.knn_ivf(ds, qs, k=5, nlist=8, nprobe=8,
+                                  index_dir=f"{local}/{tag}", pq_m=pq_m)
+        got = similarity.knn_ivf(ds, qs, k=5, nlist=8, nprobe=8,
+                                 index_dir=uri, pq_m=pq_m)
+        assert got.equals(want), tag
+        # probe again from the already-persisted remote index (pure read)
+        again = similarity.ivf_search(uri, qs, k=5, nprobe=8)
+        assert again.equals(want), tag
+    assert not os.path.exists("mock:")
