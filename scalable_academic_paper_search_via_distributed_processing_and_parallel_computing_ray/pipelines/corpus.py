@@ -103,9 +103,9 @@ def write_clean_corpus(ds: Dataset, out_dir: str, n_buckets: int = 16,
     """Partitioned, resumable sink: hive layout on ``bucket =
     hash(doc_id) % n_buckets`` (one directory per bucket -> a failed run
     reruns only missing buckets), manifest committed LAST with row count
-    + schema + params so readers key off a complete write."""
-    import json
-    import os
+    + schema + params so readers key off a complete write.  ``out_dir``
+    may be a URI (fsio seam — same contract as the index dirs)."""
+    from ..state import fsio
 
     def bucketize(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -115,21 +115,18 @@ def write_clean_corpus(ds: Dataset, out_dir: str, n_buckets: int = 16,
         return out.append_column("bucket",
                                  pa.array(bk.astype(np.int32), pa.int32()))
 
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.makedirs(out_dir, exist_ok=True)
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
-    bucketed.write_parquet(os.path.join(out_dir, "buckets"),
-                           partition_cols=["bucket"],
-                           min_rows_per_file=65536)
-    import pyarrow.parquet as pq
+    bk_fs, bk_p = fsio.ray_fs_path(fsio.join(out_dir, "buckets"))
+    bucketed.write_parquet(bk_p, partition_cols=["bucket"],
+                           min_rows_per_file=65536, filesystem=bk_fs)
     import pyarrow.dataset as pads
-    dset = pads.dataset(os.path.join(out_dir, "buckets"),
-                        format="parquet", partitioning="hive")
-    n = sum(pq.ParquetFile(f).metadata.num_rows for f in dset.files)
+    dset = pads.dataset(bk_p, format="parquet", partitioning="hive",
+                        filesystem=bk_fs)
+    n = dset.count_rows()  # parquet metadata only, no data scan
     manifest = {"n_docs": int(n), "n_buckets": n_buckets,
                 "drop_text": drop_text,
                 "columns": [f for f in dset.schema.names if f != "bucket"]}
-    tmp = os.path.join(out_dir, "corpus_manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(out_dir, "corpus_manifest.json"))
+    fsio.write_json_atomic(fsio.join(out_dir, "corpus_manifest.json"),
+                           manifest)
     return manifest

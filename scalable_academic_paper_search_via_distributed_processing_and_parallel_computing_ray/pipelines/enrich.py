@@ -24,7 +24,6 @@ has — a web front is one ``@app.post`` wrapper away.
 
 from __future__ import annotations
 
-import json
 import os
 import uuid
 
@@ -32,6 +31,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
+
+from ..state import fsio
 
 N_BUCKETS = 64
 
@@ -67,30 +68,25 @@ def build_analytics(sf_dir: str, out_dir: str,
     # the index termdict): a rebuild never appends into live bucket dirs,
     # and readers of the PREVIOUS generation keep working until the next
     # rebuild GCs it (one-generation grace)
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.makedirs(out_dir, exist_ok=True)
     bdir_name = f"buckets-{uuid.uuid4().hex[:12]}"
+    b_fs, b_p = fsio.ray_fs_path(fsio.join(out_dir, bdir_name))
     joined.map_batches(bucketize, batch_format="pyarrow") \
-        .write_parquet(os.path.join(out_dir, bdir_name),
-                       partition_cols=["bucket"])
+        .write_parquet(b_p, partition_cols=["bucket"], filesystem=b_fs)
     manifest = {"n_buckets": n_buckets, "source": sf_dir,
                 "buckets_dir": bdir_name}
-    mf_path = os.path.join(out_dir, "analytics_manifest.json")
+    mf_path = fsio.join(out_dir, "analytics_manifest.json")
     prev = None
-    if os.path.exists(mf_path):
+    if fsio.exists(mf_path):
         try:
-            with open(mf_path) as f:
-                prev = json.load(f).get("buckets_dir", "buckets")
+            prev = fsio.read_json(mf_path).get("buckets_dir", "buckets")
         except (OSError, ValueError):
             prev = None
-    tmp = mf_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, mf_path)
+    fsio.write_json_atomic(mf_path, manifest)
     keep = {bdir_name, prev}
-    for d in os.listdir(out_dir):
+    for d in fsio.listdir(out_dir):
         if ((d == "buckets" or d.startswith("buckets-")) and d not in keep):
-            import shutil
-            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+            fsio.rmtree(fsio.join(out_dir, d), ignore_errors=True)
     return manifest
 
 
@@ -99,9 +95,8 @@ class EnrichServer:
     """Point-serving actor over a :func:`build_analytics` directory."""
 
     def __init__(self, analytics_dir: str):
-        with open(os.path.join(analytics_dir,
-                               "analytics_manifest.json")) as f:
-            self.manifest = json.load(f)
+        self.manifest = fsio.read_json(
+            fsio.join(analytics_dir, "analytics_manifest.json"))
         self.n_buckets = int(self.manifest["n_buckets"])
         self.dir = analytics_dir
         self._buckets: dict[int, dict[int, tuple[int, int]]] = {}
@@ -109,21 +104,20 @@ class EnrichServer:
     def _bucket(self, b: int) -> dict[int, tuple[int, int]]:
         hit = self._buckets.get(b)
         if hit is None:
-            import pyarrow.parquet as pq
-            root = os.path.join(self.dir,
-                                self.manifest.get("buckets_dir", "buckets"))
-            if not os.path.isdir(root):
+            root = fsio.join(self.dir,
+                             self.manifest.get("buckets_dir", "buckets"))
+            if not fsio.isdir(root):
                 # generation GC'd (server fell two rebuilds behind): fail
                 # LOUDLY — returning {} would silently serve null analytics
                 # for ids that exist
                 raise RuntimeError(
                     f"analytics generation {root} no longer exists "
                     f"(superseded by newer builds); restart EnrichServer")
-            bdir = os.path.join(root, f"bucket={b}")
+            bdir = fsio.join(root, f"bucket={b}")
             hit = {}
-            if os.path.isdir(bdir):
-                t = pq.read_table(bdir,
-                                  columns=["event_id", "fwci_m", "pct_m"])
+            if fsio.isdir(bdir):
+                t = fsio.pq_read_table(
+                    bdir, columns=["event_id", "fwci_m", "pct_m"])
                 hit = {int(i): (int(f), int(p))
                        for i, f, p in zip(t["event_id"].to_pylist(),
                                           t["fwci_m"].to_pylist(),

@@ -142,3 +142,34 @@ def test_ivf_index_on_mock_fs(ray_session):
         again = similarity.ivf_search(uri, qs, k=5, nprobe=8)
         assert again.equals(want), tag
     assert not os.path.exists("mock:")
+
+
+def test_analytics_and_corpus_sinks_on_mock_fs(ray_session):
+    """The enrich analytics dir and the clean-corpus sink ride the seam:
+    build to a mock:// URI, point-serve / read back, compare to local."""
+    import ray
+    import ray.data as rd
+
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.pipelines import (
+        corpus,
+        enrich,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    uri = f"{MOCK}/analytics"
+    man = enrich.build_analytics(sf, uri, n_buckets=4)
+    assert fsio.read_json(f"{uri}/analytics_manifest.json") == man
+    srv = enrich.EnrichServer.remote(uri)
+    recs = ray.get(srv.enrich.remote([1, 2, 10**12]))
+    assert recs[0]["fwci"] is not None and recs[2]["fwci"] is None
+    # rebuild GCs the superseded generation through the seam
+    man2 = enrich.build_analytics(sf, uri, n_buckets=4)
+    assert man2["buckets_dir"] != man["buckets_dir"]
+
+    docs = rd.read_parquet(f"{sf}/documents.parquet").limit(64)
+    curi = f"{MOCK}/clean"
+    cman = corpus.write_clean_corpus(corpus.clean_corpus(docs), curi,
+                                     n_buckets=4, drop_text=True)
+    assert cman["n_docs"] > 0
+    assert fsio.read_json(f"{curi}/corpus_manifest.json") == cman
+    assert not os.path.exists("mock:")
