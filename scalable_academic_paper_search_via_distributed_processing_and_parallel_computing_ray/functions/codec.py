@@ -200,7 +200,17 @@ def expand_dl_lower_bounds(tfs: np.ndarray, imp_tf: np.ndarray,
     ridx = (off[blk_of_pair] + off[blk_of_pair + 1] - 1
             - np.arange(P, dtype=np.int64))
     BIG = np.int64(1) << np.int64(32)  # tf < 2^31 (doc_len is int32)
-    key = blk_of_pair * BIG + np.asarray(imp_tf, np.int64)[ridx]
+    imp_tf = np.asarray(imp_tf, np.int64)
+    tfs = np.asarray(tfs, np.int64)
+    if (tfs.max(initial=0) >= BIG or imp_tf.max(initial=0) >= BIG):
+        # the packed (block, tf) key would overlap the next block's key
+        # space and silently map postings to a WRONG block's frontier dl
+        # (an UPPER-biased 'lower bound' corrupts WAND).  Engine-built
+        # segments can't get here (tf <= doc_len < 2^31); refuse loudly
+        # for hand-built impact data instead of corrupting bounds.
+        raise ValueError("expand_dl_lower_bounds requires tf < 2^32 "
+                         "(engine invariant: tf <= doc_len < 2^31)")
+    key = blk_of_pair * BIG + imp_tf[ridx]
     blk_of_post = np.repeat(np.arange(bsizes.size, dtype=np.int64),
                             np.asarray(bsizes, np.int64))
     q = blk_of_post * BIG + np.asarray(tfs, np.int64)

@@ -782,6 +782,14 @@ def _dispatch_docs_idx(index_dir: str, shard_ids) -> list:
     refs = []
     for sid in shard_ids:
         sd = ckpt.shard_dir(index_dir, sid)
+        # extend/resume touch only SOME shards; a shard whose sidecar
+        # still matches its (write-once, content-addressed) docs file
+        # list keeps it — finalize cost scales with the new data, not
+        # the whole index (review r5 finding)
+        cur = docstore.sidecar_current_rows(sd)
+        if cur is not None:
+            refs.append(cur)
+            continue
         files = docstore._docs_files(os.path.join(sd, "docs"))
         if len(files) <= docstore.SCAN_CHUNK:
             refs.append(_docs_idx_task.remote(sd))
@@ -885,7 +893,10 @@ def _finalize(index_dir: str, n_shards: int, params: BuildParams,
                       "n": int(m["n"])} for m in metas])
     fsio.replace(td_tmp, os.path.join(index_dir, td_name))
 
-    n_idx_rows = sum(ray.get(docs_idx_refs))
+    # kept-current sidecars contribute plain ints (skipped rebuilds)
+    n_idx_rows = (sum(r for r in docs_idx_refs if isinstance(r, int))
+                  + sum(ray.get([r for r in docs_idx_refs
+                                 if not isinstance(r, int)])))
     n_postings = sum(r.get("n_postings", 0) for r in recs)
     seg_bytes = sum(r.get("seg_bytes", 0) for r in recs)
     manifest = {
@@ -1502,6 +1513,11 @@ def _merge_range(files: dict[str, tuple[int, list[tuple[int, int, int]]]],
         out = pa.concat_tables(outs, promote_options="default") \
             .drop_columns(["sid"]) \
             .select(SEGMENT_SCHEMA.names).cast(SEGMENT_SCHEMA)
+        # outs concatenated category-first (passthrough, per-group,
+        # batched) — restore the global (term, salt) order so the part's
+        # row-group key stats stay disjoint (the whole-rg planner of a
+        # FUTURE compaction and per-term row-group pruning rely on it)
+        out = out.sort_by([("term", "ascending"), ("salt", "ascending")])
         d = os.path.join(tmp_root, f"sid={gid}")
         fsio.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".part-r{ridx:06d}.parquet.tmp")

@@ -1029,7 +1029,7 @@ class IndexReader:
             else:
                 ub = sum(per_term_ub.values())
             if ub > theta and contrib:
-                docs_l, sc_l, tid_l = [], [], []
+                docs_l, sc_l = [], []
                 for c in contrib:
                     if c._ids is None:
                         n_dec += 1
@@ -1047,7 +1047,6 @@ class IndexReader:
                         dls = self._doc_lens[pos]
                         docs_l.append(d)
                         sc_l.append(bm25.score_vec(c.idf, tf_w, dls, self.avg_dl))
-                        tid_l.append(np.full(d.size, c.term_i, dtype=np.int64))
                 if docs_l:
                     docs = np.concatenate(docs_l)
                     scores = np.concatenate(sc_l)

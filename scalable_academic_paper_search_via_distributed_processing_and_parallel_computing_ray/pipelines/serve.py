@@ -141,14 +141,14 @@ class DistributedSearcher:
 
     def __init__(self, index_dir: str, num_actors: int = 2,
                  lazy: bool = False, batch_window_ms: float = 0.0):
-        import json
         import threading
         self._bw = float(batch_window_ms) / 1000.0
         self._block = threading.Lock()
         self._pending: list[dict] = []
         self._leader = False
-        with open(os.path.join(index_dir, "manifest.json")) as f:
-            n_shards = int(json.load(f)["n_shards"])
+        from ..state import fsio
+        n_shards = int(fsio.read_json(
+            fsio.join(index_dir, "manifest.json"))["n_shards"])
         # manifest-driven discovery: partial shard dirs from an in-flight
         # extend must stay invisible (same rule as IndexReader)
         shard_names = [f"shard-{i:04d}" for i in range(n_shards)]

@@ -118,7 +118,12 @@ def canon(path: str) -> str:
     """Canonical spelling for ledger identity (ADVICE r4): the same file
     reached via a relative path, ``./``, or a symlink must map to ONE
     ``file_seq`` — a different spelling passing the duplicate check would
-    re-ingest every row under fresh doc_ids."""
+    re-ingest every row under fresh doc_ids.  URIs pass through untouched
+    (realpath would mangle ``s3://...`` into a bogus CWD-relative local
+    path); object-store spellings are already canonical per key."""
+    from ..state import fsio
+    if fsio.is_uri(path):
+        return path
     return os.path.realpath(path)
 
 

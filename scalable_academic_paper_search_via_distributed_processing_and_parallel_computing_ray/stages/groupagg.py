@@ -204,7 +204,16 @@ def sorted_map_groups(ds: Dataset, keys: list[str], fn,
     top-level task args so Ray de-references them zero-copy per task
     (broadcast once, never pickled into the closure).
     ``passthrough_single`` asserts fn(single_row_group) == that row
-    (byte-identical passthrough) and skips the call."""
+    (byte-identical passthrough) and skips the call.
+
+    STATUS: a public operator with pytest coverage but no production
+    caller — segment compaction moved past it to the whole-row-group
+    range planner (``build._merge_range``: footer-only planning, no
+    corpus sort), and the build wave keeps Ray's ``map_groups`` because
+    its groups stream straight out of the salted sort (this operator's
+    ``materialize()`` would break the fused wave's streaming).  Kept for
+    callers needing a generic many-small-groups ``map_groups`` without
+    Ray's one-block-per-group overhead."""
     s = ds.sort(keys).materialize()
     refs = nonempty_block_refs(s)
     if not refs:

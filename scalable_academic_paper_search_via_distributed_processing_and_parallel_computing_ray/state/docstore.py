@@ -309,6 +309,30 @@ def _write_idx(shard_dir: str, files: list[str], ids: np.ndarray,
     return publish_idx(shard_dir, gen, 1, n)
 
 
+def sidecar_current_rows(shard_dir: str) -> int | None:
+    """Row count of the shard's sidecar IF it is provably current, else
+    None (caller rebuilds).  Currency check: the pointer resolves and the
+    FIRST part's recorded file list equals the docs dir's current file
+    list — sound because docs parts are content-addressed write-once
+    (same name => same bytes), so an unchanged name list means the
+    sidecar's (file_i, rg_i, row_i) coordinates still hold.  Cost: one
+    pointer json + one small parquet footer, vs re-scanning every part's
+    doc_id column."""
+    parts = _resolve_parts(shard_dir)
+    if not parts:
+        return None
+    try:
+        ptr = fsio.read_json(os.path.join(shard_dir, DOCS_IDX_PTR))
+        n_rows = int(ptr["n_rows"])
+        meta = fsio.pq_file(parts[0]).schema_arrow.metadata or {}
+        recorded = json.loads(meta[b"files"])
+    except (OSError, ValueError, KeyError, IndexError):
+        return None
+    if recorded != _docs_files(os.path.join(shard_dir, "docs")):
+        return None
+    return n_rows
+
+
 def _resolve_parts(shard_dir: str) -> list[str] | None:
     """Part paths of the CURRENT sidecar generation, or None when there
     is no (readable, version-matching) pointer."""

@@ -209,10 +209,17 @@ def copy_file(src: str, dst: str) -> None:
             pass
         shutil.copy2(s, dst)
         return
-    # cross- or same-fs copy via streams (local<->remote both directions)
+    # cross- or same-fs copy via streams (local<->remote both directions),
+    # in bounded chunks — a multi-GB parquet part must never become one
+    # resident bytes object per concurrent copy task
+    dfs, dp = resolve(dst)
     with open_read(src, binary=True) as fi:
-        data = fi.read()
-    write_bytes(dst, data)
+        if dfs is None:
+            with open(dp, "wb") as fo:
+                shutil.copyfileobj(fi, fo, length=8 << 20)
+        else:
+            with dfs.open_output_stream(dp) as fo:
+                shutil.copyfileobj(fi, fo, length=8 << 20)
 
 
 def read_json(path: str) -> dict:

@@ -205,3 +205,21 @@ def test_compact_preserves_ledger_then_extend(ray_session, pages_dir,
     f = str(tmp_path / "fidx")
     build.build_index(files, f, p)
     assert sorted(ids) == sorted(_docs_table(f)["doc_id"].to_pylist())
+
+
+def test_canon_passes_uris_through(tmp_path):
+    """Ledger canonicalization must not realpath-mangle URI corpus
+    inputs (s3://bucket/x would become a bogus CWD-relative local
+    path); local spellings still collapse to one realpath."""
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.sources import (
+        fragments,
+    )
+    assert fragments.canon("s3://bucket/pages/a.parquet") == \
+        "s3://bucket/pages/a.parquet"
+    assert fragments.canon("mock://x/y.parquet") == "mock://x/y.parquet"
+    p = tmp_path / "f.parquet"
+    p.write_bytes(b"")
+    link = tmp_path / "ln.parquet"
+    os.symlink(p, link)
+    assert fragments.canon(str(link)) == fragments.canon(str(p)) \
+        == os.path.realpath(str(p))

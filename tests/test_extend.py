@@ -109,3 +109,42 @@ def test_extend_refuses_hash_version_mismatch(split_dirs):
     finally:
         mf["hash_version"] = orig
         open(mf_path, "w").write(json.dumps(mf))
+
+
+def test_extend_keeps_current_sidecars(ray_session, pages_dir, tmp_path):
+    """extend must not rebuild pre-existing shards' doc-store sidecars
+    (their docs dirs are untouched): finalize cost scales with the new
+    data.  Observable: the old shards' sidecar generation dirs survive
+    the extend unchanged."""
+    import glob as _glob
+    import json as _json
+
+    from scalable_academic_paper_search_via_distributed_processing_and_parallel_computing_ray.state import (
+        docstore,
+    )
+
+    files = sorted(_glob.glob(os.path.join(pages_dir, "*.parquet")))
+    half = len(files) // 2
+    d = str(tmp_path / "idx")
+    build.build_index(files[:half], d,
+                      build.BuildParams(num_shards=2, num_salts=2))
+
+    def gens():
+        out = {}
+        for sd in sorted(_glob.glob(os.path.join(d, "shards", "shard-*"))):
+            p = os.path.join(sd, docstore.DOCS_IDX_PTR)
+            if os.path.exists(p):
+                with open(p) as f:
+                    out[os.path.basename(sd)] = _json.load(f)["dir"]
+        return out
+
+    before = gens()
+    assert len(before) == 2
+    build.extend_index(files[half:], d)
+    after = gens()
+    assert len(after) > len(before)  # new shards got sidecars
+    for sid, gen in before.items():
+        assert after[sid] == gen, f"{sid} sidecar was rebuilt"
+    # and the manifest row count still covers every doc
+    mf = query.IndexReader(d)
+    assert mf.manifest["docs_idx"]["n_rows"] == mf.n_docs

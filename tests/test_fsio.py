@@ -173,3 +173,28 @@ def test_analytics_and_corpus_sinks_on_mock_fs(ray_session):
     assert cman["n_docs"] > 0
     assert fsio.read_json(f"{curi}/corpus_manifest.json") == cman
     assert not os.path.exists("mock:")
+
+
+def test_distributed_searcher_on_mock_fs(ray_session, tmp_path):
+    """The serving tier also rides the seam (its manifest read was the
+    one raw open() left): DistributedSearcher over a mock:// index must
+    return the same hits as a local IndexReader."""
+    import importlib
+
+    pkg = ("scalable_academic_paper_search_via_distributed_processing_"
+           "and_parallel_computing_ray")
+    pages = importlib.import_module(pkg + ".sources.pages")
+    build = importlib.import_module(pkg + ".pipelines.build")
+    query = importlib.import_module(pkg + ".pipelines.query")
+    serve = importlib.import_module(pkg + ".pipelines.serve")
+
+    pdir = pages.ensure_pages_parquet("/root/testdata/sf0.001", num_files=4)
+    uri = f"{MOCK}/srv"
+    build.build_index(pdir, uri, build.BuildParams(num_shards=2))
+    want = [(h.doc_id, round(h.score, 6)) for h in
+            query.IndexReader(uri).search_wand("spark data join", 10)]
+    ds = serve.DistributedSearcher(uri, num_actors=2)
+    got = [(h.doc_id, round(h.score, 6)) for h in
+           ds.search("spark data join", 10)]
+    assert got == want
+    ds.shutdown()
