@@ -392,6 +392,11 @@ class IndexReader:
         # scores.  Populated lazily, evicted with the owning _decoded
         # entry.
         self._tscores: dict[str, tuple[bool, np.ndarray]] = {}
+        # reusable per-thread score-accumulation buffer: a fresh 5-40 MB
+        # calloc per query re-faults its pages every time; at 32
+        # concurrent query actors the scorer is MEMORY-BANDWIDTH bound,
+        # so every avoided full-array pass shows up in throughput
+        self._score_tls = _threading.local()
         self._sorted_vocab: list[str] | None = None  # lazy, for prefix expansion
         self.last_wand_stats: dict | None = None  # set by search_wand
         self._cached_postings = 0
@@ -801,7 +806,7 @@ class IndexReader:
         if not terms:
             return []
         n_local = self._doc_ids.size
-        agg = np.zeros(n_local)
+        agg: np.ndarray | None = None
         hits = np.zeros(n_local, dtype=np.int16) if mode == "and" else None
         for t in terms:
             # one decode + lookup per TERM, not per (salt, shard) row — head
@@ -809,6 +814,7 @@ class IndexReader:
             # numpy fixed cost dominated dense-query latency
             ids, tfs, idx = self._term_postings(t)
             hit = self._tscores.get(t)
+            cached = hit is not None
             if hit is None:
                 dls = self._doc_lens[idx]
                 s = bm25.score_vec(self.idf(t), tfs, dls, self.avg_dl)
@@ -826,13 +832,50 @@ class IndexReader:
                 if t in self._decoded:  # cache only what the LRU retained
                     self._tscores[t] = (dense, d)
                     self._cached_postings += d.size
+                    cached = True
                 hit = (dense, d)
-            if hit[0]:
-                agg += hit[1]
+            v = hit[1] if hit[0] \
+                else np.bincount(idx, weights=hit[1], minlength=n_local)
+            # the dense-vector add chain is pure memory traffic; skip the
+            # zeros memset by seeding agg from the first term — stealing
+            # the bincount output when it is query-local, copying into
+            # the reusable thread-local buffer when it is (or may become)
+            # a cache entry that later adds must not mutate
+            if agg is None:
+                if hit[0] and cached:
+                    # v IS the cached dense vector — copy, don't mutate
+                    buf = getattr(self._score_tls, "buf", None)
+                    if buf is None or buf.size != n_local:
+                        buf = np.empty(n_local)
+                        self._score_tls.buf = buf
+                    np.copyto(buf, v)
+                    agg = buf
+                else:
+                    # dense-uncached or any sparse path: v is query-local
+                    # (fresh bincount / fresh dense build) — steal it
+                    agg = v
             else:
-                agg += np.bincount(idx, weights=hit[1], minlength=n_local)
+                agg += v
             if hits is not None:
                 hits[idx] += np.int16(1)
+        assert agg is not None
+        if hits is None and mask is None and after is None and n_local > k:
+            # unfiltered OR fast path: partition the FULL array in place of
+            # building the agg>0 candidate set first (on a dense corpus that
+            # set IS the corpus; flatnonzero + the negated fancy-indexed
+            # copy were two extra full-array passes).  thr = k-th largest
+            # overall == k-th largest among positives whenever >= k docs
+            # matched; ties at thr are all kept, identical to the generic
+            # path below.
+            part = np.argpartition(agg, n_local - k)
+            thr = agg[part[n_local - k]]
+            if thr > 0.0:
+                cand = np.flatnonzero(agg >= thr)
+                order = np.lexsort((self._doc_ids[cand], -agg[cand]))[:k]
+                cand = cand[order]
+                return [TopkResult(int(self._doc_ids[i]), float(agg[i]))
+                        for i in cand]
+            # thr == 0: fewer than k matching docs — generic path
         if hits is not None:
             cand = np.flatnonzero(hits == len(terms))
         else:
