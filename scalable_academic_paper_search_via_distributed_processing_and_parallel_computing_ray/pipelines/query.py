@@ -392,6 +392,13 @@ class IndexReader:
         # scores.  Populated lazily, evicted with the owning _decoded
         # entry.
         self._tscores: dict[str, tuple[bool, np.ndarray]] = {}
+        # float32 twin of the dense _tscores vectors (+ per-term f64 max):
+        # the warm dense-query fast path accumulates and partitions in f32
+        # (HALF the memory traffic — under 32-way actor concurrency the
+        # scorer is LLC/DRAM-contention bound), then re-ranks an
+        # error-bounded threshold band exactly in f64, so results stay
+        # bit-identical to the f64 path (see _fast_or_topk32)
+        self._tscores32: dict[str, tuple[np.ndarray, float]] = {}
         # reusable per-thread score-accumulation buffer: a fresh 5-40 MB
         # calloc per query re-faults its pages every time; at 32
         # concurrent query actors the scorer is MEMORY-BANDWIDTH bound,
@@ -611,6 +618,9 @@ class IndexReader:
                 ts = self._tscores.pop(oldest, None)
                 if ts is not None:
                     self._cached_postings -= ts[1].size
+                t32 = self._tscores32.pop(oldest, None)
+                if t32 is not None:
+                    self._cached_postings -= t32[0].size // 2
             if ids.size <= self._cache_budget:
                 self._decoded[t] = (ids, tfs, idx)
                 self._cached_postings += ids.size
@@ -778,6 +788,63 @@ class IndexReader:
 
     # -------------------------------------------------------- exhaustive ---
 
+    def _fast_or_topk32(self, terms: list[str], k: int,
+                        n_local: int) -> "list[TopkResult] | None":
+        """Warm unfiltered-OR fast path: accumulate + partition in
+        FLOAT32 (half the memory traffic of the f64 path — the measured
+        bottleneck under 32-way actor concurrency is shared-cache/DRAM
+        contention), then re-rank an error-bounded threshold band
+        EXACTLY in f64, so results are bit-identical to the f64 path.
+
+        Error bound: each doc's f32 accumulated score differs from its
+        f64 value by at most n_terms rounding steps of at most
+        ulp(S_bound) each (plus one cast error per term, same order),
+        where S_bound = sum of per-term max scores >= any accumulated
+        value.  eps = 2 * n_terms * S_bound * 2^-20 is ~8x that worst
+        case (f32 ulp is 2^-23 relative), so every doc whose TRUE score
+        ties-or-beats the true k-th threshold lands in the band.  The
+        band is then scored exactly by gathering the f64 cached vectors
+        at the band's indices (O(band * terms) work).  Returns None
+        (caller takes the generic path) when any term lacks a cached
+        dense f32 vector, when the f32 threshold is within eps of zero
+        (fewer than k well-separated matches), or when the band blows
+        past a sanity cap (pathological tie plateau)."""
+        vecs: list[np.ndarray] = []
+        s_bound = 0.0
+        for t in terms:
+            h = self._tscores32.get(t)
+            if h is None:
+                return None
+            vecs.append(h[0])
+            s_bound += h[1]
+        buf = getattr(self._score_tls, "buf32", None)
+        if buf is None or buf.size != n_local:
+            buf = np.empty(n_local, np.float32)
+            self._score_tls.buf32 = buf
+        np.copyto(buf, vecs[0])
+        for v in vecs[1:]:
+            buf += v
+        part = np.argpartition(buf, n_local - k)
+        thr32 = float(buf[part[n_local - k]])
+        eps = 2.0 * max(len(terms), 1) * max(s_bound, 1e-9) * 2.0**-20
+        if thr32 <= eps:
+            return None
+        cand = np.flatnonzero(buf >= np.float32(thr32 - eps))
+        if cand.size > max(4096, 64 * k):
+            return None  # tie plateau — let the exact path handle it
+        agg = self._tscores[terms[0]][1][cand].copy()
+        for t in terms[1:]:
+            agg += self._tscores[t][1][cand]
+        if cand.size > k:
+            p2 = np.argpartition(-agg, k - 1)
+            thr = agg[p2[k - 1]]
+            keep = agg >= thr
+            cand, agg = cand[keep], agg[keep]
+        order = np.lexsort((self._doc_ids[cand], -agg))[:k]
+        cand, agg = cand[order], agg[order]
+        return [TopkResult(int(self._doc_ids[i]), float(s))
+                for i, s in zip(cand, agg)]
+
     def search_exhaustive(self, query_text: str, k: int = 10,
                           mode: str = "or",
                           mask: np.ndarray | None = None,
@@ -806,6 +873,10 @@ class IndexReader:
         if not terms:
             return []
         n_local = self._doc_ids.size
+        if mode != "and" and mask is None and after is None and n_local > k:
+            fast = self._fast_or_topk32(terms, k, n_local)
+            if fast is not None:
+                return fast
         agg: np.ndarray | None = None
         hits = np.zeros(n_local, dtype=np.int16) if mode == "and" else None
         for t in terms:
@@ -833,6 +904,16 @@ class IndexReader:
                     self._tscores[t] = (dense, d)
                     self._cached_postings += d.size
                     cached = True
+                    # f32 twin for the warm fast path — only when it fits
+                    # WITHOUT pushing the budget over (an over-budget
+                    # working set thrashes the LRU on every decode; better
+                    # a partially-active fast path than global thrash)
+                    if dense and (self._cached_postings + d.size // 2
+                                  <= self._cache_budget):
+                        self._tscores32[t] = (
+                            d.astype(np.float32),
+                            float(d.max()) if d.size else 0.0)
+                        self._cached_postings += d.size // 2
                 hit = (dense, d)
             v = hit[1] if hit[0] \
                 else np.bincount(idx, weights=hit[1], minlength=n_local)

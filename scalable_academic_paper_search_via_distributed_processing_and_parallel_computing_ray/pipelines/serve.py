@@ -31,12 +31,18 @@ class QueryShardActor:
     (reference ST3 pattern, SURVEY.md §2.3)."""
 
     def __init__(self, index_dir: str, shard_names: list[str],
-                 cache_postings_budget: int = 20_000_000,
+                 cache_postings_budget: int = 32_000_000,
                  lazy: bool = False):
         # long-lived actor: cache decoded postings for hot terms (~20B per
-        # posting -> default budget ~400MB/actor; the reference's serving
-        # process similarly holds its index resident).  lazy=True starts
-        # serving immediately and faults posting row groups in on demand.
+        # posting -> default budget ~640MB/actor; the reference's serving
+        # process similarly holds its index resident).  The budget unit is
+        # posting-EQUIVALENTS: a head term charges postings + f64 dense
+        # score vector + its f32 twin (~2.5 n_local per term), so the
+        # default is sized to hold the same hot-term count as the
+        # pre-f32-twin 20M default — an undersized budget THRASHES (evict/
+        # re-decode per query: measured 12x collapse), it does not degrade
+        # gracefully.  lazy=True starts serving immediately and faults
+        # posting row groups in on demand.
         self.reader = IndexReader(index_dir, shard_subset=shard_names,
                                   cache_postings_budget=cache_postings_budget,
                                   lazy=lazy)
